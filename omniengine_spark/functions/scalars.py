@@ -1,0 +1,72 @@
+"""Scalar expression helpers (SURVEY §2.8).
+
+Each maps a reference behavior to a built-in column expression:
+
+* F1 — divisible-amount ×1e8 base-unit scaling (reference
+  ``sql.py:396-405``, ``omniutils.py:4-12``)
+* F2 — epoch-seconds → timestamp, trailing-interval windows
+  (reference ``sql.py:2417``, ``266``, ``276``)
+* F5/F6 — hex payload field decode (reference ``sql.py:1626-1641``)
+* F7 — null/exception-tolerant numeric reads (reference
+  ``sql.py:1340-1414``)
+
+Exact money math: all currency arithmetic goes through DecimalType so
+sums are order-independent (a distributed engine must not let float
+reduction order change results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Exact intermediate for currency-like doubles: wide enough for 100 TB
+# fact-table sums, scale 4 preserves cents×discount products.
+_MONEY = "decimal(25,4)"
+
+
+def money(col: Column | str) -> Column:
+    """Cast a currency-ish column to an exact decimal intermediate."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(_MONEY)
+
+
+def decimal_sum(col: Column | str, alias: str) -> Column:
+    """Order-independent exact sum of a currency column, surfaced as
+    double for oracle comparison."""
+    return F.sum(money(col)).cast("double").alias(alias)
+
+
+def scale_base_units(amount: Column, divisible: Column) -> Column:
+    """F1: divisible amounts scale ×1e8 into integer base units;
+    indivisible parse as plain integers (reference ``sql.py:396-405``)."""
+    dec = amount.cast("decimal(38,8)")
+    return (
+        F.when(divisible, (dec * F.lit(100000000)).cast("decimal(19,0)"))
+        .otherwise(dec.cast("decimal(19,0)"))
+    )
+
+
+def epoch_to_ts(col: Column | str) -> Column:
+    """F2: epoch-seconds integer → TimestampType."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_seconds(c.cast("long"))
+
+
+def trailing_window(ts: Column, anchor: Column, days: int = 1) -> Column:
+    """F2: membership in a trailing interval window
+    (reference ``sql.py:266``: ``txrecvtime > now() - '1 day'``)."""
+    return ts > anchor - F.expr(f"INTERVAL {days} DAY")
+
+
+def hex_to_long(payload: Column, start: int, length: int) -> Column:
+    """F6: parse a big-endian hex field out of a payload string
+    (1-based ``start``), e.g. propertyid = payload[8:16]
+    (reference ``sql.py:1626-1641``)."""
+    return F.conv(F.substring(payload, start, length), 16, 10).cast("long")
+
+
+def null_to_zero(col: Column | str) -> Column:
+    """F7: None→0 on read (reference ``sql.py:134-146``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c, F.lit(0))

