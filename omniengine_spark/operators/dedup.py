@@ -1,0 +1,319 @@
+"""Deduplication operators for large corpora.
+
+Generalizes the reference's only dedup surface — the triple-LIKE
+duplicate-property scan (reference ``sql.py:1602-1624``, a quadratic
+per-row LIKE) — into the standard scale-out toolkit:
+
+* exact duplicates   — hash-group on normalized content, one shuffle
+* n-gram Jaccard     — *prefix-filtered* exact similarity join: only
+  the globally-rarest shingles of each document are indexed, which
+  provably cannot miss a pair above the threshold, so candidate
+  generation shuffles a small fraction of the shingle postings
+  (the PPJoin prefix principle)
+* MinHash + LSH      — per-row signatures (no shuffle), banded
+  bucketing join for candidates, exact verification of survivors
+* SimHash            — 64-bit per-row sketch + pigeonhole banding for
+  Hamming-distance pairs
+
+Everything is built-in column expressions — signatures are computed
+with ``transform``/``aggregate`` over arrays inside codegen, never a
+Python UDF; joins are plain shuffles Catalyst can plan.
+
+Scale notes: at 100 TB the shingle-posting self-join dominates; the
+prefix filter bounds postings per doc at ``(1-t)·|doc|+1`` of the
+*rarest* shingles, so bucket sizes stay small and skew-free (AQE
+skew-join handles pathological shingles).  MinHash signatures are
+computed in a single map pass over documents and are 64×8 bytes per
+doc regardless of doc size.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for exact dedup: trimmed, lowercased,
+    whitespace-collapsed."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (pure array
+    expression: tokenize → sliding join → distinct)."""
+    toks = F.split(F.trim(col), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(gram)
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Map every row to its canonical (minimum-id) exact duplicate.
+
+    One hash-shuffle on the normalized content (in practice on its
+    md5, keeping shuffle rows narrow at 100 TB).
+    """
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalize_text(F.col(text_col))).alias("content_key"),
+    )
+    w = Window.partitionBy("content_key")
+    return d.select(
+        "doc_id",
+        "content_key",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.count(F.lit(1)).over(w) > 1).alias("has_duplicates"),
+    )
+
+
+def _ceil_frac(size: Column, frac: Fraction) -> Column:
+    """ceil(frac * size) in exact integer arithmetic (no float)."""
+    num, den = frac.numerator, frac.denominator
+    return F.expr(f"({num} * __sz + {den} - 1) div {den}").alias("x")
+
+
+def jaccard_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: Fraction = Fraction(4, 5),
+) -> DataFrame:
+    """Exact all-pairs Jaccard ≥ threshold over n-gram shingle sets,
+    via prefix filtering.
+
+    Guarantee: order shingles by global document frequency (rarest
+    first).  If J(A,B) ≥ t then |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and the
+    smallest common shingle must sit within the first
+    |X| − ⌈t·|X|⌉ + 1 shingles of *both* documents — so joining only
+    on those prefixes cannot miss a qualifying pair.  Survivors are
+    verified with the exact intersection size.
+    """
+    t_num, t_den = threshold.numerator, threshold.denominator
+
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+
+    posting = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    df_freq = posting.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+
+    # Rank each doc's shingles rarest-first; keep the prefix.
+    ranked = posting.join(df_freq, "shingle")
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    sized = ranked.withColumn("pos", F.row_number().over(w)).join(
+        docs.select("doc_id", F.size("sh").alias("sz")), "doc_id"
+    )
+    prefix = sized.filter(
+        F.col("pos")
+        <= F.col("sz") - F.expr(f"({t_num} * sz + {t_den} - 1) div {t_den}") + 1
+    ).select("doc_id", "shingle")
+
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    return _verify_jaccard(cand, docs, threshold)
+
+
+def _verify_jaccard(
+    cand: DataFrame, docs: DataFrame, threshold: Fraction
+) -> DataFrame:
+    """Exact-verify candidate pairs: join shingle sets back on and
+    compute |A∩B| / |A∪B| with integer sizes (bit-stable double)."""
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    j = inter.cast("double") / union.cast("double")
+    thresh = threshold.numerator / threshold.denominator
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= thresh)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signatures as a single narrow map pass: k seeded
+    xxhash64 minima per document, no shuffle, no UDF."""
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    # One nested transform: outer over seeds, inner over shingles.
+    # (NB: a single-arg inner lambda — a two-arg lambda would be
+    # interpreted as (element, index) by Spark's HOFs.)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("sh"), lambda s: F.xxhash64(i, s))
+        ),
+    )
+    return docs.select("doc_id", "sh", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    band_rows: int = 2,
+    threshold: Fraction = Fraction(4, 5),
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH + exact verify.
+
+    With 32 bands of 2 rows, a pair at Jaccard 0.8 is missed with
+    probability (1−0.8²)³² ≈ 6·10⁻¹⁵ — candidates are then verified
+    exactly, so the output equals the exact similarity join with
+    overwhelming probability while only ever shuffling signatures.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    num_bands = num_hashes // band_rows
+
+    band_entries = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[bi * band_rows + r]
+                                for r in range(band_rows)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for bi in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    cand = (
+        band_entries.alias("a")
+        .join(band_entries.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    docs = sigs.select("doc_id", "sh")
+    return _verify_jaccard(cand, docs, threshold)
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """64-bit SimHash per document: sign of per-bit vote sums over
+    token xxhash64 values — one array fold per row inside codegen."""
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+
+    def bit_votes(tok):
+        # ±1 vote per bit of the token hash (shift amounts must be
+        # Python ints for shiftright)
+        return F.array(
+            *[
+                (
+                    F.shiftright(F.xxhash64(tok), j).bitwiseAND(F.lit(1)) * 2
+                    - 1
+                ).cast("int")
+                for j in range(64)
+            ]
+        )
+
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, tok: F.zip_with(acc, bit_votes(tok), lambda a, b: a + b),
+    )
+    d = df.select(F.col(id_col).alias("doc_id"), votes.alias("votes"))
+    fp = F.lit(0).cast("long")
+    for j in range(64):
+        bit = 1 << j if j < 63 else -(1 << 63)  # signed-long high bit
+        fp = fp.bitwiseOR(
+            F.when(
+                F.element_at("votes", j + 1) >= 0, F.lit(bit).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return d.select("doc_id", fp.alias("simhash64"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs within Hamming distance k of each other's SimHash.
+
+    Pigeonhole banding: split the 64 bits into k+1 chunks — any pair
+    at distance ≤ k matches exactly on at least one chunk, so the join
+    key is (chunk_idx, chunk_value), never an all-pairs scan.
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    fps = simhash(df, id_col, text_col)
+    bands = fps.select(
+        "doc_id",
+        "simhash64",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("chunk"),
+                        F.shiftrightunsigned(
+                            F.col("simhash64"), ci * width
+                        ).bitwiseAND(F.lit((1 << width) - 1)).alias("val"),
+                    )
+                    for ci in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash64", "cc.chunk", "cc.val")
+    pairs = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["chunk", "val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

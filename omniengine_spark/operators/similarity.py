@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k as the exact baseline, and a random-
+hyperplane LSH bucketed variant as the scale path (candidates only
+within matching hash buckets).  Dot products are computed with
+``zip_with``+``aggregate`` folds — strict left-to-right double
+accumulation, which is bit-identical to the oracle's sequential loop,
+and stays inside whole-stage codegen (no UDF, no NumPy round trip).
+
+Scale: brute force is O(Q·N) pair rows — fine for reranking small Q;
+the LSH path bounds comparisons per query to its bucket cohort, and
+buckets are balanced by construction (random hyperplanes).  At 100 TB
+the bucketed join shuffles on (table, bucket) and AQE splits hot
+buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns, in double."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    queries is broadcast (Q small); ranking is a per-query window with
+    a deterministic (score desc, id asc) tie order.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            cosine(F.col("query_vec"), F.col("nbr_vec")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", "score")
+    )
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane signature per vector: bit i = sign(v · h_i).
+
+    Hyperplane components are derived deterministically from
+    xxhash64(seed, plane, dim) so executors need no broadcast state
+    and replays are reproducible (the engine-wide determinism rule).
+    """
+    dims = F.size(F.col(vec_col))
+
+    def plane_component(plane: int, j: Column) -> Column:
+        h = F.xxhash64(F.lit(seed), F.lit(plane), j)
+        # map hash to [-1, 1) deterministically
+        return (h % 65536).cast("double") / 32768.0
+
+    def plane_bit(plane: int) -> Column:
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.transform(
+                    F.sequence(F.lit(0), dims - 1),
+                    lambda j: plane_component(plane, j),
+                ),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), plane)).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    bucket = plane_bit(0)
+    for p in range(1, n_planes):
+        bucket = bucket.bitwiseOR(plane_bit(p))
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        bucket.alias("bucket"),
+    )
+
+
+def lsh_ann_topk(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: compare only within LSH buckets.
+
+    Recall < 1 by construction (bucket boundaries); the exact
+    brute-force plan is the oracle-checkable baseline, this is the
+    scale path.
+    """
+    b = hyperplane_lsh_buckets(vectors, id_col, vec_col, n_planes, seed)
+    pairs = (
+        b.alias("a")
+        .join(b.alias("b"), "bucket")
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("nbr_id"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", "score")
+    )

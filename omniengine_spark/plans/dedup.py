@@ -1,1 +1,102 @@
-"""Placeholder — populated in this round."""
+"""Dedup plans over ``documents`` (operators in operators/dedup.py).
+
+Oracles are the all-pairs exact formulations in DuckDB — the Spark
+side must reproduce them exactly while using the scalable algorithm
+(prefix filter / LSH + exact verify), which is the whole point: same
+answer, cluster-sized plan.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame, SparkSession
+
+from omniengine_spark.operators import dedup as D
+from omniengine_spark.plans.registry import query
+from omniengine_spark.sources import load_table
+
+# Shared oracle fragment: distinct 3-shingle sets per doc.
+_SHINGLE_CTE = """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in range(1, len(t) - 1)]) AS s
+      FROM toks
+      WHERE len(t) >= 3
+    )
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_key,
+           MIN(doc_id) OVER (
+             PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+           ) AS canonical_id,
+           COUNT(*) OVER (
+             PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+           ) > 1 AS has_duplicates
+    FROM documents
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_duplicates(docs, "doc_id", "text")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_SHINGLE_CTE
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_similarity_join(
+        docs, "doc_id", "text", n=3, threshold=Fraction(4, 5)
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    # Same oracle as the exact join: LSH at 32×2 bands + exact verify
+    # equals the exact result with P(miss) ≈ 6e-15 at the threshold.
+    oracle=_SHINGLE_CTE
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=64,
+        band_rows=2,
+        threshold=Fraction(4, 5),
+    )
+
+
+@query("dedup_simhash")  # rows-only: xxhash64 not reproducible in DuckDB
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
