@@ -166,22 +166,33 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
 ) -> DataFrame:
-    """MinHash signatures as a single narrow map pass: k seeded
-    xxhash64 minima per document, no shuffle, no UDF."""
-    docs = df.select(
+    """MinHash signatures via explode → k codegen'd min-aggregates.
+
+    The k seeded xxhash64 values per shingle are plain JVM expressions
+    inside whole-stage codegen (HOF lambdas would be interpreted and,
+    worse, re-inlined by projection collapse into every downstream
+    band expression).  Map-side combine reduces each partition to one
+    k-long row per doc before the shuffle, so the exchange carries
+    |docs| × k longs regardless of document size.  The agg is also a
+    materialization barrier: downstream banding reads sig[i] as cheap
+    array indexing instead of recomputing the signature.
+    """
+    posting = df.select(
         F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col), n).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    # One nested transform: outer over seeds, inner over shingles.
-    # (NB: a single-arg inner lambda — a two-arg lambda would be
-    # interpreted as (element, index) by Spark's HOFs.)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("sh"), lambda s: F.xxhash64(i, s))
-        ),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
     )
-    return docs.select("doc_id", "sh", sig.alias("sig"))
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        posting.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"),
+        )
+    )
 
 
 def minhash_lsh_pairs(
@@ -203,7 +214,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
     num_bands = num_hashes // band_rows
 
-    band_entries = sigs.select(
+    band_entries = sigs.select(  # sig[i] is post-agg array indexing
         "doc_id",
         F.explode(
             F.array(
@@ -233,7 +244,10 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    docs = sigs.select("doc_id", "sh")
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    ).filter(F.size("sh") > 0)
     return _verify_jaccard(cand, docs, threshold)
 
 
@@ -241,35 +255,34 @@ def simhash(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """64-bit SimHash per document: sign of per-bit vote sums over
-    token xxhash64 values — one array fold per row inside codegen."""
-    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    distinct-token xxhash64 values.
 
-    def bit_votes(tok):
-        # ±1 vote per bit of the token hash (shift amounts must be
-        # Python ints for shiftright)
-        return F.array(
-            *[
-                (
-                    F.shiftright(F.xxhash64(tok), j).bitwiseAND(F.lit(1)) * 2
-                    - 1
-                ).cast("int")
-                for j in range(64)
-            ]
-        )
-
-    votes = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, tok: F.zip_with(acc, bit_votes(tok), lambda a, b: a + b),
+    Explode → 64 codegen'd conditional sums (one per bit) → sign
+    fold.  Same rationale as ``minhash_signatures``: stay out of
+    interpreted HOF lambdas, let map-side combine shrink the shuffle
+    to one 64-int row per doc.
+    """
+    posting = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("tok"),
     )
-    d = df.select(F.col(id_col).alias("doc_id"), votes.alias("votes"))
+    h = F.xxhash64(F.col("tok"))
+    votes = [
+        F.sum(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+        ).alias(f"_v{j}")
+        for j in range(64)
+    ]
+    d = posting.groupBy("doc_id").agg(*votes)
     fp = F.lit(0).cast("long")
     for j in range(64):
         bit = 1 << j if j < 63 else -(1 << 63)  # signed-long high bit
         fp = fp.bitwiseOR(
-            F.when(
-                F.element_at("votes", j + 1) >= 0, F.lit(bit).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"_v{j}") >= 0, F.lit(bit).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
     return d.select("doc_id", fp.alias("simhash64"))
 
