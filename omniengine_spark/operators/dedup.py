@@ -6,10 +6,10 @@ per-row LIKE) — into the standard scale-out toolkit:
 
 * exact duplicates   — hash-group on normalized content, one shuffle
 * n-gram Jaccard     — *prefix-filtered* exact similarity join: only
-  the globally-rarest shingles of each document are indexed, which
-  provably cannot miss a pair above the threshold, so candidate
-  generation shuffles a small fraction of the shingle postings
-  (the PPJoin prefix principle)
+  the first shingles of each document under a fixed global order are
+  indexed, which provably cannot miss a pair above the threshold, so
+  candidate generation shuffles a small fraction of the shingle
+  postings (the PPJoin prefix principle, hash-ordered)
 * MinHash + LSH      — per-row signatures (no shuffle), banded
   bucketing join for candidates, exact verification of survivors
 * SimHash            — 64-bit per-row sketch + pigeonhole banding for
@@ -41,10 +41,15 @@ def normalize_text(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (pure array
-    expression: tokenize → sliding join → distinct)."""
-    toks = F.split(F.trim(col), r"\s+")
+def _shingle_expr(toks: Column, n: int) -> Column:
+    """Distinct word n-grams from an already-tokenized array column.
+
+    ``toks`` MUST be a materialized attribute, not an inline
+    ``split(...)`` expression: HOF lambdas are interpreted, and an
+    inlined split would be re-evaluated for every element (measured
+    13× slower on the documents table).  ``shingle_docs`` below sets
+    up the required two-projection shape.
+    """
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     gram = F.transform(
         idx,
@@ -53,6 +58,42 @@ def shingles(col: Column, n: int = 3) -> Column:
         ),
     )
     return F.array_distinct(gram)
+
+
+def shingle_docs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(doc_id, sh) with sh = distinct n-gram shingle array; documents
+    with fewer than n tokens are dropped (no shingles)."""
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+    ).filter(F.size("toks") >= n)
+    # Filtering on toks (not on size(sh)) matters: a filter above the
+    # shingle projection is pushed below it and re-evaluates the whole
+    # shingle expression per row (measured 6×).  ≥n tokens ⟺ ≥1 shingle.
+    return toked.select(
+        "doc_id", _shingle_expr(F.col("toks"), n).alias("sh")
+    )
+
+
+def hashed_shingle_docs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(doc_id, hs) with hs = sorted xxhash64 array of the shingle set.
+
+    Downstream set arithmetic (prefix slicing, intersection counts)
+    runs on 8-byte longs instead of ~25-byte strings: shuffle rows
+    shrink ~3× and comparisons are integer.  A 64-bit collision could
+    in principle merge two shingles; at corpus scale the probability
+    is ~n²/2⁶⁴ per document — ignored, and the exact-string oracle in
+    tests confirms parity on the test corpus.
+    """
+    docs = shingle_docs(df, id_col, text_col, n)
+    return docs.select(
+        "doc_id",
+        F.array_sort(F.transform("sh", lambda s: F.xxhash64(s))).alias("hs"),
+    )
 
 
 def exact_duplicates(
@@ -76,12 +117,6 @@ def exact_duplicates(
     )
 
 
-def _ceil_frac(size: Column, frac: Fraction) -> Column:
-    """ceil(frac * size) in exact integer arithmetic (no float)."""
-    num, den = frac.numerator, frac.denominator
-    return F.expr(f"({num} * __sz + {den} - 1) div {den}").alias("x")
-
-
 def jaccard_similarity_join(
     df: DataFrame,
     id_col: str,
@@ -101,30 +136,31 @@ def jaccard_similarity_join(
     """
     t_num, t_den = threshold.numerator, threshold.denominator
 
-    docs = df.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col), n).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    docs = hashed_shingle_docs(df, id_col, text_col, n)
 
-    posting = docs.select("doc_id", F.explode("sh").alias("shingle"))
-    df_freq = posting.groupBy("shingle").agg(
-        F.count(F.lit(1)).alias("df")
+    # Prefix filtering is correct under ANY fixed global shingle order;
+    # hash order is computable per row (sort + slice, no df-frequency
+    # join, no window, no extra shuffle) at the cost of a somewhat
+    # larger candidate set than rarity order — which the exact verify
+    # absorbs.  Joining on the 64-bit hash keeps shuffle rows narrow;
+    # hash collisions only ever ADD candidates, never drop pairs.
+    prefix_len = (
+        F.size("hs")
+        - F.expr(f"({t_num} * size(hs) + {t_den} - 1) div {t_den}")
+        + 1
     )
-
-    # Rank each doc's shingles rarest-first; keep the prefix.
-    ranked = posting.join(df_freq, "shingle")
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    sized = ranked.withColumn("pos", F.row_number().over(w)).join(
-        docs.select("doc_id", F.size("sh").alias("sz")), "doc_id"
+    # explode_outer, not explode: InferFiltersFromGenerate would add a
+    # size()>0 filter and push it to the scan with the whole (HOF,
+    # interpreted) shingle expression inlined — measured 5× slower.
+    # shingle_docs guarantees non-empty arrays, so they are equivalent.
+    prefix = docs.select(
+        "doc_id",
+        F.explode_outer(F.slice("hs", F.lit(1), prefix_len)).alias("shash"),
     )
-    prefix = sized.filter(
-        F.col("pos")
-        <= F.col("sz") - F.expr(f"({t_num} * sz + {t_den} - 1) div {t_den}") + 1
-    ).select("doc_id", "shingle")
 
     cand = (
         prefix.alias("a")
-        .join(prefix.alias("b"), "shingle")
+        .join(prefix.alias("b"), "shash")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -139,16 +175,17 @@ def jaccard_similarity_join(
 def _verify_jaccard(
     cand: DataFrame, docs: DataFrame, threshold: Fraction
 ) -> DataFrame:
-    """Exact-verify candidate pairs: join shingle sets back on and
-    compute |A∩B| / |A∪B| with integer sizes (bit-stable double)."""
+    """Exact-verify candidate pairs: join the hashed shingle sets back
+    on and compute |A∩B| / |A∪B| with integer sizes (bit-stable
+    double).  ``docs`` must be ``hashed_shingle_docs`` output."""
     a = docs.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")
     )
     b = docs.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
     j = inter.cast("double") / union.cast("double")
     thresh = threshold.numerator / threshold.denominator
     return (
@@ -177,9 +214,10 @@ def minhash_signatures(
     materialization barrier: downstream banding reads sig[i] as cheap
     array indexing instead of recomputing the signature.
     """
-    posting = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    posting = shingle_docs(df, id_col, text_col, n).select(
+        # explode_outer: see jaccard_similarity_join — avoids the
+        # inferred size()>0 filter re-evaluating the shingle HOF.
+        "doc_id", F.explode_outer("sh").alias("shingle")
     )
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"_m{i}")
@@ -244,10 +282,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    docs = df.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col), n).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    docs = hashed_shingle_docs(df, id_col, text_col, n)
     return _verify_jaccard(cand, docs, threshold)
 
 
@@ -264,7 +299,7 @@ def simhash(
     """
     posting = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
+        F.explode_outer(
             F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
         ).alias("tok"),
     )
