@@ -1,0 +1,104 @@
+"""Ordered stateful replay — the engine's escape hatch for semantics
+that are genuinely sequential per entity.
+
+The reference applies every transaction row-at-a-time in a single
+process, so order-dependent rules (frozen-balance rule, reference
+``sql.py:1408-1414``; DEx offer/accept state machines,
+``sql.py:704-794``) are trivially sequential there.  In Spark the same
+semantics become: shuffle once on the entity key, sort within each
+group, fold sequentially inside an Arrow-batched ``applyInPandas``.
+Parallelism across entities, strict order within an entity.
+
+Scale notes: state per group is O(1); group size is bounded by one
+entity's history.  Skewed entities are the risk at 100 TB — mitigate
+by splitting the fold into per-partition prefix folds when a key is
+hot (not needed for balance-like folds, which have a closed form —
+see ``plans/domain.py`` d7_floor_balance_closed for the pure-window
+formulation used as the oracle for this operator).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def ordered_replay(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    fold: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: T.StructType,
+) -> DataFrame:
+    """Apply ``fold`` to each key group in ``order_cols`` order.
+
+    ``fold`` receives one pandas DataFrame per key, already sorted,
+    and returns the output rows for that key (any number of rows,
+    matching ``schema``).
+    """
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return fold(pdf.sort_values(list(order_cols), kind="mergesort"))
+
+    return df.groupBy(*key_cols).applyInPandas(run, schema=schema)
+
+
+def floor_balance_replay(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    delta_col: str = "delta_cents",
+) -> DataFrame:
+    """Per-entity running balance with a floor at zero:
+    ``b_i = max(0, b_{i-1} + d_i)`` — the reference's read-modify-write
+    balance fold (``sql.py:1320-1418``) with its implicit no-negative
+    rule, replayed per entity in strict event order.
+
+    Exact integer arithmetic (cents) so the result is bit-identical to
+    the closed-form window formulation used as the oracle.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField(key_col, T.LongType()),
+            T.StructField("balance_cents", T.LongType()),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        # built inside the fold: frompyfunc objects don't pickle
+        clip_add = np.frompyfunc(lambda b, d: max(0, b + d), 2, 1)
+        deltas = pdf[delta_col].to_numpy(dtype=np.int64)
+        # seed with 0: accumulate passes element 0 through unclipped
+        seeded = np.concatenate([np.zeros(1, dtype=np.int64), deltas])
+        bal = clip_add.accumulate(seeded, dtype=object)[1:].astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy(),
+                key_col: pdf[key_col].to_numpy(),
+                "balance_cents": bal,
+            }
+        )
+
+    cols = list(
+        dict.fromkeys(["event_id", key_col, *order_cols, delta_col])
+    )
+    slim = events.select(*cols)
+    return ordered_replay(slim, [key_col], order_cols, fold, schema)
+
+
+def event_delta_cents(value_col: str = "value", type_col: str = "event_type"):
+    """Signed integer-cent delta for the harness event stream:
+    purchases credit, errors and clicks debit, the rest are neutral —
+    the reference's per-txtype credit/debit dispatch in miniature
+    (``sql.py:1664-2409``)."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return (
+        F.when(F.col(type_col) == "purchase", cents)
+        .when(F.col(type_col).isin("error", "click"), -cents)
+        .otherwise(F.lit(0).cast("long"))
+    )

@@ -39,6 +39,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     same truncation DuckDB applies, so oracles agree.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Driver sessions are not built by our factory; pin the timezone
+    # here so epoch/interval plans agree with the (UTC) DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in TABLES.get(name, {}).get("ts_cols", []):
         if isinstance(df.schema[c].dataType, T.LongType):
