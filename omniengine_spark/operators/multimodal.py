@@ -1,0 +1,149 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB: the payload is a
+``binary`` column (or a pointer into object storage), decode and
+feature extraction are Arrow-batched ``mapInPandas`` stages with an
+explicit output schema, and everything downstream (dedup, similarity,
+filtering) operates on the extracted typed columns.
+
+Real codecs (PIL / torchaudio / ffmpeg) are NOT available in this
+environment, so the decode kernel is STUBBED: ``_decode_backend``
+raises ``NotImplementedError`` for real media and the deterministic
+fallback derives metadata arithmetically from the payload bytes.  The
+Spark-side plumbing — schema, batching, partitioning, UDF signatures —
+is real and is what these operators exercise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FRAME_BYTES = 1024  # fixed "frame" granularity for the fake sampler
+
+
+def attach_binary_payload(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic binary payload per document (UTF-8 bytes of the
+    text) plus a media-kind tag — the harness stand-in for real blobs.
+    """
+    kind = (
+        F.when(F.col(id_col) % 3 == 0, "image")
+        .when(F.col(id_col) % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        kind.alias("media_kind"),
+    )
+
+
+def _decode_backend(payload: bytes, kind: str) -> dict:
+    """STUB decode kernel.  A production build would dispatch to PIL /
+    soundfile / pyav here; this container has none of them, so real
+    media bytes raise and the deterministic fake handles the harness
+    payloads."""
+    header = payload[:4]
+    if header in (b"\x89PNG", b"\xff\xd8\xff\xe0", b"RIFF"):
+        raise NotImplementedError(
+            "real media decode requires PIL/soundfile/pyav "
+            "(not installed in this environment)"
+        )
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "width": n % 640 + 1,
+        "height": (n * 7) % 480 + 1,
+    }
+
+
+def decode_media_meta(media: DataFrame) -> DataFrame:
+    """(doc_id, media_kind, n_bytes, width, height) via an
+    Arrow-batched mapInPandas decode stage."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media_kind", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                _decode_backend(p, k)
+                for p, k in zip(pdf["payload"], pdf["media_kind"])
+            ]
+            out = pd.DataFrame(metas)
+            out.insert(0, "media_kind", pdf["media_kind"].to_numpy())
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return media.mapInPandas(decode, schema=schema)
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Explode each video payload into fixed-size frame records
+    (doc_id, frame_idx, frame_offset) — the frame-sampling stage of a
+    video pipeline, as a mapInPandas generator (1 input row → N output
+    rows)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("frame_offset", T.LongType()),
+        ]
+    )
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = -(-len(payload) // FRAME_BYTES)
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(i * FRAME_BYTES)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_offset": offs}
+            )
+
+    return media.filter(F.col("media_kind") == "video").mapInPandas(
+        frames, schema=schema
+    )
+
+
+def byte_histogram_features(media: DataFrame, bins: int = 16) -> DataFrame:
+    """(doc_id, feat: array<float>) — a deterministic stand-in for an
+    embedding model: L1-normalized byte histogram, Arrow-batched."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("feat", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=bins).astype(
+                    np.float32
+                )
+                total = hist.sum()
+                feats.append(hist / total if total else hist)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "feat": feats}
+            )
+
+    return media.mapInPandas(featurize, schema=schema)

@@ -14,5 +14,8 @@ from omniengine_spark.plans import dedup  # noqa: E402,F401
 from omniengine_spark.plans import similarity  # noqa: E402,F401
 from omniengine_spark.plans import textstats  # noqa: E402,F401
 from omniengine_spark.plans import domain  # noqa: E402,F401
+from omniengine_spark.plans import streaming_plans  # noqa: E402,F401
+from omniengine_spark.plans import multimodal_plans  # noqa: E402,F401
+from omniengine_spark.plans import filesource_plans  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

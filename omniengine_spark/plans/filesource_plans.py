@@ -1,0 +1,64 @@
+"""File-format round-trip plans (S13/S16): the plan writes the data
+out through the sink, reads it back through the source, and the
+oracle aggregates the original parquet — equal results prove the
+round trip is lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omniengine_spark.plans.registry import query
+from omniengine_spark.sources import load_table
+from omniengine_spark.sources.sinks import csv_roundtrip, json_roundtrip
+
+
+@query(
+    "s13_csv_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents,
+           MAX(event_id) AS max_event_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def s13_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    lossless = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    back = csv_roundtrip(lossless, "events")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+@query(
+    "s16_json_roundtrip",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           MIN(doc_id) AS min_doc_id
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def s16_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    back = json_roundtrip(docs, "documents")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

@@ -1,0 +1,59 @@
+"""Multimodal plans: binary payload decode / frame sampling / feature
+extraction over ``documents`` (operators in operators/multimodal.py).
+
+The decode kernel is a deterministic stub (no codecs in this
+environment), which makes the metadata plans fully oracle-checkable:
+the oracle reproduces the same arithmetic on octet lengths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from omniengine_spark.operators import multimodal as M
+from omniengine_spark.plans.registry import query
+from omniengine_spark.sources import load_table
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.attach_binary_payload(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@query(
+    "mm_decode_meta",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_kind,
+           octet_length(encode(text)) AS n_bytes,
+           octet_length(encode(text)) % 640 + 1 AS width,
+           (octet_length(encode(text)) * 7) % 480 + 1 AS height
+    FROM documents
+    """,
+)
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.decode_media_meta(_media(spark, sf_dir))
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           unnest(range(CAST(ceil(octet_length(encode(text)) / 1024.0)
+                             AS BIGINT))) AS frame_idx,
+           unnest(range(CAST(ceil(octet_length(encode(text)) / 1024.0)
+                             AS BIGINT))) * 1024 AS frame_offset
+    FROM documents
+    WHERE doc_id % 3 = 2
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.sample_frames(_media(spark, sf_dir))
+
+
+@query("mm_byte_histogram")  # rows-only: float32 array output
+def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.byte_histogram_features(_media(spark, sf_dir))

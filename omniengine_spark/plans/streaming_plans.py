@@ -1,0 +1,99 @@
+"""Driver-facing wrappers for the streaming jobs + batch
+sessionization.
+
+The streaming jobs drain a finite file stream with availableNow and
+land in a memory sink, so each one returns an ordinary DataFrame the
+oracle gate can hash — streaming semantics, batch-checkable results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from omniengine_spark import streaming as S
+from omniengine_spark.plans.registry import query
+from omniengine_spark.sources import load_table
+
+
+@query(
+    "x1_stream_hourly_counts",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS hour_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def x1_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup computed BY A STREAM (watermark + window
+    state), checked against the batch truth — the reference's
+    per-block txstats loop (sql.py:238-312) gone incremental."""
+    return S.hourly_event_counts(spark, sf_dir)
+
+
+@query(
+    "x6_stream_exactly_once_dedup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def x6_stream_exactly_once_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Every event delivered twice (self-union), streaming
+    dropDuplicates collapses redeliveries — exactly-once per block
+    (reference omniEngine.py:210 transactional boundary)."""
+    return S.deduped_type_counts(spark, sf_dir)
+
+
+# --------------------------------------------------------------------
+# W5 — sessionization: ordered per-entity computation where each row's
+# session is decided by the gap to its predecessor (the reference's
+# ordered state replay, tools/parseDexFromScratch.py:6, as the classic
+# gap-cut).  lag → flag → cumulative sum: two stacked windows on one
+# shuffle, no sequential state.
+# --------------------------------------------------------------------
+@query(
+    "w5_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT event_id, user_id,
+           SUM(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_seq
+    FROM flagged
+    """,
+)
+def w5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTE")),
+        1,
+    ).otherwise(0)
+    flagged = ev.select(
+        "event_id", "user_id", "ts", new_session.alias("new_session")
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("new_session").over(wc).alias("session_seq"),
+    )

@@ -8,9 +8,41 @@ single choke point so partition layout / format changes stay local.
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zipfile
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_PKG_ROOT = Path(__file__).resolve().parents[1]
+_SHIPPED: set[str] = set()
+
+
+def _ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship omniengine_spark to executor Python workers.
+
+    The harness driver loads ``__spark_entry__.py`` by path from an
+    arbitrary cwd, so executor-side pickles that reference this
+    package (applyInPandas folds, mapInPandas kernels) would fail to
+    import it.  addPyFile with a package zip makes every worker
+    self-sufficient — same mechanism a real cluster deployment uses.
+    """
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _SHIPPED:
+        return
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"omniengine_spark-{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for py in sorted(_PKG_ROOT.rglob("*.py")):
+                zf.write(py, f"omniengine_spark/{py.relative_to(_PKG_ROOT)}")
+    sc.addPyFile(zpath)
+    _SHIPPED.add(app_id)
 
 # Harness-provided TPC-H-ish star schema + events/documents/embeddings
 # (TESTDATA.md).  Dimension tables marked small are broadcast-preferred
@@ -42,7 +74,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Driver sessions are not built by our factory; pin the timezone
     # here so epoch/interval plans agree with the (UTC) DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_package_shipped(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in TABLES.get(name, {}).get("ts_cols", []):
+        if isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+            )
+    return df
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table as a Structured Streaming source.
+
+    File-stream over the same parquet the batch path reads (the
+    reference's per-block poll loop, ``omniEngine.py:109-232``,
+    becomes a real incremental source).  Schema comes from a batch
+    probe of the same file; the nano→micro timestamp fix matches
+    ``load_table`` so stream and batch plans agree.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    df = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
     for c in TABLES.get(name, {}).get("ts_cols", []):
         if isinstance(df.schema[c].dataType, T.LongType):
             df = df.withColumn(

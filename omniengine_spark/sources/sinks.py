@@ -1,0 +1,69 @@
+"""File sinks/sources beyond the parquet catalog (SURVEY §2.1
+S13/S14/S16): CSV and JSON round trips, partitioned parquet writes.
+
+The reference dumps CSV via csvtools.py:8-310 and JSON wallet backups
+via backupWallets.py:7-25, row by row; here a sink is one distributed
+write and a source is one schema'd scan.  Scratch output lives under
+the repo-local ``.scratch/`` dir (gitignored, driver-safe).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SCRATCH = Path(__file__).resolve().parents[2] / ".scratch"
+
+
+def scratch_dir(label: str) -> str:
+    """Fresh unique scratch directory under the repo."""
+    _SCRATCH.mkdir(exist_ok=True)
+    return str(_SCRATCH / f"{label}-{uuid.uuid4().hex[:12]}")
+
+
+def cleanup(path: str) -> None:
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def csv_roundtrip(df: DataFrame, label: str = "csv") -> DataFrame:
+    """Write a DataFrame as headered CSV and read it back with the
+    original schema (S13).  Caller should restrict to CSV-lossless
+    column types (integers/strings); floats survive only to text
+    precision."""
+    path = scratch_dir(label)
+    df.write.mode("overwrite").option("header", "true").csv(path)
+    return df.sparkSession.read.schema(df.schema).option(
+        "header", "true"
+    ).csv(path)
+
+
+def json_roundtrip(df: DataFrame, label: str = "json") -> DataFrame:
+    """Write as JSON-lines and read back with the original schema
+    (S16)."""
+    path = scratch_dir(label)
+    df.write.mode("overwrite").json(path)
+    return df.sparkSession.read.schema(df.schema).json(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Partitioned parquet write — the warehouse layout (S14).  With
+    ``partitionOverwriteMode=dynamic`` a rewrite of one block range
+    only replaces the partitions present in the batch — the engine's
+    reorg story (X2): recompute partitions ≥ fork point, never
+    imperative undo (reference sql.py:85-218)."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def read_warehouse(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -1,0 +1,14 @@
+"""Streaming-shaped layer (SURVEY §2.9): incremental catch-up,
+watermarked windows, exactly-once dedup over at-least-once delivery."""
+
+from omniengine_spark.streaming.jobs import (
+    deduped_type_counts,
+    hourly_event_counts,
+    run_available_now,
+)
+
+__all__ = [
+    "deduped_type_counts",
+    "hourly_event_counts",
+    "run_available_now",
+]

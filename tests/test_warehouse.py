@@ -1,0 +1,115 @@
+"""X1/X2: incremental high-watermark batches + reorg-as-recompute.
+
+The reference undoes state imperatively on reorg (sql.py:85-218);
+this engine's warehouse is partitioned by event day and a reorg is a
+dynamic partition overwrite of everything ≥ the fork point.  These
+tests prove the replay property: incremental build == one-shot build,
+and rewriting a suffix of partitions converges to the same state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from omniengine_spark.sources import load_table
+from omniengine_spark.sources.sinks import (
+    cleanup,
+    read_warehouse,
+    scratch_dir,
+    write_partitioned,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _events_with_day(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    return ev.withColumn("day", F.to_date("ts"))
+
+
+def _fingerprint(df):
+    """Order-insensitive content hash of a DataFrame."""
+    cols = sorted(df.columns)
+    row_hash = F.xxhash64(*[F.col(c).cast("string") for c in cols])
+    agg = df.select(row_hash.cast("decimal(38,0)").alias("h")).agg(
+        F.sum("h").alias("s"), F.count("h").alias("n")
+    )
+    return tuple(agg.collect()[0])
+
+
+def test_incremental_equals_full(spark):
+    ev = _events_with_day(spark)
+    days = sorted(
+        d[0] for d in ev.select("day").distinct().collect()
+    )
+    cut = days[len(days) // 2]
+
+    full_path = scratch_dir("wh-full")
+    incr_path = scratch_dir("wh-incr")
+    try:
+        write_partitioned(ev, full_path, ["day"])
+        # high-watermark incremental: batch 1 = days ≤ cut, batch 2 = rest
+        write_partitioned(
+            ev.filter(F.col("day") <= F.lit(cut)), incr_path, ["day"]
+        )
+        write_partitioned(
+            ev.filter(F.col("day") > F.lit(cut)), incr_path, ["day"]
+        )
+        assert _fingerprint(read_warehouse(spark, full_path)) == \
+            _fingerprint(read_warehouse(spark, incr_path))
+    finally:
+        cleanup(full_path)
+        cleanup(incr_path)
+
+
+def test_reorg_overwrite_converges(spark):
+    ev = _events_with_day(spark)
+    days = sorted(
+        d[0] for d in ev.select("day").distinct().collect()
+    )
+    fork = days[-2]  # reorg two days from the tip
+
+    path = scratch_dir("wh-reorg")
+    try:
+        # corrupt history: the last two days written with values doubled
+        bad_tail = ev.filter(F.col("day") >= F.lit(fork)).withColumn(
+            "value", F.col("value") * 2
+        )
+        write_partitioned(ev.filter(F.col("day") < F.lit(fork)), path, ["day"])
+        write_partitioned(bad_tail, path, ["day"])
+        wrong = _fingerprint(read_warehouse(spark, path))
+
+        # reorg: recompute partitions ≥ fork from the canonical stream
+        write_partitioned(
+            ev.filter(F.col("day") >= F.lit(fork)), path, ["day"]
+        )
+        fixed = _fingerprint(read_warehouse(spark, path))
+
+        truth_path = scratch_dir("wh-truth")
+        try:
+            write_partitioned(ev, truth_path, ["day"])
+            truth = _fingerprint(read_warehouse(spark, truth_path))
+        finally:
+            cleanup(truth_path)
+
+        assert wrong != truth
+        assert fixed == truth
+    finally:
+        cleanup(path)
+
+
+def test_dynamic_overwrite_preserves_other_partitions(spark):
+    ev = _events_with_day(spark)
+    days = sorted(
+        d[0] for d in ev.select("day").distinct().collect()
+    )
+    path = scratch_dir("wh-dyn")
+    try:
+        write_partitioned(ev, path, ["day"])
+        before = read_warehouse(spark, path).count()
+        # rewriting one day must not drop the others
+        one_day = ev.filter(F.col("day") == F.lit(days[0]))
+        write_partitioned(one_day, path, ["day"])
+        assert read_warehouse(spark, path).count() == before
+    finally:
+        cleanup(path)
