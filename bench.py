@@ -32,6 +32,13 @@ def main() -> None:
 
     spark = get_spark(app_name="omniengine-bench")
 
+    # Warm the JVM / codegen / parquet reader paths once so the first
+    # measured query isn't charged for session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    from omniengine_spark.sources import load_table
+
+    load_table(spark, sf_dir, "region").count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in sorted(QUERIES.items()):

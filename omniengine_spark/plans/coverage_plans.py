@@ -1,0 +1,219 @@
+"""Remaining SURVEY §2 shapes: broadcast lookup joins (J6), struct
+merge of heterogeneous sources (U2), resume-point aggregates (A1/A2),
+consensus reconciliation (X7/§5), embedding near-dup (north star),
+and distinct-cardinality accounting (U4 + the approx toolbox).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omniengine_spark.operators.reconcile import reconcile
+from omniengine_spark.operators.similarity import cosine
+from omniengine_spark.plans.registry import query
+from omniengine_spark.sources import load_table
+
+_D = "decimal(18,4)"
+
+
+# --------------------------------------------------------------------
+# J6 — N× point lookups collapsed into one broadcast join (reference
+# gettxdbserialnum/gettxhash per-row lookups, sql.py:2531-2543).  The
+# lookup side (nation) is broadcast; the fact side never shuffles.
+# --------------------------------------------------------------------
+@query(
+    "j6_broadcast_lookup",
+    oracle="""
+    SELECT c_custkey, n_name, r.r_name AS region_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region r ON n_regionkey = r_regionkey
+    """,
+)
+def j6_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", F.col("r_name").alias("region_name"))
+    )
+
+
+# --------------------------------------------------------------------
+# U2 — struct merge of three part-sourced fragments (reference merges
+# property + crowdsale + grants RPC dicts, sql.py:1487-1557): three
+# projections of the same entity joined back into one wide row.
+# --------------------------------------------------------------------
+@query(
+    "u2_struct_merge",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, s.size_class, pr.price_band
+    FROM part p
+    JOIN (SELECT p_partkey,
+                 CASE WHEN p_size < 10 THEN 'small' ELSE 'big' END
+                   AS size_class
+          FROM part) s ON p.p_partkey = s.p_partkey
+    JOIN (SELECT p_partkey,
+                 CASE WHEN p_retailprice < 1000 THEN 'cheap'
+                      ELSE 'dear' END AS price_band
+          FROM part) pr ON p.p_partkey = pr.p_partkey
+    """,
+)
+def u2_struct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    base = part.select("p_partkey", "p_name")
+    sizes = part.select(
+        "p_partkey",
+        F.when(F.col("p_size") < 10, "small")
+        .otherwise("big")
+        .alias("size_class"),
+    )
+    prices = part.select(
+        "p_partkey",
+        F.when(F.col("p_retailprice") < 1000, "cheap")
+        .otherwise("dear")
+        .alias("price_band"),
+    )
+    return base.join(sizes, "p_partkey").join(prices, "p_partkey")
+
+
+# --------------------------------------------------------------------
+# A1/A2 — resume-point aggregates (reference max(blocknumber)+coalesce
+# resume, omniEngine.py:61-106; least(-1, min(serial)) pending serial,
+# sql.py:388).  One scalar row driving incremental batch boundaries.
+# --------------------------------------------------------------------
+@query(
+    "a1_resume_points",
+    oracle="""
+    SELECT COALESCE(MAX(event_id), 22111443) AS max_serial,
+           LEAST(-1, MIN(event_id)) AS next_pending_serial,
+           CAST(MAX(ts) AS TIMESTAMP) AS high_watermark
+    FROM events
+    """,
+)
+def a1_resume_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.coalesce(F.max("event_id"), F.lit(22111443)).alias("max_serial"),
+        F.least(F.lit(-1).cast("long"), F.min("event_id")).alias(
+            "next_pending_serial"
+        ),
+        F.max("ts").alias("high_watermark"),
+    )
+
+
+# --------------------------------------------------------------------
+# X7/§5 — consensus check: engine state vs oracle snapshot, full-outer
+# diff with per-key status (reference checkbalances_MP
+# sql.py:1205-1316).  The "snapshot" here is the pre-cutoff fold and
+# the "engine" is the full fold, so every status class appears.
+# --------------------------------------------------------------------
+@query(
+    "x7_consensus_check",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) - INTERVAL 2 DAY AS cutoff FROM events),
+    engine AS (
+      SELECT user_id, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    oracle_snap AS (
+      SELECT user_id, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events, anchor
+      WHERE event_type = 'purchase' AND ts <= anchor.cutoff
+      GROUP BY user_id
+    )
+    SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+           e.cents AS engine_cents,
+           o.cents AS oracle_cents,
+           CASE WHEN e.user_id IS NULL THEN 'missing_in_engine'
+                WHEN o.user_id IS NULL THEN 'missing_in_oracle'
+                WHEN e.cents <> o.cents THEN 'mismatch'
+                ELSE 'ok' END AS status
+    FROM engine e FULL OUTER JOIN oracle_snap o ON e.user_id = o.user_id
+    """,
+)
+def x7_consensus_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    engine = purchases.groupBy("user_id").agg(F.sum(cents).alias("cents"))
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 DAY")).alias("cutoff")
+    )
+    oracle_snap = (
+        purchases.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("ts") <= F.col("cutoff"))
+        .groupBy("user_id")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    return reconcile(engine, oracle_snap, ["user_id"], ["cents"])
+
+
+# --------------------------------------------------------------------
+# North star — embedding-cosine near-duplicate pairs, exact: the
+# brute-force O(N²) pair scan IS the oracle semantics; the plan keeps
+# the pair generation shuffle-light by blocking on vec_id ranges so
+# each task compares a bounded block (the all-pairs analog of a
+# broadcast nested loop).  The LSH-bucketed variant for true scale is
+# sim_lsh_ann_topk.
+# --------------------------------------------------------------------
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb")
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return pairs.select(
+        "vec_a", "vec_b", sim.alias("cos_sim")
+    ).filter(F.col("cos_sim") >= 0.99)
+
+
+# --------------------------------------------------------------------
+# U4 + approx toolbox — exact vs approximate distinct cardinality.
+# The exact side is the oracle gate; the approx column is the 100 TB
+# tool (HLL sketch, constant memory) and is checked rows-only in the
+# dedicated plan below.
+# --------------------------------------------------------------------
+@query(
+    "u4_distinct_users_exact",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def u4_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+
+
+@query("u4_distinct_users_approx")  # rows-only: HLL is engine-specific
+def u4_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx")
+    )

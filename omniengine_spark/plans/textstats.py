@@ -39,7 +39,9 @@ def _tokens(col):
            len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS n_distinct_tokens,
            length(text) AS n_chars_measured,
            CAST(length(replace(text, ' ', '')) AS DOUBLE)
-             / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_token_len
+             / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_token_len,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+             AS n_bpe_pieces
     FROM documents
     """,
 )
@@ -56,6 +58,13 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.regexp_replace("text", " ", "")).cast("double")
             / n_tokens
         ).alias("avg_token_len"),
+        # BPE-ish pre-tokenizer: letter runs / digit runs / single
+        # punctuation — the usual first split of a byte-pair encoder.
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
+            )
+        ).alias("n_bpe_pieces"),
     )
 
 
