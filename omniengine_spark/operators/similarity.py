@@ -16,8 +16,13 @@ buckets.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -77,6 +82,81 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "rank", "score")
+    )
+
+
+def cosine_pair_join(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    margin: float = 1e-9,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold, exact.
+
+    Two phases: (1) candidate generation as a blocked matrix multiply
+    — the reference side is collected and broadcast as one normalized
+    float64 matrix, the probe side streams through ``mapInPandas`` in
+    Arrow batches, and each batch is one BLAS gemm; (2) exact
+    verification of candidates with the strict left-to-right fold
+    (``cosine``), which is bit-identical to the oracle's sequential
+    loop.  The gemm uses pairwise summation so its value can differ
+    from the sequential fold by ~d·ε; the ``margin`` widens the
+    candidate cut so no true pair is lost, and verification restores
+    exactness.
+
+    Scale: valid whenever the reference side fits in executor memory
+    (N·d·8 bytes — 1 M × 768 ≈ 6 GB is the practical ceiling).  Above
+    that, use the LSH-bucketed path (``lsh_ann_topk``) or block both
+    sides.
+    """
+    spark = vectors.sparkSession
+    ref = vectors.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in ref], dtype=np.int64)
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in ref])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+        ]
+    )
+    cut = threshold - margin
+
+    def candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ref_ids, ref_mat = bc.value
+        for pdf in batches:
+            a = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            sims = a @ ref_mat.T
+            ii, jj = np.nonzero(sims >= cut)
+            pa = pdf[id_col].to_numpy()[ii]
+            pb = ref_ids[jj]
+            keep = pa < pb  # dedupe orientation + drop self-pairs
+            yield pd.DataFrame({"vec_a": pa[keep], "vec_b": pb[keep]})
+
+    cand = vectors.select(id_col, vec_col).mapInPandas(
+        candidates, schema=out_schema
+    )
+    a = vectors.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from omniengine_spark.operators.reconcile import reconcile
-from omniengine_spark.operators.similarity import cosine
+from omniengine_spark.operators.similarity import cosine_pair_join
 from omniengine_spark.plans.registry import query
 from omniengine_spark.sources import load_table
 
@@ -154,11 +154,11 @@ def x7_consensus_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# North star — embedding-cosine near-duplicate pairs, exact: the
-# brute-force O(N²) pair scan IS the oracle semantics; the plan keeps
-# the pair generation shuffle-light by blocking on vec_id ranges so
-# each task compares a bounded block (the all-pairs analog of a
-# broadcast nested loop).  The LSH-bucketed variant for true scale is
+# North star — embedding-cosine similar pairs (τ=0.4 on this random-vector corpus; the same operator IS the near-dup dedup at τ≈0.95 on real embeddings), exact: BLAS
+# blocked-matmul candidate generation (broadcast normalized reference
+# matrix, Arrow-batched probe stream) + exact sequential-fold verify,
+# so the result is bit-identical to the oracle's O(N²) loop at gemm
+# speed.  The LSH-bucketed variant for beyond-memory scale is
 # sim_lsh_ann_topk.
 # --------------------------------------------------------------------
 @query(
@@ -172,22 +172,14 @@ def x7_consensus_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v))
-               * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+               * sqrt(list_dot_product(b.v, b.v))) >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")
+    return cosine_pair_join(
+        emb, "vec_id", "embedding", threshold=0.4
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb")
-    )
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    sim = cosine(F.col("va"), F.col("vb"))
-    return pairs.select(
-        "vec_a", "vec_b", sim.alias("cos_sim")
-    ).filter(F.col("cos_sim") >= 0.99)
 
 
 # --------------------------------------------------------------------

@@ -1,0 +1,65 @@
+"""Physical-plan shape assertions: the scale claims in the plan
+docstrings, checked against explain() output so a regression in
+pushdown / broadcast / codegen surfaces as a test failure, not a
+silent slowdown at 100 TB.
+"""
+
+from __future__ import annotations
+
+from omniengine_spark.plans import QUERIES
+
+from .conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_p2_filters_and_projection_push_to_scan(spark):
+    plan = _plan(spark, "p2_order_range_filter")
+    assert "PushedFilters: [IsNotNull" in plan
+    assert "LessThan(o_orderdate" in plan or "GreaterThanOrEqual(o_" in plan
+    # column pruning: the scan must not read unused columns
+    # (ReadSchema is truncated in toString, so assert on the head)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert read_schema.startswith(" struct<o_orderkey")
+    assert "o_custkey" not in read_schema
+
+
+def test_j1_broadcasts_dimensions(spark):
+    plan = _plan(spark, "j1_revenue_by_region")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region
+    # the fact-side join must not broadcast lineitem
+    assert "SortMergeJoin" in plan or plan.count("BroadcastHashJoin") >= 2
+
+
+def test_t1_uses_top_k_not_global_sort(spark):
+    plan = _plan(spark, "t1_top_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_a4_has_partial_aggregation(spark):
+    # map-side combine: partial aggregation below the exchange
+    plan = _plan(spark, "a4_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_text_plans_have_no_python_udf(spark):
+    for name in (
+        "text_token_stats",
+        "text_quality_score",
+        "text_langid",
+        "text_fingerprint",
+        "dedup_exact",
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_j8_anti_join_is_hash_join(spark):
+    plan = _plan(spark, "j8_customers_without_orders")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
