@@ -52,3 +52,16 @@ def sim_bruteforce_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.lsh_ann_topk(emb, "vec_id", "embedding", k=_K, n_planes=8)
+
+
+@query("sim_ivf_ann_topk")  # rows-only: approximate by construction
+def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF: deterministic coarse quantizer + probe-limited search —
+    the O(N·nprobe/k) scale path; recall vs brute force is pinned in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(_N_QUERIES)
+    return S.ivf_ann_topk(
+        emb, queries, "vec_id", "embedding",
+        k=_K, n_clusters=16, nprobe=4,
+    )

@@ -1,0 +1,132 @@
+"""Property-based invariants (SURVEY §5 strategy item 3).
+
+Hypothesis generates adversarial little event streams; the engine's
+algebraic invariants must hold on every one of them:
+
+* double-entry conservation — every d1-style expansion sums to zero
+* pro-rata allocation bounds — nobody exceeds their ceil share, the
+  pot is never over-spent, and it is exhausted whenever shares cover it
+* replay ≡ closed form — the sequential floor fold and the window
+  formulation agree on any stream
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import math
+
+# ---- pure-python reference models (no Spark in the hot loop) -------
+
+
+def closed_form_floor(deltas: list[int]) -> list[int]:
+    out, run_sum, run_min = [], 0, 0
+    for d in deltas:
+        run_sum += d
+        run_min = min(run_min, run_sum)
+        out.append(run_sum - min(run_min, 0))
+    return out
+
+
+def sequential_floor(deltas: list[int]) -> list[int]:
+    out, bal = [], 0
+    for d in deltas:
+        bal = max(0, bal + d)
+        out.append(bal)
+    return out
+
+
+def pro_rata(pot_c: int, weights: list[int]) -> list[int]:
+    """The d2 allocation in pure python: ceil shares in weight-desc
+    order, cutoff when the pot runs out."""
+    total = sum(weights)
+    order = sorted(range(len(weights)), key=lambda i: (-weights[i], i))
+    alloc = [0] * len(weights)
+    spent = 0
+    for i in order:
+        share = math.ceil(pot_c * weights[i] / total)
+        give = max(0, min(share, pot_c - spent))
+        alloc[i] = give
+        spent += give
+    return alloc
+
+
+# ---- properties ----------------------------------------------------
+
+
+@given(st.lists(st.integers(-10_000, 10_000), max_size=200))
+def test_replay_equals_closed_form(deltas):
+    assert sequential_floor(deltas) == closed_form_floor(deltas)
+
+
+@given(
+    st.integers(0, 10_000_000),
+    st.lists(st.integers(1, 10_000), min_size=1, max_size=50),
+)
+def test_pro_rata_bounds(pot_c, weights):
+    alloc = pro_rata(pot_c, weights)
+    total = sum(weights)
+    assert sum(alloc) <= pot_c  # never over-spend
+    for a, w in zip(alloc, weights):
+        assert 0 <= a <= math.ceil(pot_c * w / total)  # never over-share
+    # if ceil shares cover the pot, the pot must be fully spent
+    if sum(math.ceil(pot_c * w / total) for w in weights) >= pot_c:
+        assert sum(alloc) == pot_c
+
+
+# ---- the same invariants on the real Spark plans -------------------
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 9),  # user
+            st.integers(-500, 500),  # delta cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_spark_replay_matches_python_model(spark, rows):
+    from pyspark.sql import functions as F
+
+    from omniengine_spark.operators.replay import floor_balance_replay
+
+    data = [
+        (i, user, f"2020-01-01 00:{i:02d}:00"[:19], delta)
+        for i, (user, delta) in enumerate(rows[:60])
+    ]
+    df = spark.createDataFrame(
+        data, ["event_id", "user_id", "ts", "delta_cents"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["event_id"]: r["balance_cents"]
+        for r in floor_balance_replay(df).collect()
+    }
+    # python model per user, in event order
+    per_user: dict[int, list[tuple[int, int]]] = {}
+    for eid, (user, delta) in enumerate(rows[:60]):
+        per_user.setdefault(user, []).append((eid, delta))
+    for user, evs in per_user.items():
+        bals = sequential_floor([d for _, d in evs])
+        for (eid, _), b in zip(evs, bals):
+            assert got[eid] == b, (user, eid)
+
+
+def test_d1_conservation(spark):
+    """Double-entry expansion must sum to zero per order and overall."""
+    from pyspark.sql import functions as F
+
+    from omniengine_spark.plans.domain import d1_double_entry_ledger
+
+    out = d1_double_entry_ledger(spark, "/root/testdata/sf0.001")
+    total = out.agg(
+        F.sum(F.col("balance").cast("decimal(28,4)")).alias("t")
+    ).collect()[0]["t"]
+    assert total == 0
