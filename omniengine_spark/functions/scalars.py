@@ -43,7 +43,9 @@ def scale_base_units(amount: Column, divisible: Column) -> Column:
     dec = amount.cast("decimal(38,8)")
     return (
         F.when(divisible, (dec * F.lit(100000000)).cast("decimal(19,0)"))
-        .otherwise(dec.cast("decimal(19,0)"))
+        # floor, not cast: the reference parses indivisible amounts
+        # with python int() (truncation); Spark's decimal cast rounds
+        .otherwise(F.floor(dec).cast("decimal(19,0)"))
     )
 
 

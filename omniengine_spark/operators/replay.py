@@ -91,6 +91,64 @@ def floor_balance_replay(
     return ordered_replay(slim, [key_col], order_cols, fold, schema)
 
 
+def offer_state_replay(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+) -> DataFrame:
+    """DEx-1 offer/accept state machine per entity (reference
+    updatedex/offerAccept, ``sql.py:704-794`` / ``590-702``), replayed
+    in strict event order:
+
+    * ``view``      → place/replace the offer (amount = value cents)
+    * ``purchase``  → accept: decrement remaining, floor 0 → filled
+    * ``click``     → cancel an open offer
+    * filled/cancelled offers ignore further accepts/cancels; a new
+      ``view`` always reopens.
+
+    Output: one row per entity with the final state — exactly the
+    reference's ActiveOffers terminal row, minus the mutation history.
+    """
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("final_state", T.StringType()),
+            T.StructField("remaining_cents", T.LongType()),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        state, remaining = "none", 0
+        for etype, cents in zip(
+            pdf["event_type"], pdf["offer_cents"]
+        ):
+            if etype == "view":
+                state, remaining = "open", int(cents)
+                if remaining == 0:
+                    state = "filled"
+            elif etype == "purchase" and state == "open":
+                remaining = max(0, remaining - int(cents))
+                if remaining == 0:
+                    state = "filled"
+            elif etype == "click" and state == "open":
+                state = "cancelled"
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "final_state": [state],
+                "remaining_cents": [remaining],
+            }
+        )
+
+    slim = events.select(
+        key_col,
+        *order_cols,
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("offer_cents"),
+    )
+    return ordered_replay(slim, [key_col], order_cols, fold, schema)
+
+
 def event_delta_cents(value_col: str = "value", type_col: str = "event_type"):
     """Signed integer-cent delta for the harness event stream:
     purchases credit, errors and clicks debit, the rest are neutral —

@@ -217,6 +217,59 @@ def d7_floor_balance_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# D3/D4 — DEx offer/accept state machine (reference updatedex
+# sql.py:704-794, offerAccept/updateAccept sql.py:590-702), replayed
+# per entity by operators/replay.py.  The oracle is the closed form:
+# the final state depends only on events from the LAST offer
+# placement onward, and accepts are monotone decrements, so SQL
+# windows express the terminal state without sequential state.
+# --------------------------------------------------------------------
+@query(
+    "d3_offer_state_machine",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), lv AS (
+      SELECT user_id, MAX(ts) AS view_ts,
+             arg_max(cents, ts) AS amount
+      FROM ev WHERE event_type = 'view' GROUP BY user_id
+    ), fc AS (
+      SELECT e.user_id, MIN(e.ts) AS click_ts
+      FROM ev e JOIN lv ON e.user_id = lv.user_id
+      WHERE e.event_type = 'click' AND e.ts > lv.view_ts
+      GROUP BY e.user_id
+    ), paid AS (
+      SELECT e.user_id, SUM(e.cents) AS paid_cents
+      FROM ev e
+      JOIN lv ON e.user_id = lv.user_id
+      LEFT JOIN fc ON e.user_id = fc.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > lv.view_ts
+        AND (fc.click_ts IS NULL OR e.ts < fc.click_ts)
+      GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CASE WHEN lv.view_ts IS NULL THEN 'none'
+                WHEN GREATEST(lv.amount - COALESCE(paid.paid_cents, 0), 0) = 0
+                  THEN 'filled'
+                WHEN fc.click_ts IS NOT NULL THEN 'cancelled'
+                ELSE 'open' END AS final_state,
+           CASE WHEN lv.view_ts IS NULL THEN 0
+                ELSE GREATEST(lv.amount - COALESCE(paid.paid_cents, 0), 0)
+                END AS remaining_cents
+    FROM (SELECT DISTINCT user_id FROM ev) u
+    LEFT JOIN lv ON u.user_id = lv.user_id
+    LEFT JOIN fc ON u.user_id = fc.user_id
+    LEFT JOIN paid ON u.user_id = paid.user_id
+    """,
+)
+def d3_offer_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return R.offer_state_replay(ev)
+
+
+# --------------------------------------------------------------------
 # J5 — linkage self-join (reference UTXO vin⋈vout back-patch,
 # sql.py:1698-1718): each event linked to the same user's previous
 # event as a computed column instead of a mutation.  lag() = one
