@@ -1,0 +1,104 @@
+"""Driver-facing omni-pipeline plan: a deterministic tx stream is
+derived from the events table (signup → fixed issuance type 50,
+purchase → simple send type 0), run through the real pipeline stages
+(stamp_serials → expand_deltas → build_balances), and the oracle
+re-states the expansion + fold declaratively in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omniengine_spark.pipeline import (
+    build_balances,
+    expand_deltas,
+    stamp_serials,
+)
+from omniengine_spark.plans.registry import query
+from omniengine_spark.sources import load_table
+
+
+def _tx_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    user = F.col("user_id")
+    return ev.select(
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias(
+            "txid"
+        ),
+        (F.unix_timestamp("ts") / 86400).cast("long").alias("block"),
+        F.col("event_id").alias("position_in_block"),
+        F.when(F.col("event_type") == "signup", 50)
+        .otherwise(0)
+        .cast("int")
+        .alias("type_int"),
+        F.lit(True).alias("valid"),
+        F.concat(F.lit("u"), user.cast("string")).alias(
+            "sending_address"
+        ),
+        F.concat(F.lit("u"), (user + 1).cast("string")).alias(
+            "reference_address"
+        ),
+        (user % 5).alias("propertyid"),
+        (user % 2 == 0).alias("divisible"),
+        F.col("value").cast("decimal(38,8)").cast("string").alias(
+            "amount"
+        ),
+        F.lit(None)
+        .cast(
+            "array<struct<address:string,amount:string>>"
+        )
+        .alias("recipients"),
+        F.lit(None)
+        .cast(
+            "array<struct<propertyid:bigint,divisible:boolean,"
+            "amount:string>>"
+        )
+        .alias("subsends"),
+    )
+
+
+@query(
+    "omni_balance_pipeline",
+    oracle="""
+    WITH tx AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'signup' THEN 50 ELSE 0 END AS t,
+             'u' || CAST(user_id AS VARCHAR) AS sender,
+             'u' || CAST(user_id + 1 AS VARCHAR) AS ref,
+             user_id % 5 AS propertyid,
+             CASE WHEN user_id % 2 = 0
+                  THEN CAST(CAST(value AS DECIMAL(38,8)) * 100000000
+                            AS BIGINT)
+                  ELSE CAST(FLOOR(CAST(value AS DECIMAL(38,8)))
+                            AS BIGINT) END AS base_units
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ), deltas AS (
+      SELECT sender AS address, propertyid, base_units AS delta
+      FROM tx WHERE t = 50
+      UNION ALL
+      SELECT sender AS address, propertyid, -base_units AS delta
+      FROM tx WHERE t = 0
+      UNION ALL
+      SELECT ref AS address, propertyid, base_units AS delta
+      FROM tx WHERE t = 0
+    )
+    SELECT address, propertyid,
+           SUM(delta) AS balance,
+           COUNT(*) AS n_deltas
+    FROM deltas
+    GROUP BY address, propertyid
+    """,
+)
+def omni_balance_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    txs = _tx_stream(spark, sf_dir)
+    deltas = expand_deltas(stamp_serials(txs))
+    out = build_balances(deltas)
+    return out.select(
+        "address",
+        "propertyid",
+        F.col("balance").cast("long").alias("balance"),
+        "n_deltas",
+    )
