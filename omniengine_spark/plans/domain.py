@@ -270,6 +270,95 @@ def d3_offer_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# D6 + X5 — crowdsale lifecycle (reference participation
+# sql.py:2180-2244, expiry sql.py:1420-1444, issuer bonus formula
+# csvtools.py:231-236): a signup opens a 3-day crowdsale; the same
+# user's purchases before the deadline buy tokens at 2/cent with a
+# 20% early-bird bonus in the first day; the issuer takes a 10% bonus
+# of everything issued.  All integer arithmetic; state is closed-form
+# (participations are independent), so the whole lifecycle is joins +
+# aggregates — no replay needed.
+# --------------------------------------------------------------------
+@query(
+    "d6_crowdsale_lifecycle",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
+    sales AS (
+      SELECT user_id, MIN(ts) AS open_ts,
+             MIN(ts) + INTERVAL 3 DAY AS deadline
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    parts AS (
+      SELECT s.user_id,
+             CAST(ROUND(e.value * 100) AS BIGINT) * 2
+               + CASE WHEN e.ts <= s.open_ts + INTERVAL 1 DAY
+                      THEN (CAST(ROUND(e.value * 100) AS BIGINT) * 2) // 5
+                      ELSE 0 END AS tokens
+      FROM events e JOIN sales s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s.open_ts AND e.ts <= s.deadline
+    )
+    SELECT s.user_id,
+           CASE WHEN s.deadline > (SELECT mx FROM anchor)
+                THEN 'active' ELSE 'closed' END AS sale_state,
+           COALESCE(SUM(p.tokens), 0) AS tokens_issued,
+           COALESCE(SUM(p.tokens), 0) // 10 AS issuer_bonus,
+           COUNT(p.tokens) AS n_participations
+    FROM sales s LEFT JOIN parts p ON s.user_id = p.user_id
+    GROUP BY s.user_id, s.deadline
+    """,
+)
+def d6_crowdsale_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("mx"))
+    sales = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("open_ts"))
+        .withColumn("deadline", F.col("open_ts") + F.expr("INTERVAL 3 DAY"))
+    )
+    cents2 = F.round(F.col("value") * 100).cast("long") * 2
+    parts = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(sales, "user_id")
+        .filter(
+            (F.col("ts") > F.col("open_ts"))
+            & (F.col("ts") <= F.col("deadline"))
+        )
+        .select(
+            "user_id",
+            (
+                cents2
+                + F.when(
+                    F.col("ts") <= F.col("open_ts") + F.expr("INTERVAL 1 DAY"),
+                    F.expr(
+                        "(CAST(ROUND(value * 100) AS BIGINT) * 2) div 5"
+                    ),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("tokens"),
+        )
+    )
+    out = (
+        sales.join(parts, "user_id", "left")
+        .groupBy("user_id", "deadline")
+        .agg(
+            F.coalesce(F.sum("tokens"), F.lit(0)).alias("tokens_issued"),
+            F.count("tokens").alias("n_participations"),
+        )
+        .crossJoin(F.broadcast(anchor))
+    )
+    return out.select(
+        "user_id",
+        F.when(F.col("deadline") > F.col("mx"), "active")
+        .otherwise("closed")
+        .alias("sale_state"),
+        "tokens_issued",
+        F.expr("tokens_issued div 10").alias("issuer_bonus"),
+        "n_participations",
+    )
+
+
+# --------------------------------------------------------------------
 # J5 — linkage self-join (reference UTXO vin⋈vout back-patch,
 # sql.py:1698-1718): each event linked to the same user's previous
 # event as a computed column instead of a mutation.  lag() = one

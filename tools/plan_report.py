@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Generate PLANS.md: a physical-plan census of every registered
+query — exchanges (shuffles), sorts, broadcasts, Python stages — so
+plan regressions are visible in review diffs.
+
+Usage: python tools/plan_report.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(_REPO))
+
+NODES = {
+    "shuffles": r"Exchange hashpartitioning|Exchange rangepartitioning",
+    "broadcasts": r"BroadcastExchange",
+    "sorts": r"^\s*\*?\(?\d*\)?\s*Sort ",
+    "smj": r"SortMergeJoin",
+    "bhj": r"BroadcastHashJoin",
+    "python": r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas",
+    "agg": r"HashAggregate|ObjectHashAggregate|SortAggregate",
+    "topk": r"TakeOrderedAndProject",
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from omniengine_spark.plans import ORACLES, QUERIES
+    from omniengine_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-report", shuffle_partitions=8)
+
+    lines = [
+        "# PLANS — physical-plan census (auto-generated)",
+        "",
+        f"`python tools/plan_report.py` at `{sf_dir}`.  Counts come from",
+        "the pre-AQE physical plan; AQE may further coalesce exchanges",
+        "and convert joins at runtime.",
+        "",
+        "| plan | oracle | shuffles | bcasts | sorts | SMJ | BHJ | python | top-k |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    # streaming plans execute a query on build; census the batch ones
+    skip = {"x1_stream_hourly_counts", "x6_stream_exactly_once_dedup",
+            "s13_csv_roundtrip", "s16_json_roundtrip"}
+    for name in sorted(QUERIES):
+        if name in skip:
+            lines.append(
+                f"| {name} | {'yes' if name in ORACLES else 'rows-only'} "
+                f"| — | — | — | — | — | — | — |"
+            )
+            continue
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        counts = {
+            k: len(re.findall(pat, plan, flags=re.M))
+            for k, pat in NODES.items()
+        }
+        lines.append(
+            f"| {name} | {'yes' if name in ORACLES else 'rows-only'} "
+            f"| {counts['shuffles']} | {counts['broadcasts']} "
+            f"| {counts['sorts']} | {counts['smj']} | {counts['bhj']} "
+            f"| {counts['python']} | {counts['topk']} |"
+        )
+
+    (_REPO / "PLANS.md").write_text("\n".join(lines) + "\n")
+    print(f"wrote PLANS.md ({len(QUERIES)} plans)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
