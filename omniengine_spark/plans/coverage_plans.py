@@ -203,6 +203,49 @@ def u4_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# W7 — as-of join (the reference's "order by asof desc limit 1" rate
+# lookup, sql.py:282/295, done for ALL rows in one pass).  DuckDB has
+# native ASOF JOIN, which makes the oracle exact.
+# --------------------------------------------------------------------
+@query(
+    "w7_asof_join",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ), s AS (
+      SELECT event_id AS sid, user_id, ts FROM events
+      WHERE event_type = 'signup'
+    )
+    SELECT p.event_id, p.user_id, s.sid AS asof_signup_event
+    FROM p ASOF LEFT JOIN s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def w7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omniengine_spark.operators.asof import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event"), "user_id", "ts"
+    )
+    out = as_of_join(
+        purchases,
+        signups,
+        key="user_id",
+        right_payload=("signup_event",),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_signup_event").alias("asof_signup_event"),
+    )
+
+
 @query("u4_distinct_users_approx")  # rows-only: HLL is engine-specific
 def u4_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
