@@ -13,7 +13,8 @@ Stage map (reference site → here):
    1..N double-entry delta rows per tx via ``inline``/``explode``
    (D1).  Implemented types: simple send (0, ``sql.py:1776-1797``),
    send-all subsends (4, ``sql.py:1862-1899``), STO with
-   pre-computed recipients (3, ``sql.py:1802-1846``), fixed-supply
+   pre-computed recipients (3, ``sql.py:1802-1846``), MetaDEx trade
+   with pre-computed matches (25, ``sql.py:2032-2166``), fixed-supply
    issuance (50, ``sql.py:2168-2244``), grant/revoke (55/56,
    ``sql.py:2246-2327``).  Invalid txs expand to zero delta rows,
    matching the reference's ``valid`` gating.
@@ -70,6 +71,24 @@ RAW_TX_SCHEMA = T.StructType(
                         T.StructField("propertyid", T.LongType()),
                         T.StructField("divisible", T.BooleanType()),
                         T.StructField("amount", T.StringType()),
+                    ]
+                )
+            ),
+            True,
+        ),
+        # MetaDEx (type 25-28): desired-side property + the match list
+        # omnicore pre-computes on the trade tx (reference S7,
+        # omni_gettrade → sql.py:2032-2166).
+        T.StructField("propertyid_desired", T.LongType(), True),
+        T.StructField("divisible_desired", T.BooleanType(), True),
+        T.StructField(
+            "matches",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("address", T.StringType()),
+                        T.StructField("amount_sold", T.StringType()),
+                        T.StructField("amount_received", T.StringType()),
                     ]
                 )
             ),
@@ -162,6 +181,53 @@ def expand_deltas(txs: DataFrame) -> DataFrame:
         sto_recipients,
     )
 
+    # type 25 — MetaDEx trade: per pre-computed match, the seller
+    # gives amount_sold of pid and receives amount_received of
+    # pid_desired; the counterparty takes the mirror position
+    # (reference insertMatch/updatedex2, sql.py:2032-2166).  4 delta
+    # rows per match — conservation per property is automatic.
+    trade = F.flatten(
+        F.transform(
+            F.col("matches"),
+            lambda m: F.array(
+                F.struct(
+                    F.col("sending_address").alias("address"),
+                    pid.alias("propertyid"),
+                    (-_base_units(m["amount_sold"], F.col("divisible"))).cast(
+                        "decimal(19,0)"
+                    ).alias("delta_base_units"),
+                    F.lit("trade_sold").alias("role"),
+                ),
+                F.struct(
+                    F.col("sending_address").alias("address"),
+                    F.col("propertyid_desired").alias("propertyid"),
+                    _base_units(
+                        m["amount_received"], F.col("divisible_desired")
+                    ).cast("decimal(19,0)").alias("delta_base_units"),
+                    F.lit("trade_received").alias("role"),
+                ),
+                F.struct(
+                    m["address"].alias("address"),
+                    pid.alias("propertyid"),
+                    _base_units(m["amount_sold"], F.col("divisible")).cast(
+                        "decimal(19,0)"
+                    ).alias("delta_base_units"),
+                    F.lit("match_received").alias("role"),
+                ),
+                F.struct(
+                    m["address"].alias("address"),
+                    F.col("propertyid_desired").alias("propertyid"),
+                    (
+                        -_base_units(
+                            m["amount_received"], F.col("divisible_desired")
+                        )
+                    ).cast("decimal(19,0)").alias("delta_base_units"),
+                    F.lit("match_sold").alias("role"),
+                ),
+            ),
+        )
+    )
+
     # type 4 — send-all: one debit/credit pair per subsend
     sendall = F.flatten(
         F.transform(
@@ -195,6 +261,7 @@ def expand_deltas(txs: DataFrame) -> DataFrame:
         .when(F.col("type_int") == 0, simple)
         .when(F.col("type_int") == 3, sto)
         .when(F.col("type_int") == 4, sendall)
+        .when(F.col("type_int") == 25, trade)
         .when(F.col("type_int") == 50, issue)
         .when(F.col("type_int") == 55, grant)
         .when(F.col("type_int") == 56, revoke)

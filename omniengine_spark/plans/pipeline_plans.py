@@ -57,6 +57,14 @@ def _tx_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "amount:string>>"
         )
         .alias("subsends"),
+        F.lit(None).cast("bigint").alias("propertyid_desired"),
+        F.lit(None).cast("boolean").alias("divisible_desired"),
+        F.lit(None)
+        .cast(
+            "array<struct<address:string,amount_sold:string,"
+            "amount_received:string>>"
+        )
+        .alias("matches"),
     )
 
 

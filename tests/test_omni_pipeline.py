@@ -32,10 +32,14 @@ def _tx(
     amount=None,
     recipients=None,
     subsends=None,
+    pid_desired=None,
+    divisible_desired=None,
+    matches=None,
 ):
     return (
         txid, block, pos, type_int, valid, sender, ref, pid,
         divisible, amount, recipients, subsends,
+        pid_desired, divisible_desired, matches,
     )
 
 
@@ -59,15 +63,23 @@ FIXTURE = [
     # block 103: revoke 1 unit of 32 from carol's issuer (burn)
     _tx("t7", 103, 1, 56, sender="carol", pid=32, divisible=False,
         amount="1"),
+    # block 103: MetaDEx trade — alice sells 2.0 of 31 for 3 of 32,
+    # matched against carol (pre-computed match list)
+    _tx("t8", 103, 2, 25, sender="alice", pid=31, divisible=True,
+        pid_desired=32, divisible_desired=False,
+        matches=[("carol", "2.0", "3")]),
 ]
 
 # hand-computed base-unit balances (divisible ×1e8)
 EXPECTED = {
-    ("alice", 31): Decimal(100_0000_0000 - 25_5000_0000 - 10_0000_0000),
+    ("alice", 31): Decimal(
+        100_0000_0000 - 25_5000_0000 - 10_0000_0000 - 2_0000_0000
+    ),
     ("bob", 31): Decimal(25_5000_0000 + 6_0000_0000 - 3_5000_0000),
-    ("carol", 31): Decimal(4_0000_0000 + 3_5000_0000),
+    ("carol", 31): Decimal(4_0000_0000 + 3_5000_0000 + 2_0000_0000),
+    ("alice", 32): Decimal(3),
     ("bob", 32): Decimal(7 - 2),
-    ("carol", 32): Decimal(2 - 1),
+    ("carol", 32): Decimal(2 - 1 - 3),
 }
 
 
@@ -95,7 +107,7 @@ def test_transfer_conservation_per_property(spark):
     adds supply, revoke (56) removes it — SURVEY §5 invariant 3."""
     deltas = _pipeline(spark)
     transfers = deltas.filter(
-        F.col("txid").isin("t2", "t4", "t6")
+        F.col("txid").isin("t2", "t4", "t6", "t8")
     )
     sums = transfers.groupBy("propertyid").agg(
         F.sum("delta_base_units").alias("s")
@@ -148,3 +160,35 @@ def test_serials_are_dense_and_ordered(spark):
     assert [r["serial"] for r in rows] == list(range(1, len(FIXTURE) + 1))
     ordered = [(r["block"], r["position_in_block"]) for r in rows]
     assert ordered == sorted(ordered)
+
+
+def test_frozen_balance_rule(spark):
+    """Reference sql.py:1408-1414: freezing moves available→frozen;
+    credits while frozen accrue frozen; unfreeze restores."""
+    from omniengine_spark.operators.replay import frozen_balance_replay
+
+    rows = [
+        # (address, propertyid, serial, kind, delta)
+        ("alice", 31, 1, "delta", 100),
+        ("alice", 31, 2, "freeze", None),
+        ("alice", 31, 3, "delta", 40),    # lands frozen
+        ("alice", 31, 4, "delta", -10),   # applies to frozen
+        ("alice", 31, 5, "unfreeze", None),
+        ("alice", 31, 6, "delta", 5),     # back to available
+        ("bob", 31, 7, "delta", 50),      # never frozen
+        ("carol", 31, 8, "freeze", None),  # frozen with zero balance
+        ("carol", 31, 9, "delta", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, ["address", "propertyid", "serial", "kind",
+               "delta_base_units"]
+    )
+    got = {
+        (r["address"], r["propertyid"]): (r["available"], r["frozen"])
+        for r in frozen_balance_replay(df).collect()
+    }
+    assert got == {
+        ("alice", 31): (100 + 40 - 10 + 5, 0),
+        ("bob", 31): (50, 0),
+        ("carol", 31): (0, 7),
+    }
