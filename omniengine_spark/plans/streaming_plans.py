@@ -51,6 +51,30 @@ def x6_stream_exactly_once_dedup(
     return S.deduped_type_counts(spark, sf_dir)
 
 
+@query(
+    "x4_stream_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN ts - LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, SUM(new_session) AS n_sessions
+    FROM flagged GROUP BY user_id
+    """,
+)
+def x4_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user session counting
+    via applyInPandasWithState (state across micro-batches), checked
+    against the batch gap-cut truth."""
+    return S.sessionize_with_state(spark, sf_dir, gap_minutes=30)
+
+
 # --------------------------------------------------------------------
 # W5 — sessionization: ordered per-entity computation where each row's
 # session is decided by the gap to its predecessor (the reference's

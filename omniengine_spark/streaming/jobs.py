@@ -20,6 +20,7 @@ import itertools
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from omniengine_spark.sources import stream_table
 
@@ -71,6 +72,72 @@ def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg, "complete")
+
+
+def sessionize_with_state(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Per-user session counting as a CUSTOM STATEFUL streaming
+    operator (applyInPandasWithState): state carries (last_ts,
+    n_sessions) across micro-batches; a gap > ``gap_minutes`` opens a
+    new session.  The reference's per-entity mutable state tables
+    (ActiveOffers et al, X4 block-height timers) follow this exact
+    shape.  Update-mode emissions land in the memory sink; the last
+    emission per user is the final count.
+    """
+    import pandas as pd  # local: ships cleanly to workers
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    ev = stream_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    gap_s = gap_minutes * 60
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_sessions", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_epoch", T.DoubleType()),
+            T.StructField("n_sessions", T.LongType()),
+        ]
+    )
+
+    def fold(key, batches, state: GroupState):
+        last_epoch, n_sessions = (
+            state.get if state.exists else (None, 0)
+        )
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for t in pdf["ts"]:
+                epoch = t.timestamp()
+                if last_epoch is None or epoch - last_epoch > gap_s:
+                    n_sessions += 1
+                last_epoch = epoch
+        state.update((last_epoch, n_sessions))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions]}
+        )
+
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    updates = run_available_now(agg, "update")
+    # last update per user is the final session count
+    w_last = updates.groupBy("user_id").agg(
+        F.max("n_sessions").alias("n_sessions")
+    )
+    return w_last
 
 
 def deduped_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

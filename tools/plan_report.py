@@ -46,7 +46,7 @@ def main() -> None:
         "|---|---|---|---|---|---|---|---|---|",
     ]
     # streaming plans execute a query on build; census the batch ones
-    skip = {"x1_stream_hourly_counts", "x6_stream_exactly_once_dedup",
+    skip = {"x1_stream_hourly_counts", "x6_stream_exactly_once_dedup", "x4_stream_sessionize",
             "s13_csv_roundtrip", "s16_json_roundtrip"}
     for name in sorted(QUERIES):
         if name in skip:
