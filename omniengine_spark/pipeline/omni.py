@@ -285,6 +285,67 @@ def expand_deltas(txs: DataFrame) -> DataFrame:
     )
 
 
+BTC_TX_SCHEMA = T.StructType(
+    [
+        T.StructField("txid", T.StringType(), False),
+        T.StructField(
+            "vin",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("prev_txid", T.StringType()),
+                        T.StructField("vout_n", T.LongType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "vout",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("n", T.LongType()),
+                        T.StructField("address", T.StringType()),
+                        T.StructField("value_sat", T.LongType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def resolve_utxo_inputs(btc_txs: DataFrame) -> DataFrame:
+    """S3/J5: resolve each input's source address/value by joining the
+    exploded vin list against prior txs' exploded vout lists on
+    (prev_txid, vout_n) — the reference does one ``getrawtransaction``
+    RPC per input (``sql.py:1693-1718``) and back-patches the spent
+    row; here the linkage is one equi-join and ``spent_by`` is a
+    computed column, never a mutation.
+
+    Output: one row per input with (txid, prev_txid, vout_n,
+    src_address, value_sat).  Unmatched inputs (coinbase / outside the
+    batch) resolve to nulls via the left join.
+    """
+    vins = btc_txs.select(
+        "txid", F.explode_outer("vin").alias("i")
+    ).select(
+        "txid",
+        F.col("i.prev_txid").alias("prev_txid"),
+        F.col("i.vout_n").alias("vout_n"),
+    )
+    vouts = btc_txs.select(
+        F.col("txid").alias("prev_txid"),
+        F.explode_outer("vout").alias("o"),
+    ).select(
+        "prev_txid",
+        F.col("o.n").alias("vout_n"),
+        F.col("o.address").alias("src_address"),
+        F.col("o.value_sat").alias("value_sat"),
+    )
+    return vins.join(vouts, ["prev_txid", "vout_n"], "left")
+
+
 def build_balances(deltas: DataFrame) -> DataFrame:
     """Materialized running state: fold of all deltas per
     (address, propertyid) — the whole of ``updateBalance`` as one

@@ -1,0 +1,51 @@
+"""SQL front-end plans: the engine's tables registered as views and
+queried through ``spark.sql`` — proving the full SQL surface (the
+reference's hand-written SQL strings, ``sql.py`` passim) works
+against the same warehouse with the same oracle discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from omniengine_spark.plans.registry import query
+from omniengine_spark.sources import load_table
+
+_Q3 = """
+SELECT
+  l_orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))))
+       AS DOUBLE) AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM {cust} c
+JOIN {orders} o ON c.c_custkey = o.o_custkey
+JOIN {li} l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '2001-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '2001-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@query(
+    "sql_q3_shipping_priority",
+    oracle=_Q3.format(cust="customer", orders="orders", li="lineitem"),
+)
+def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape submitted as a SQL string over registered views —
+    Catalyst plans it identically to the DataFrame formulation
+    (broadcast dims, partial agg, top-k)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "v_lineitem"
+    )
+    return spark.sql(
+        _Q3.format(cust="v_customer", orders="v_orders", li="v_lineitem")
+    )

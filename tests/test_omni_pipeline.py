@@ -192,3 +192,32 @@ def test_frozen_balance_rule(spark):
         ("bob", 31): (50, 0),
         ("carol", 31): (0, 7),
     }
+
+
+def test_utxo_input_resolution(spark):
+    """S3/J5: vin⋈vout linkage resolves source addresses; coinbase and
+    out-of-batch inputs come back null."""
+    from omniengine_spark.pipeline.omni import (
+        BTC_TX_SCHEMA,
+        resolve_utxo_inputs,
+    )
+
+    txs = [
+        ("a1", [], [(0, "alice", 5000), (1, "bob", 3000)]),
+        ("b2", [("a1", 0)], [(0, "carol", 4900)]),
+        ("c3", [("a1", 1), ("b2", 0)], [(0, "dave", 7800)]),
+        ("d4", [("zz", 9)], [(0, "erin", 100)]),  # unknown prev tx
+    ]
+    df = spark.createDataFrame(txs, BTC_TX_SCHEMA)
+    got = {
+        (r["txid"], r["prev_txid"], r["vout_n"]):
+            (r["src_address"], r["value_sat"])
+        for r in resolve_utxo_inputs(df).collect()
+        if r["prev_txid"] is not None
+    }
+    assert got == {
+        ("b2", "a1", 0): ("alice", 5000),
+        ("c3", "a1", 1): ("bob", 3000),
+        ("c3", "b2", 0): ("carol", 4900),
+        ("d4", "zz", 9): (None, None),
+    }
