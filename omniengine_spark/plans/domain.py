@@ -40,7 +40,7 @@ _D = "decimal(18,4)"
       FROM orders
     )
     SELECT account,
-           CAST(SUM(delta) AS DOUBLE) AS balance,
+           CAST(CAST(SUM(delta) AS VARCHAR) AS DOUBLE) AS balance,
            COUNT(*) AS n_deltas
     FROM deltas
     GROUP BY account
@@ -91,8 +91,9 @@ def d1_double_entry_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ), w AS (
       SELECT *,
-             CAST(CEIL(CAST(100 * pot * q AS DOUBLE)
-                       / CAST(SUM(q) OVER (PARTITION BY l_orderkey) AS DOUBLE))
+             CAST(CEIL(CAST(CAST(100 * pot * q AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(SUM(q) OVER (PARTITION BY l_orderkey)
+                                   AS VARCHAR) AS DOUBLE))
                   AS BIGINT) AS share_c,
              CAST(100 * pot AS BIGINT) AS pot_c
       FROM li
@@ -490,10 +491,10 @@ def x3_pending_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a7_market_ticker",
     oracle="""
     SELECT l_suppkey,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS supply,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS supply,
            MIN(l_extendedprice / l_quantity) AS best_ask,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS vwap,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS vwap,
            COUNT(*) AS n_lines
     FROM lineitem
     GROUP BY l_suppkey
@@ -582,7 +583,7 @@ def a9_duplicate_name_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_value
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS day_value
       FROM events
       GROUP BY 1
     )

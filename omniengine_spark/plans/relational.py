@@ -44,17 +44,17 @@ def _rate(c: str) -> F.Column:
     SELECT
       l_returnflag,
       l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))))
-           AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+           AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))
                * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(5,4))))
-           AS DOUBLE) AS sum_charge,
+           AS VARCHAR) AS DOUBLE) AS sum_charge,
       COUNT(*) AS count_order,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -91,9 +91,9 @@ def a4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       r_name,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))))
-           AS DOUBLE) AS revenue,
+           AS VARCHAR) AS DOUBLE) AS revenue,
       COUNT(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey  = o_orderkey
@@ -187,11 +187,11 @@ def j8_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       user_id,
-      CAST(SUM(CASE WHEN event_type = 'purchase'
+      CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
                     THEN CAST(value AS DECIMAL(18,4))
                     WHEN event_type = 'error'
                     THEN -CAST(value AS DECIMAL(18,4))
-                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)
         AS balance,
       COUNT(*) AS n_events,
       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_credits,
@@ -248,7 +248,7 @@ def t1_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "u1_account_union",
     oracle="""
-    SELECT kind, CAST(SUM(CAST(acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal,
+    SELECT kind, CAST(CAST(SUM(CAST(acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_bal,
            COUNT(*) AS n
     FROM (
       SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
@@ -289,7 +289,7 @@ def u1_account_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH anchor AS (SELECT MAX(ts) AS mx FROM events)
     SELECT
       event_type,
-      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS vol_24h,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS vol_24h,
       COUNT(*) AS n_24h
     FROM events, anchor
     WHERE ts > anchor.mx - INTERVAL 1 DAY

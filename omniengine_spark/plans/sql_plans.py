@@ -11,12 +11,13 @@ from pyspark.sql import DataFrame, SparkSession
 from omniengine_spark.plans.registry import query
 from omniengine_spark.sources import load_table
 
+# {rev} differs per engine: DuckDB's DECIMAL→DOUBLE cast double-rounds
+# (hugeint then /10^s), so the oracle routes through VARCHAR (strtod is
+# correctly rounded, matching Spark's BigDecimal.doubleValue).
 _Q3 = """
 SELECT
   l_orderkey,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-           * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))))
-       AS DOUBLE) AS revenue,
+  {rev} AS revenue,
   o_orderdate,
   o_orderpriority
 FROM {cust} c
@@ -31,9 +32,20 @@ LIMIT 10
 """
 
 
+_REV_SUM = (
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,4)) "
+    "* (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))))"
+)
+
+
 @query(
     "sql_q3_shipping_priority",
-    oracle=_Q3.format(cust="customer", orders="orders", li="lineitem"),
+    oracle=_Q3.format(
+        cust="customer",
+        orders="orders",
+        li="lineitem",
+        rev=f"CAST(CAST({_REV_SUM} AS VARCHAR) AS DOUBLE)",
+    ),
 )
 def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape submitted as a SQL string over registered views —
@@ -47,5 +59,10 @@ def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_lineitem"
     )
     return spark.sql(
-        _Q3.format(cust="v_customer", orders="v_orders", li="v_lineitem")
+        _Q3.format(
+            cust="v_customer",
+            orders="v_orders",
+            li="v_lineitem",
+            rev=f"CAST({_REV_SUM} AS DOUBLE)",
+        )
     )

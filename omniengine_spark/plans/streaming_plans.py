@@ -22,7 +22,7 @@ from omniengine_spark.sources import load_table
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS hour_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS hour_value
     FROM events
     GROUP BY 1, 2
     """,

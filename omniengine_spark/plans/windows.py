@@ -62,9 +62,9 @@ def w1_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w2_running_user_value",
     oracle="""
     SELECT event_id, user_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
              AS running_value
     FROM events
     """,

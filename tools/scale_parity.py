@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Scale-parity sweep: re-run the oracle comparison at a bigger scale
+factor than the driver's sf0.01 gate, to catch scale-dependent
+divergence (e.g. conversion ulp edges that need 600k rows to appear).
+
+Usage: python tools/scale_parity.py [sf_dir] [plan ...]
+Defaults to sf0.1 and every oracle-backed plan.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(_REPO))
+sys.path.insert(0, str(_REPO / "tests"))
+
+
+def main() -> None:
+    from omniengine_spark.plans import ORACLES, QUERIES
+    from omniengine_spark.session import get_spark
+    from tests.conftest import make_duck
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    names = sys.argv[2:] or sorted(ORACLES)
+
+    spark = get_spark(app_name="scale-parity", shuffle_partitions=32)
+    duck = make_duck(sf_dir)
+
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(by=list(df.columns), ignore_index=True)
+
+    fails = 0
+    for name in names:
+        s = QUERIES[name](spark, sf_dir).toPandas()
+        d = duck.execute(ORACLES[name]).fetchdf()
+        ok = len(s) == len(d) and sorted(s.columns) == sorted(d.columns)
+        if ok:
+            a, b = canon(s), canon(d)
+            for col in a.columns:
+                for x, y in zip(a[col], b[col]):
+                    if (
+                        isinstance(x, float)
+                        and isinstance(y, float)
+                        and math.isnan(x)
+                        and math.isnan(y)
+                    ):
+                        continue
+                    if x != y:
+                        ok = False
+                        print(f"  MISMATCH {name}.{col}: {x!r} != {y!r}")
+                        break
+                if not ok:
+                    break
+        fails += 0 if ok else 1
+        print(("OK  " if ok else "FAIL"), name, len(s), "rows", flush=True)
+    print("fails:", fails)
+    spark.stop()
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
