@@ -307,12 +307,30 @@ BTC_TX_SCHEMA = T.StructType(
                         T.StructField("n", T.LongType()),
                         T.StructField("address", T.StringType()),
                         T.StructField("value_sat", T.LongType()),
+                        T.StructField("script_type", T.StringType()),
                     ]
                 )
             ),
         ),
     ]
 )
+
+
+def classify_tx(btc_txs: DataFrame) -> DataFrame:
+    """F9/D8: Omni tx class from output script types (reference
+    ``omniutils.py:31-62``): Class C = OP_RETURN (nulldata) payload,
+    Class B = bare multisig payload, Class A = plain pubkeyhash
+    encoding.  ``exists()`` over the vout struct array — no UDF.
+    """
+    has = lambda t: F.exists(  # noqa: E731
+        F.col("vout"), lambda o: o["script_type"] == t
+    )
+    tx_class = (
+        F.when(has("nulldata"), "C")
+        .when(has("multisig"), "B")
+        .otherwise("A")
+    )
+    return btc_txs.select("txid", tx_class.alias("tx_class"))
 
 
 def resolve_utxo_inputs(btc_txs: DataFrame) -> DataFrame:

@@ -246,6 +246,53 @@ def w7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# Stats profile — exact interpolated quantiles (both engines use the
+# (n−1)p linear interpolation, bit-identical) + decimal-exact mean.
+# The approximate sibling (approx_percentile, t-digest class) is the
+# 100 TB tool and is rows-only checked below.
+# --------------------------------------------------------------------
+@query(
+    "stats_value_profile",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           MIN(value) AS lo,
+           MAX(value) AS hi,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+                AS DOUBLE) / COUNT(*) AS mean_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stats_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        (
+            F.sum(F.col("value").cast(_D)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("stats_value_profile_approx")  # rows-only: sketch-based
+def stats_value_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.95), 10000)").alias(
+            "p_approx"
+        ),
+        F.approx_count_distinct("user_id").alias("nd_users"),
+    )
+
+
 @query("u4_distinct_users_approx")  # rows-only: HLL is engine-specific
 def u4_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

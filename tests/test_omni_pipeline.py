@@ -203,10 +203,11 @@ def test_utxo_input_resolution(spark):
     )
 
     txs = [
-        ("a1", [], [(0, "alice", 5000), (1, "bob", 3000)]),
-        ("b2", [("a1", 0)], [(0, "carol", 4900)]),
-        ("c3", [("a1", 1), ("b2", 0)], [(0, "dave", 7800)]),
-        ("d4", [("zz", 9)], [(0, "erin", 100)]),  # unknown prev tx
+        ("a1", [], [(0, "alice", 5000, "pubkeyhash"),
+                    (1, "bob", 3000, "pubkeyhash")]),
+        ("b2", [("a1", 0)], [(0, "carol", 4900, "nulldata")]),
+        ("c3", [("a1", 1), ("b2", 0)], [(0, "dave", 7800, "multisig")]),
+        ("d4", [("zz", 9)], [(0, "erin", 100, "pubkeyhash")]),
     ]
     df = spark.createDataFrame(txs, BTC_TX_SCHEMA)
     got = {
@@ -221,3 +222,22 @@ def test_utxo_input_resolution(spark):
         ("c3", "b2", 0): ("carol", 4900),
         ("d4", "zz", 9): (None, None),
     }
+
+
+def test_tx_class_from_scripts(spark):
+    """F9/D8: class C for OP_RETURN, B for multisig, A otherwise
+    (reference omniutils.py:31-62)."""
+    from omniengine_spark.pipeline.omni import (
+        BTC_TX_SCHEMA,
+        classify_tx,
+    )
+
+    txs = [
+        ("a1", [], [(0, "x", 1, "pubkeyhash")]),
+        ("b2", [], [(0, "x", 1, "pubkeyhash"), (1, None, 0, "nulldata")]),
+        ("c3", [], [(0, "x", 1, "multisig")]),
+        ("d4", [], [(0, "x", 1, "nulldata"), (1, "y", 2, "multisig")]),
+    ]
+    df = spark.createDataFrame(txs, BTC_TX_SCHEMA)
+    got = {r["txid"]: r["tx_class"] for r in classify_tx(df).collect()}
+    assert got == {"a1": "A", "b2": "C", "c3": "B", "d4": "C"}
