@@ -286,6 +286,72 @@ def minhash_lsh_pairs(
     return _verify_jaccard(cand, docs, threshold)
 
 
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Cluster assignment from a near-duplicate pair list: each node
+    gets the minimum id reachable through the pair graph (its
+    connected component's canonical representative).
+
+    Iterative min-label propagation: every round each node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds (near-dup clusters are shallow).
+    The loop is driver-side but each round is one distributed join +
+    aggregate; ``localCheckpoint`` truncates the growing lineage.
+    This is the missing last step of every dedup pipeline — pairs
+    alone don't dedupe; clusters pick the keeper.
+    """
+    edges = (
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

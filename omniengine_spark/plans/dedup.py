@@ -100,3 +100,41 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "dedup_clusters",
+    # transitive closure of the near-dup pair graph; each doc labeled
+    # with its component's minimum id — pairs alone don't dedupe, the
+    # cluster picks the keeper
+    oracle=_SHINGLE_CTE.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+    , pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    ), edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(n, m) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+    )
+    SELECT dd.doc_id,
+           LEAST(dd.doc_id, COALESCE(r.mn, dd.doc_id)) AS cluster_id
+    FROM documents dd
+    LEFT JOIN (SELECT n, MIN(m) AS mn FROM reach GROUP BY n) r
+      ON dd.doc_id = r.n
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs → connected components → canonical doc per
+    cluster.  The full corpus-dedup pipeline end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3,
+        num_hashes=64, band_rows=2, threshold=Fraction(4, 5),
+    )
+    return D.connected_components(docs, pairs, "doc_id")

@@ -10,7 +10,6 @@ the repo-local ``.scratch/`` dir (gitignored, driver-safe).
 from __future__ import annotations
 
 import shutil
-import tempfile
 import uuid
 from pathlib import Path
 

@@ -24,7 +24,11 @@ def main() -> None:
     from tests.conftest import make_duck
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    names = sys.argv[2:] or sorted(ORACLES)
+    # The two Jaccard oracles are all-pairs in DuckDB — O(N²) list
+    # intersections (12.5M pairs at sf0.1) make the ORACLE the
+    # bottleneck; run them explicitly if you have the minutes.
+    slow_oracles = {"dedup_ngram_jaccard", "dedup_minhash_lsh"}
+    names = sys.argv[2:] or sorted(set(ORACLES) - slow_oracles)
 
     spark = get_spark(app_name="scale-parity", shuffle_partitions=32)
     duck = make_duck(sf_dir)
