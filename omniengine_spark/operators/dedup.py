@@ -314,6 +314,9 @@ def connected_components(
             )
         )
         .distinct()
+        # materialize once: the pair-generation pipeline (LSH etc.)
+        # must not re-execute on every propagation round
+        .localCheckpoint()
     )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
@@ -327,12 +330,23 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("src", "node")
         )
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: also adopt the label of my label — halves
+        # the rounds needed (path compression)
+        via = stepped.select(
+            F.col("node").alias("label"), F.col("label").alias("label2")
+        )
         new_labels = (
-            labels.join(nbr_min, "node", "left")
+            stepped.join(via, "label", "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    F.col("label"), F.coalesce("label2", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
