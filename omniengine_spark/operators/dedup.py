@@ -33,6 +33,7 @@ from fractions import Fraction
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def normalize_text(col: Column) -> Column:
@@ -303,6 +304,16 @@ def connected_components(
     aggregate; ``localCheckpoint`` truncates the growing lineage.
     This is the missing last step of every dedup pipeline — pairs
     alone don't dedupe; clusters pick the keeper.
+
+    Convergence is detected with a ``sum(label)`` fingerprint: every
+    update is a ``least()``, so the label sum is strictly decreasing
+    until the fixpoint — an unchanged sum IS convergence (no join
+    needed; falls back to a join-based diff for non-numeric ids).
+    Rounds 1-3 are plain propagation (enough for the shallow
+    components near-dup graphs actually have); if the graph is still
+    moving after that — the long-chain regime — pointer jumping
+    (adopt your label's label) kicks in, making remaining progress
+    O(log diameter) per round instead of O(1) hops.
     """
     edges = (
         pairs.select(
@@ -321,7 +332,13 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     )
-    for _ in range(max_iters):
+    numeric_ids = isinstance(
+        labels.schema["label"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.DecimalType),
+    )
+    prev_fp = None
+    for it in range(max_iters):
         nbr_min = (
             edges.join(
                 labels.withColumnRenamed("node", "dst"), "dst"
@@ -336,30 +353,37 @@ def connected_components(
                 F.col("label"), F.coalesce("nbr_label", F.col("label"))
             ).alias("label"),
         )
-        # pointer jumping: also adopt the label of my label — halves
-        # the rounds needed (path compression)
-        via = stepped.select(
-            F.col("node").alias("label"), F.col("label").alias("label2")
-        )
-        new_labels = (
-            stepped.join(via, "label", "left")
-            .select(
+        if it >= 3:
+            stepped = stepped.localCheckpoint()
+            via = stepped.select(
+                F.col("node").alias("label"),
+                F.col("label").alias("label2"),
+            )
+            stepped = stepped.join(via, "label", "left").select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce("label2", F.col("label"))
+                    F.col("label"),
+                    F.coalesce("label2", F.col("label")),
                 ).alias("label"),
             )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_labels = stepped.localCheckpoint()
+        if numeric_ids:
+            fp = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            converged = fp is not None and fp == prev_fp
+            prev_fp = fp
+        else:
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+                == 0
+            )
         labels = new_labels
-        if changed == 0:
+        if converged:
             break
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")

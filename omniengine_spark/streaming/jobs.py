@@ -17,6 +17,8 @@ per-window/per-key aggregates, bounded by the watermark horizon
 from __future__ import annotations
 
 import itertools
+import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,6 +29,28 @@ from omniengine_spark.sources import stream_table
 _SINK_COUNTER = itertools.count()
 
 
+@contextmanager
+def _stream_state_partitions(spark: SparkSession):
+    """Pin the state-store partition count for the duration of a
+    stream start, then restore the session default.
+
+    Stateful streaming operators instantiate one state store per
+    shuffle partition, and the count is FROZEN into the checkpoint at
+    query creation — so it is a deployment decision, not something AQE
+    can fix at runtime.  Default 8 suits the harness's finite drains
+    (5 committed stores per micro-batch cost more than the data);
+    on a cluster set ``SPARK_GRAFT_STREAM_PARTITIONS`` ≈ 2-3× executor
+    cores so state shards spread and rescale headroom exists.
+    """
+    n = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def run_available_now(
     stream_df: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:
@@ -34,14 +58,15 @@ def run_available_now(
     DataFrame.  availableNow processes all existing input in
     micro-batches then stops — the reference's catch-up-to-tip loop."""
     name = f"omni_stream_sink_{next(_SINK_COUNTER)}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return stream_df.sparkSession.table(name)
 
 
