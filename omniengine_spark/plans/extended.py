@@ -1,0 +1,296 @@
+"""Extended plans: operator shapes beyond the reference's own surface
+that a 100 TB analytics engine needs — multi-level rollups, large
+group-having joins, fixed-width histograms, pure range joins, and an
+oracle-checked MetaDEx (type 25) trade expansion.
+
+The reference computes none of these directly (SURVEY §2.4 notes the
+absence of grouping sets; §2.3 notes the absence of range joins) but
+each generalizes a reference pattern, cited per plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omniengine_spark.operators.rangejoin import bucketed_range_join
+from omniengine_spark.pipeline import expand_deltas, stamp_serials
+from omniengine_spark.plans.registry import query
+from omniengine_spark.sources import load_table
+
+_D = "decimal(18,4)"
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast(_D)
+
+
+# --------------------------------------------------------------------
+# A14 — ROLLUP grouping sets.  Generalizes the reference's fixed
+# two-level reporting (per-property volume sql.py:270-274 next to
+# chain-wide totals sql.py:266-276, computed as separate statements)
+# into one pass: Spark evaluates all grouping sets in a single
+# shuffle with partial aggregation, so the subtotal levels are free
+# relative to running N separate GROUP BYs over 100 TB.
+# --------------------------------------------------------------------
+@query(
+    "a14_rollup_pricing",
+    oracle="""
+    SELECT
+      COALESCE(l_returnflag, 'ALL') AS return_flag,
+      COALESCE(l_linestatus, 'ALL') AS line_status,
+      CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+      CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        AS sum_qty,
+      COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def a14_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return out.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("return_flag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("line_status"),
+        "g_flag",
+        "g_status",
+        "sum_qty",
+        "n_items",
+    )
+
+
+# --------------------------------------------------------------------
+# A15/J13 — TPC-H Q18 shape: aggregate, HAVING-filter the groups,
+# join the survivors back to their parent rows.  The reference's
+# closest pattern is the duplicate-name count threshold
+# (sql.py:1602-1624).  Scale shape: the groupBy shuffles lineitem
+# once on l_orderkey; the HAVING cuts the join input to a sliver, and
+# AQE converts the orders join to broadcast at runtime.
+# --------------------------------------------------------------------
+@query(
+    "sql_q18_large_orders",
+    oracle="""
+    SELECT
+      c_name,
+      o_orderkey,
+      o_totalprice,
+      o_orderdate,
+      CAST(CAST(q.sum_qty_dec AS VARCHAR) AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty_dec
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300
+    ) q
+    JOIN orders   ON o_orderkey = q.l_orderkey
+    JOIN customer ON c_custkey  = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def sql_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderdate",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------
+# A16 — fixed-width histogram (the profiling primitive behind the
+# reference's TxStats per-block rollup, sql.py:238-312, generalized
+# to value distributions).  One shuffle of |buckets| rows; the bucket
+# expression folds into whole-stage codegen.
+# --------------------------------------------------------------------
+@query(
+    "stats_value_histogram",
+    oracle="""
+    SELECT
+      LEAST(CAST(FLOOR(value / 25) AS INTEGER), 19) AS bucket,
+      CAST(LEAST(CAST(FLOOR(value / 25) AS INTEGER), 19) * 25.0 AS DOUBLE)
+        AS bucket_lo,
+      COUNT(*) AS n,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stats_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.floor(F.col("value") / 25).cast("int"), F.lit(19)
+    )
+    return (
+        ev.groupBy(
+            bucket.alias("bucket"),
+            (bucket * 25.0).cast("double").alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# J12 — pure range join (no equi key): every event inside any
+# "incident window" (2 h after a high-value error).  Absent from the
+# reference (SURVEY §2.3); naive Spark would pick a nested-loop join.
+# operators/rangejoin.py turns it into an ordinary shuffled equi join
+# on time buckets + residual filter — the plan that survives when
+# BOTH sides are too big to broadcast.
+# --------------------------------------------------------------------
+@query(
+    "j12_range_join",
+    oracle="""
+    SELECT
+      w.event_id AS window_id,
+      COUNT(*) AS n_events,
+      CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        AS sum_value
+    FROM events e
+    JOIN (
+      SELECT event_id, epoch_us(ts) AS lo, epoch_us(ts) + 7200000000 AS hi
+      FROM events WHERE event_type = 'error' AND value > 195
+    ) w ON epoch_us(e.ts) >= w.lo AND epoch_us(e.ts) < w.hi
+    GROUP BY w.event_id
+    """,
+)
+def j12_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    points = ev.select(
+        F.unix_micros("ts").alias("p_us"), F.col("value")
+    )
+    windows = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 195))
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.unix_micros("ts").alias("lo"),
+            (F.unix_micros("ts") + F.lit(7_200_000_000)).alias("hi"),
+        )
+    )
+    joined = bucketed_range_join(
+        points,
+        windows,
+        point_col="p_us",
+        lo_col="lo",
+        hi_col="hi",
+        bucket_width=3_600_000_000,  # 1 h buckets for 2 h windows
+    )
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------
+# D5 — MetaDEx trade expansion, oracle-checked.  Each type-25 tx
+# carries its pre-computed match list (reference omni_gettrade, S7);
+# expand_deltas emits 4 double-entry rows per match
+# (sql.py:2032-2166 insertMatch semantics).  The tx stream is derived
+# deterministically from events (purchase → one-match trade) and the
+# oracle restates the expansion + net-position fold in SQL, proving
+# the pipeline's type-25 branch value-for-value — the golden tests
+# cover edge shapes, this covers volume.
+# --------------------------------------------------------------------
+@query(
+    "d5_metadex_net_positions",
+    oracle="""
+    WITH tx AS (
+      SELECT
+        'u' || CAST(user_id AS VARCHAR) AS seller,
+        'm' || CAST(user_id % 97 AS VARCHAR) AS buyer,
+        user_id % 5 AS pid,
+        user_id % 3 + 5 AS pid_d,
+        CASE WHEN user_id % 2 = 0
+             THEN CAST(CAST(value AS DECIMAL(38,8)) * 100000000 AS BIGINT)
+             ELSE CAST(FLOOR(CAST(value AS DECIMAL(38,8))) AS BIGINT)
+             END AS sold_units,
+        CASE WHEN user_id % 3 = 0
+             THEN CAST(CAST(value AS DECIMAL(38,8)) * 100000000 AS BIGINT)
+             ELSE CAST(FLOOR(CAST(value AS DECIMAL(38,8))) AS BIGINT)
+             END AS recv_units
+      FROM events WHERE event_type = 'purchase'
+    ), deltas AS (
+      SELECT seller AS address, pid AS propertyid, -sold_units AS delta FROM tx
+      UNION ALL
+      SELECT seller, pid_d, recv_units FROM tx
+      UNION ALL
+      SELECT buyer, pid, sold_units FROM tx
+      UNION ALL
+      SELECT buyer, pid_d, -recv_units FROM tx
+    )
+    SELECT address, propertyid,
+           SUM(delta) AS net_units,
+           COUNT(*) AS n_deltas
+    FROM deltas
+    GROUP BY address, propertyid
+    """,
+)
+def d5_metadex_net_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    user = F.col("user_id")
+    amount_str = F.col("value").cast("decimal(38,8)").cast("string")
+    txs = ev.select(
+        F.concat(F.lit("t"), F.col("event_id").cast("string")).alias("txid"),
+        (F.unix_timestamp("ts") / 86400).cast("long").alias("block"),
+        F.col("event_id").alias("position_in_block"),
+        F.lit(25).cast("int").alias("type_int"),
+        F.lit(True).alias("valid"),
+        F.concat(F.lit("u"), user.cast("string")).alias("sending_address"),
+        F.lit(None).cast("string").alias("reference_address"),
+        (user % 5).alias("propertyid"),
+        (user % 2 == 0).alias("divisible"),
+        F.lit(None).cast("string").alias("amount"),
+        F.lit(None)
+        .cast("array<struct<address:string,amount:string>>")
+        .alias("recipients"),
+        F.lit(None)
+        .cast(
+            "array<struct<propertyid:bigint,divisible:boolean,"
+            "amount:string>>"
+        )
+        .alias("subsends"),
+        (user % 3 + 5).cast("long").alias("propertyid_desired"),
+        (user % 3 == 0).alias("divisible_desired"),
+        F.array(
+            F.struct(
+                F.concat(F.lit("m"), (user % 97).cast("string")).alias(
+                    "address"
+                ),
+                amount_str.alias("amount_sold"),
+                amount_str.alias("amount_received"),
+            )
+        ).alias("matches"),
+    )
+    deltas = expand_deltas(stamp_serials(txs))
+    return deltas.groupBy("address", "propertyid").agg(
+        F.sum("delta_base_units").cast("long").alias("net_units"),
+        F.count(F.lit(1)).alias("n_deltas"),
+    )

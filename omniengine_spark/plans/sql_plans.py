@@ -38,6 +38,24 @@ _REV_SUM = (
 )
 
 
+_Q5 = """
+SELECT
+  n_name,
+  {rev} AS revenue,
+  COUNT(*) AS n_items
+FROM {cust} c
+JOIN {orders} o ON c.c_custkey = o.o_custkey
+JOIN {li} l ON l.l_orderkey = o.o_orderkey
+JOIN {supp} s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN {nat} n ON s.s_nationkey = n.n_nationkey
+JOIN {reg} r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
 @query(
     "sql_q3_shipping_priority",
     oracle=_Q3.format(
@@ -63,6 +81,42 @@ def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             cust="v_customer",
             orders="v_orders",
             li="v_lineitem",
+            rev=f"CAST({_REV_SUM} AS DOUBLE)",
+        )
+    )
+
+
+@query(
+    "sql_q5_local_supplier_volume",
+    oracle=_Q5.format(
+        cust="customer",
+        orders="orders",
+        li="lineitem",
+        supp="supplier",
+        nat="nation",
+        reg="region",
+        rev=f"CAST(CAST({_REV_SUM} AS VARCHAR) AS DOUBLE)",
+    ),
+)
+def sql_q5_local_supplier_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q5 shape: six-way join with a *two-column* residual on
+    the supplier join (local supplier = same nation as the customer).
+    This is the join-reordering stress test — Catalyst broadcasts the
+    three dims (supplier/nation/region) so the only wide shuffle is
+    lineitem joining orders joining customer; the reference never
+    exceeds a 3-way comma join (``sql.py:270-274``)."""
+    for name in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"v_{name}")
+    return spark.sql(
+        _Q5.format(
+            cust="v_customer",
+            orders="v_orders",
+            li="v_lineitem",
+            supp="v_supplier",
+            nat="v_nation",
+            reg="v_region",
             rev=f"CAST({_REV_SUM} AS DOUBLE)",
         )
     )
