@@ -6,6 +6,7 @@ from omniengine_spark.pipeline.omni import (
     build_balances,
     expand_deltas,
     stamp_serials,
+    stamp_serials_distributed,
     with_after_balances,
 )
 
@@ -14,5 +15,6 @@ __all__ = [
     "build_balances",
     "expand_deltas",
     "stamp_serials",
+    "stamp_serials_distributed",
     "with_after_balances",
 ]

@@ -102,9 +102,47 @@ def stamp_serials(txs: DataFrame) -> DataFrame:
     """Deterministic global serial per tx: dense row_number over
     (block, position_in_block).  Applied per incremental batch (the
     reference's per-block unit of work), offset by the batch's base
-    serial at scale."""
+    serial at scale.
+
+    The global window funnels the batch through ONE partition — fine
+    for a per-block micro-batch, fatal for a 100 TB backfill; use
+    ``stamp_serials_distributed`` there.
+    """
     w = Window.orderBy("block", "position_in_block")
-    return txs.withColumn("serial", F.row_number().over(w))
+    return txs.withColumn("serial", F.row_number().over(w).cast("long"))
+
+
+def stamp_serials_distributed(txs: DataFrame) -> DataFrame:
+    """W3 at scale: the same dense (block, position_in_block) serial
+    without the single-partition global sort.
+
+    Two-level decomposition: (1) per-block row counts — one row per
+    block — prefix-summed into block start offsets with a window over
+    that *tiny* frame; (2) the wide data ranks within its own block
+    (shuffle partitioned BY block, its natural key) and adds the
+    broadcast offset.  The only global sort left touches |blocks|
+    rows, not |txs| — the same trick the reference plays by
+    pre-assigning sequence ranges per block (``omniEngine.py:
+    104-106``) instead of a nextval per row.
+    """
+    counts = txs.groupBy("block").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = (
+        Window.orderBy("block")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "block",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_blk = Window.partitionBy("block").orderBy("position_in_block")
+    return (
+        txs.join(F.broadcast(offsets), "block")
+        .withColumn(
+            "serial",
+            (F.col("__off") + F.row_number().over(w_blk)).cast("long"),
+        )
+        .drop("__off")
+    )
 
 
 def _base_units(amount: F.Column, divisible: F.Column) -> F.Column:

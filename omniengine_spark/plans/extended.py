@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from omniengine_spark.operators.rangejoin import bucketed_range_join
-from omniengine_spark.pipeline import expand_deltas, stamp_serials
+from omniengine_spark.pipeline import expand_deltas, stamp_serials_distributed
 from omniengine_spark.plans.registry import query
 from omniengine_spark.sources import load_table
 
@@ -289,7 +289,7 @@ def d5_metadex_net_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("matches"),
     )
-    deltas = expand_deltas(stamp_serials(txs))
+    deltas = expand_deltas(stamp_serials_distributed(txs))
     return deltas.groupBy("address", "propertyid").agg(
         F.sum("delta_base_units").cast("long").alias("net_units"),
         F.count(F.lit(1)).alias("n_deltas"),

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from omniengine_spark.pipeline import (
     build_balances,
     expand_deltas,
-    stamp_serials,
+    stamp_serials_distributed,
 )
 from omniengine_spark.plans.registry import query
 from omniengine_spark.sources import load_table
@@ -102,7 +102,7 @@ def _tx_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def omni_balance_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     txs = _tx_stream(spark, sf_dir)
-    deltas = expand_deltas(stamp_serials(txs))
+    deltas = expand_deltas(stamp_serials_distributed(txs))
     out = build_balances(deltas)
     return out.select(
         "address",

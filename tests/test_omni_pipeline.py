@@ -241,3 +241,50 @@ def test_tx_class_from_scripts(spark):
     df = spark.createDataFrame(txs, BTC_TX_SCHEMA)
     got = {r["txid"]: r["tx_class"] for r in classify_tx(df).collect()}
     assert got == {"a1": "A", "b2": "C", "c3": "B", "d4": "C"}
+
+
+def test_distributed_serials_match_global(spark):
+    """stamp_serials_distributed must assign the identical dense
+    serial as the single-partition global window, on a frame with
+    many blocks, uneven block sizes, and shuffled input order."""
+    from omniengine_spark.pipeline import stamp_serials_distributed
+
+    rows = []
+    eid = 0
+    for block in [7, 3, 11, 3, 5, 100, 2]:
+        for pos in range(block % 4 + 1):
+            rows.append((f"t{eid}", block, pos))
+            eid += 1
+    raw = spark.createDataFrame(
+        rows, ["txid", "block", "position_in_block"]
+    ).repartition(5)
+
+    base = {
+        r["txid"]: r["serial"]
+        for r in stamp_serials(raw.select("txid", "block",
+                                          "position_in_block")).collect()
+    }
+    dist = {
+        r["txid"]: r["serial"]
+        for r in stamp_serials_distributed(raw).collect()
+    }
+    assert dist == base
+    assert sorted(dist.values()) == list(range(1, len(rows) + 1))
+
+
+def test_distributed_serials_avoid_single_partition_sort(spark):
+    """The wide side must not pass through a global (non-partitioned)
+    window: every Window node in the plan carries a partition spec,
+    except over the one-row-per-block offsets frame."""
+    from omniengine_spark.pipeline import stamp_serials_distributed
+
+    raw = spark.createDataFrame(
+        [(f"t{i}", i % 10, i) for i in range(100)],
+        ["txid", "block", "position_in_block"],
+    )
+    plan = (
+        stamp_serials_distributed(raw)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the block-partitioned rank over the wide data
+    assert "windowspecdefinition(block" in plan
