@@ -84,3 +84,49 @@ def bucketed_range_join(
     # left: residual must live in the join condition, not a post-filter
     cond = (p[_BUCKET] == iv[_BUCKET]) & residual
     return p.join(iv, cond, "left").drop(_BUCKET)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval×interval overlap join: pair every left interval with
+    every right interval satisfying ``l_lo < r_hi AND r_lo < l_hi``
+    (half-open overlap), again as a shuffled equi join on buckets.
+
+    Both sides replicate to the buckets they span, so one overlapping
+    pair can meet in several buckets.  Rather than a dedup shuffle,
+    each pair is emitted only from its *canonical* bucket — the first
+    bucket the two intervals share, ``floor(max(l_lo, r_lo) / w)`` —
+    which costs one extra codegen'd comparison instead of a
+    ``dropDuplicates`` over the (potentially huge) match set.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    def span(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            _BUCKET,
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / bucket_width),
+                    F.floor(F.col(hi) / bucket_width),
+                )
+            ),
+        )
+
+    l_ = span(left, left_lo, left_hi)
+    r_ = span(right, right_lo, right_hi)
+    overlap = (F.col(left_lo) < F.col(right_hi)) & (
+        F.col(right_lo) < F.col(left_hi)
+    )
+    canonical = F.col(_BUCKET) == F.floor(
+        F.greatest(F.col(left_lo), F.col(right_lo)) / bucket_width
+    )
+    return l_.join(r_, _BUCKET).filter(overlap & canonical).drop(_BUCKET)

@@ -294,3 +294,108 @@ def d5_metadex_net_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("delta_base_units").cast("long").alias("net_units"),
         F.count(F.lit(1)).alias("n_deltas"),
     )
+
+
+# --------------------------------------------------------------------
+# J14 — interval×interval overlap join (self-join: which incident
+# windows overlap each other).  Same bucket decomposition as J12 but
+# with both sides replicated and canonical-bucket emission instead of
+# a dedup shuffle — see operators/rangejoin.py:interval_overlap_join.
+# --------------------------------------------------------------------
+@query(
+    "j14_interval_overlap",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, epoch_us(ts) AS lo, epoch_us(ts) + 14400000000 AS hi
+      FROM events WHERE event_type = 'error' AND value > 190
+    )
+    SELECT a.event_id AS a_id, b.event_id AS b_id,
+           LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo) AS overlap_us
+    FROM w a JOIN w b
+      ON a.lo < b.hi AND b.lo < a.hi AND a.event_id < b.event_id
+    """,
+)
+def j14_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omniengine_spark.operators.rangejoin import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    windows = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 190)
+    ).select(
+        F.col("event_id"),
+        F.unix_micros("ts").alias("lo"),
+        (F.unix_micros("ts") + F.lit(14_400_000_000)).alias("hi"),
+    )
+    a = windows.select(
+        F.col("event_id").alias("a_id"),
+        F.col("lo").alias("a_lo"),
+        F.col("hi").alias("a_hi"),
+    )
+    b = windows.select(
+        F.col("event_id").alias("b_id"),
+        F.col("lo").alias("b_lo"),
+        F.col("hi").alias("b_hi"),
+    )
+    joined = interval_overlap_join(
+        a,
+        b,
+        left_lo="a_lo",
+        left_hi="a_hi",
+        right_lo="b_lo",
+        right_hi="b_hi",
+        bucket_width=3_600_000_000,
+    ).filter(F.col("a_id") < F.col("b_id"))
+    return joined.select(
+        "a_id",
+        "b_id",
+        (
+            F.least("a_hi", "b_hi") - F.greatest("a_lo", "b_lo")
+        ).alias("overlap_us"),
+    )
+
+
+# --------------------------------------------------------------------
+# X8/J7b — SCD2 history: the reference keeps ExchangeRatesHistory via
+# a database trigger copying the superseded row on every upsert
+# (omni_db_triggers.psql:15-26); PropertyHistory likewise.  Event-
+# sourced equivalent: each update row becomes a version with
+# [valid_from, valid_to) stamped by lead() per key — one partitioned
+# window, no trigger, replayable from the event stream.
+# --------------------------------------------------------------------
+@query(
+    "scd2_rate_history",
+    oracle="""
+    SELECT
+      user_id,
+      event_id AS version_id,
+      value AS rate,
+      ts AS valid_from,
+      COALESCE(
+        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+      LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def scd2_rate_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w)
+    # Open-ended versions get a far-future sentinel instead of NULL so
+    # interval predicates (valid_from <= t < valid_to) need no
+    # null-branch, and the frame stays hash-comparable.
+    sentinel = F.lit("2200-01-01 00:00:00").cast("timestamp")
+    return ev.select(
+        "user_id",
+        F.col("event_id").alias("version_id"),
+        F.col("value").alias("rate"),
+        F.col("ts").alias("valid_from"),
+        F.coalesce(valid_to, sentinel).alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

@@ -117,3 +117,40 @@ def test_rejects_bad_arguments(spark, frames):
             point_col="p", lo_col="lo", hi_col="hi",
             bucket_width=10, how="full",
         )
+
+
+@pytest.fixture(scope="module")
+def interval_frames(spark):
+    a = spark.createDataFrame(
+        [(1, 0, 10), (2, 8, 12), (3, 25, 40), (4, 39, 41), (5, 50, 50)],
+        ["a_id", "a_lo", "a_hi"],
+    )
+    b = spark.createDataFrame(
+        [(1, 9, 30), (2, 0, 5), (3, 45, 60), (4, 10, 11)],
+        ["b_id", "b_lo", "b_hi"],
+    )
+    return a, b
+
+
+def _expected_overlaps(a, b):
+    out = a.crossJoin(b).filter(
+        (F.col("a_lo") < F.col("b_hi")) & (F.col("b_lo") < F.col("a_hi"))
+    )
+    return sorted((r["a_id"], r["b_id"]) for r in out.collect())
+
+
+@pytest.mark.parametrize("width", [1, 3, 10, 100])
+def test_interval_overlap_matches_naive(spark, interval_frames, width):
+    from omniengine_spark.operators.rangejoin import interval_overlap_join
+
+    a, b = interval_frames
+    got = interval_overlap_join(
+        a, b,
+        left_lo="a_lo", left_hi="a_hi",
+        right_lo="b_lo", right_hi="b_hi",
+        bucket_width=width,
+    )
+    pairs = [(r["a_id"], r["b_id"]) for r in got.collect()]
+    # canonical-bucket emission: exactly once per overlapping pair
+    assert len(pairs) == len(set(pairs))
+    assert sorted(pairs) == _expected_overlaps(a, b)
