@@ -399,3 +399,143 @@ def scd2_rate_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(valid_to, sentinel).alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+# --------------------------------------------------------------------
+# SQL subquery surface: correlated scalar subqueries.  The reference
+# inlines every such lookup as a separate Python-side query per row
+# (e.g. per-property rate fetch sql.py:295 inside the txstats loop);
+# here Catalyst decorrelates both subqueries into aggregate+join.
+# The predicate is the avg-comparison rewritten decimal-exact:
+# bal > avg  ⟺  bal·n > sum, so no float avg crosses engines.
+# --------------------------------------------------------------------
+@query(
+    "sql_correlated_above_avg",
+    oracle="""
+    SELECT c_custkey, c_acctbal, c_nationkey
+    FROM customer c
+    WHERE CAST(c_acctbal AS DECIMAL(18,4))
+          * (SELECT COUNT(*) FROM customer c2
+             WHERE c2.c_nationkey = c.c_nationkey)
+          > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(18,4)))
+             FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def sql_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_customer"
+    )
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal, c_nationkey
+        FROM v_customer c
+        WHERE CAST(c_acctbal AS DECIMAL(18,4))
+              * (SELECT COUNT(*) FROM v_customer c2
+                 WHERE c2.c_nationkey = c.c_nationkey)
+              > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(18,4)))
+                 FROM v_customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+# --------------------------------------------------------------------
+# SQL subquery surface: EXISTS + NOT EXISTS in one predicate
+# (churn shape: active in 1997, gone in 1998).  Catalyst plans the
+# pair as one semi and one anti join on o_custkey — two shuffles of
+# the pre-filtered orders slices, never a per-row probe like the
+# reference's existence checks (sql.py:382-384).
+# --------------------------------------------------------------------
+@query(
+    "sql_churned_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00')
+    """,
+)
+def sql_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM v_customer c
+        WHERE EXISTS (
+            SELECT 1 FROM v_orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+          AND NOT EXISTS (
+            SELECT 1 FROM v_orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00')
+        """
+    )
+
+
+# --------------------------------------------------------------------
+# U5 — INTERSECT / EXCEPT (explicitly absent from the reference,
+# SURVEY §2.7 U4 note — it fakes both with Python membership checks).
+# Both compile to distinct + shuffled semi/anti joins; tagged union
+# of the two results so one plan covers both operators.
+# --------------------------------------------------------------------
+@query(
+    "u5_set_ops",
+    oracle="""
+    SELECT user_id, 'both' AS tag FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'error')
+    UNION ALL
+    SELECT user_id, 'purchase_only' AS tag FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'error')
+    """,
+)
+def u5_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    errers = ev.filter(F.col("event_type") == "error").select("user_id")
+    both = buyers.intersect(errers).withColumn("tag", F.lit("both"))
+    only = buyers.subtract(errers).withColumn("tag", F.lit("purchase_only"))
+    return both.unionByName(only)
+
+
+# --------------------------------------------------------------------
+# A17 — grouped exact quantiles (per-group stats_value_profile; both
+# engines compute the same linear-interpolated order statistic).  At
+# scale the exact form needs the full group sorted — the
+# approx_percentile sibling (stats_value_profile_approx) is the
+# mergeable-sketch path; this is the correctness gate for it.
+# --------------------------------------------------------------------
+@query(
+    "stats_grouped_quantiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stats_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
