@@ -539,3 +539,113 @@ def stats_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.95)").alias("p95"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------
+# A18 — PIVOT: long→wide reporting (the reference emits TxStats as
+# jsonb per block, sql.py:308-309 — a hand-rolled wide row).  Spark's
+# pivot with an explicit value list stays a single groupBy (no second
+# pass to discover columns, which at 100 TB would be its own job).
+# --------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "a18_pivot_daily_by_type",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           COUNT(*) FILTER (event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (event_type = 'error')    AS n_error,
+           COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+           COUNT(*) FILTER (event_type = 'view')     AS n_view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def a18_pivot_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return wide.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+# --------------------------------------------------------------------
+# U6 — UNPIVOT/melt: wide→long normalization (inverse of A18; the
+# shape behind the reference's jsonb Value unpacking, sql.py:276).
+# unpivot is a zero-shuffle generator — the only shuffle below is the
+# 3-group aggregate.
+# --------------------------------------------------------------------
+@query(
+    "u6_unpivot_metrics",
+    oracle="""
+    SELECT metric,
+           CAST(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS total,
+           COUNT(*) AS n
+    FROM (
+      SELECT 'qty' AS metric, l_quantity AS v FROM lineitem
+      UNION ALL
+      SELECT 'price', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'discount', l_discount FROM lineitem
+    )
+    GROUP BY metric
+    """,
+)
+def u6_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("discount"),
+    ).unpivot([], ["qty", "price", "discount"], "metric", "v")
+    return long.groupBy("metric").agg(
+        F.sum(F.col("v").cast(_D)).cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------
+# W8 — RANGE-frame window: per-event trailing 7-day spend per user
+# (value-based frame; the reference only ever uses cumulative ROWS
+# frames, SURVEY §2.5 note).  The frame is expressed over epoch
+# micros so Spark's numeric rangeBetween matches the SQL INTERVAL
+# frame exactly; one shuffle on user_id.
+# --------------------------------------------------------------------
+@query(
+    "w8_trailing_7d_user_value",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+           AS VARCHAR) AS DOUBLE) AS spend_7d
+    FROM events
+    """,
+)
+def w8_trailing_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86_400_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(_D)).over(w).cast("double").alias(
+            "spend_7d"
+        ),
+    )
