@@ -649,3 +649,65 @@ def w8_trailing_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spend_7d"
         ),
     )
+
+
+# --------------------------------------------------------------------
+# A10b — the balance fold again, through the two-phase *salted*
+# aggregation (operators/skew.py:salted_agg) and checked against the
+# SAME oracle as a10_user_balance_fold: proof that the skew path is
+# bit-identical, not merely approximately right.  At 100 TB a single
+# celebrity address would funnel one reducer in the plain fold; here
+# it spreads over n_salts partials first (decimal sums commute).
+# --------------------------------------------------------------------
+@query(
+    "a10_salted_balance_fold",
+    oracle="""
+    SELECT
+      user_id,
+      CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,4))
+                    WHEN event_type = 'error'
+                    THEN -CAST(value AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)
+        AS balance,
+      COUNT(*) AS n_events,
+      COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_credits,
+      COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_debits
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def a10_salted_balance_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omniengine_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    delta = (
+        F.when(F.col("event_type") == "purchase", _dec("value"))
+        .when(F.col("event_type") == "error", -_dec("value"))
+        .otherwise(F.lit(0).cast(_D))
+    )
+    prepared = ev.select(
+        "user_id",
+        delta.alias("delta"),
+        F.lit(1).alias("one"),
+        F.when(F.col("event_type") == "purchase", 1).alias("credit_flag"),
+        F.when(F.col("event_type") == "error", 1).alias("debit_flag"),
+    )
+    out = salted_agg(
+        prepared,
+        ["user_id"],
+        {
+            "balance": ("sum", "delta"),
+            "n_events": ("count", "one"),
+            "n_credits": ("count", "credit_flag"),
+            "n_debits": ("count", "debit_flag"),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "user_id",
+        F.col("balance").cast("double").alias("balance"),
+        "n_events",
+        "n_credits",
+        "n_debits",
+    )
