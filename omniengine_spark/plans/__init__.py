@@ -21,5 +21,6 @@ from omniengine_spark.plans import coverage_plans  # noqa: E402,F401
 from omniengine_spark.plans import pipeline_plans  # noqa: E402,F401
 from omniengine_spark.plans import sql_plans  # noqa: E402,F401
 from omniengine_spark.plans import extended  # noqa: E402,F401
+from omniengine_spark.plans import docpipe  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

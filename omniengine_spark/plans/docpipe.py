@@ -1,0 +1,196 @@
+"""End-to-end training-corpus pipeline: the individual text operators
+(quality scoring, fingerprint dedup, token accounting — each its own
+oracle-checked plan in ``textstats.py``) composed into ONE DataFrame
+DAG, the way a real 100 TB data-curation job chains them.
+
+Catalyst fuses the whole chain: metrics + filter evaluate inside one
+codegen stage over the parquet scan, so the only shuffles are the
+dedup hash partition and the final per-(source, lang) rollup — adding
+pipeline stages costs no extra passes over the corpus, unlike the
+reference's one-statement-per-step style (``sql.py:1602-1624``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from omniengine_spark.plans.registry import query
+from omniengine_spark.plans.textstats import _STOPWORDS, _tokens
+from omniengine_spark.sources import load_table
+
+
+@query(
+    "docpipe_clean_corpus",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, source, lang,
+             md5(lower(trim(text))) AS content_md5,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x IN {tuple(_STOPWORDS)!r})) AS n_stop,
+             len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+               AS n_distinct
+      FROM documents
+    ), scored AS (
+      SELECT *,
+             (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.05
+                     THEN 1 ELSE 0 END
+              + CASE WHEN CAST(n_distinct AS DOUBLE) / n_tokens >= 0.1
+                     THEN 1 ELSE 0 END) AS quality_score
+      FROM m
+    ), kept AS (
+      SELECT * FROM scored WHERE quality_score >= 2 AND n_tokens >= 5
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY content_md5 ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1
+    )
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           COUNT(DISTINCT content_md5) AS n_unique
+    FROM deduped
+    GROUP BY source, lang
+    """,
+)
+def docpipe_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    metrics = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_md5"),
+        F.size(toks).alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+        ).alias("n_stop"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    score = (
+        F.when(F.col("n_tokens").between(20, 1000), 1).otherwise(0)
+        + F.when(
+            F.col("n_stop").cast("double") / F.col("n_tokens") >= 0.05, 1
+        ).otherwise(0)
+        + F.when(
+            F.col("n_distinct").cast("double") / F.col("n_tokens") >= 0.1, 1
+        ).otherwise(0)
+    )
+    kept = metrics.withColumn("quality_score", score).filter(
+        (F.col("quality_score") >= 2) & (F.col("n_tokens") >= 5)
+    )
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return deduped.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("content_md5").alias("n_unique"),
+    )
+
+
+# --------------------------------------------------------------------
+# Deterministic stratified sampling — the "data mixing" step of a
+# training pipeline: keep a fixed fraction per stratum, chosen by
+# content hash so the sample is stable across runs, engines, and
+# partitionings (no RNG, no seed plumbing).  1/4 of each source here;
+# at 100 TB this is a pure map-side filter, no shuffle at all until
+# the audit rollup.
+# --------------------------------------------------------------------
+@query(
+    "docpipe_stratified_sample",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, source, n_chars,
+             (instr('0123456789abcdef',
+                    substr(md5(lower(trim(text))), 1, 1)) - 1) % 4 AS shard
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) FILTER (shard = 0) AS n_sampled,
+           COUNT(*) AS n_total,
+           SUM(n_chars) FILTER (shard = 0) AS sampled_chars
+    FROM tagged
+    GROUP BY source
+    """,
+)
+def docpipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # first hex digit of the content hash → shard 0..15 → % 4; instr
+    # keeps the expression identical in both engines (no strtol/conv)
+    shard = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.lower(F.trim(F.col("text")))), 1, 1),
+        )
+        - 1
+    ) % 4
+    tagged = docs.select("doc_id", "source", "n_chars", shard.alias("shard"))
+    return tagged.groupBy("source").agg(
+        F.count(F.when(F.col("shard") == 0, 1)).alias("n_sampled"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("shard") == 0, F.col("n_chars"))).alias(
+            "sampled_chars"
+        ),
+    )
+
+
+# --------------------------------------------------------------------
+# Sequence packing — grouping documents into fixed-token-budget bins
+# for LLM pre-training batches.  Greedy sequential packing is
+# inherently serial; the scalable relaxation is offset packing:
+# bin = floor(running_token_total / budget) within each stratum — one
+# partitioned window, deterministic, and within 1 doc of greedy fill.
+# --------------------------------------------------------------------
+@query(
+    "docpipe_pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT source, n_tokens,
+             CAST(FLOOR(
+               (SUM(n_tokens) OVER (
+                  PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+      FROM toks
+    )
+    SELECT source, bin_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS bin_tokens
+    FROM packed
+    GROUP BY source, bin_id
+    """,
+)
+def docpipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # bin by the running total *before* this doc, so a doc lands in
+    # the bin it starts in and no bin overruns by more than one doc.
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0
+        ).cast("bigint"),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
