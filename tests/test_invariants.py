@@ -130,3 +130,60 @@ def test_d1_conservation(spark):
         F.sum(F.col("balance").cast("decimal(28,4)")).alias("t")
     ).collect()[0]["t"]
     assert total == 0
+
+
+# ---- bucketed range-join decomposition (operators/rangejoin.py) ----
+# Pure-python model of the bucket math; the Spark plumbing is pinned
+# by tests/test_rangejoin.py.  Floor-division here matches F.floor
+# on negatives (both round toward -inf).
+
+
+@given(
+    st.lists(st.integers(-10_000, 10_000), max_size=30),
+    st.lists(
+        st.tuples(
+            st.integers(-10_000, 10_000), st.integers(0, 5_000)
+        ),
+        max_size=20,
+    ),
+    st.integers(1, 1_000),
+)
+@settings(suppress_health_check=[HealthCheck.too_slow], deadline=None)
+def test_bucket_decomposition_never_misses_a_match(points, spans, width):
+    intervals = [(lo, lo + span) for lo, span in spans]
+    for p in points:
+        pb = p // width
+        for lo, hi in intervals:
+            if lo <= p < hi:
+                # the point's bucket lies inside the interval's
+                # replicated bucket range — the equi join finds it
+                assert lo // width <= pb <= hi // width
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-10_000, 10_000), st.integers(0, 5_000)
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    st.integers(1, 1_000),
+)
+@settings(suppress_health_check=[HealthCheck.too_slow], deadline=None)
+def test_canonical_bucket_is_shared_and_unique(spans, width):
+    ivs = [(lo, lo + span) for lo, span in spans]
+    for a_lo, a_hi in ivs:
+        for b_lo, b_hi in ivs:
+            if a_lo < b_hi and b_lo < a_hi:  # overlap
+                canon = max(a_lo, b_lo) // width
+                a_range = range(a_lo // width, a_hi // width + 1)
+                b_range = range(b_lo // width, b_hi // width + 1)
+                # emitted at least once: canonical bucket is a bucket
+                # both sides replicated to
+                assert canon in a_range and canon in b_range
+                # emitted exactly once: only one bucket id equals the
+                # canonical value, trivially — uniqueness of the
+                # equality filter over the shared range
+                shared = set(a_range) & set(b_range)
+                assert canon == min(shared)
