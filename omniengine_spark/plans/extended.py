@@ -711,3 +711,57 @@ def a10_salted_balance_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_credits",
         "n_debits",
     )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q14 shape: conditional-share aggregate over a fact⋈dim join
+# (promo revenue ratio for one ship month).  part is broadcast, so
+# the plan is scan→BHJ→one partial agg — a single wide shuffle of 2
+# numbers.  The ratio divides the two already-exact doubles, so it is
+# bit-identical across engines.
+# --------------------------------------------------------------------
+@query(
+    "sql_q14_promo_effect",
+    oracle="""
+    SELECT
+      CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+            THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))
+            ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)
+        AS promo_revenue,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))))
+           AS VARCHAR) AS DOUBLE) AS total_revenue,
+      100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+            THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))
+            ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))))
+             AS VARCHAR) AS DOUBLE) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def sql_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    one = F.lit(1).cast("decimal(5,4)")
+    rev = _dec("l_extendedprice") * (
+        one - F.col("l_discount").cast("decimal(5,4)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast(_D)
+    )
+    agg = li.join(part, li.l_partkey == part.p_partkey).agg(
+        F.sum(promo).cast("double").alias("promo_revenue"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+    )
+    return agg.withColumn(
+        "promo_pct",
+        100.0 * F.col("promo_revenue") / F.col("total_revenue"),
+    )
