@@ -127,8 +127,8 @@ def a1_resume_points(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY user_id
     )
     SELECT COALESCE(e.user_id, o.user_id) AS user_id,
-           e.cents AS engine_cents,
-           o.cents AS oracle_cents,
+           CAST(e.cents AS BIGINT) AS engine_cents,
+           CAST(o.cents AS BIGINT) AS oracle_cents,
            CASE WHEN e.user_id IS NULL THEN 'missing_in_engine'
                 WHEN o.user_id IS NULL THEN 'missing_in_oracle'
                 WHEN e.cents <> o.cents THEN 'mismatch'

@@ -50,7 +50,7 @@ from omniengine_spark.sources import load_table
     )
     SELECT source, lang,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            COUNT(DISTINCT content_md5) AS n_unique
     FROM deduped
     GROUP BY source, lang
@@ -114,7 +114,7 @@ def docpipe_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            COUNT(*) FILTER (shard = 0) AS n_sampled,
            COUNT(*) AS n_total,
-           SUM(n_chars) FILTER (shard = 0) AS sampled_chars
+           CAST(SUM(n_chars) FILTER (shard = 0) AS BIGINT) AS sampled_chars
     FROM tagged
     GROUP BY source
     """,
@@ -165,7 +165,7 @@ def docpipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, bin_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS bin_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
     FROM packed
     GROUP BY source, bin_id
     """,

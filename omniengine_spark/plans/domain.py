@@ -107,7 +107,8 @@ def d1_double_entry_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w
     )
     SELECT l_orderkey, l_linenumber,
-           GREATEST(LEAST(share_c, pot_c - cum_before), 0) AS alloc_cents
+           CAST(GREATEST(LEAST(share_c, pot_c - cum_before), 0) AS BIGINT)
+             AS alloc_cents
     FROM c
     """,
 )
@@ -177,7 +178,7 @@ _D7_ORACLE = """
       FROM s
     )
     SELECT event_id, user_id,
-           run_sum - LEAST(run_min, 0) AS balance_cents
+           CAST(run_sum - LEAST(run_min, 0) AS BIGINT) AS balance_cents
     FROM m
 """
 
@@ -256,9 +257,9 @@ def d7_floor_balance_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 'filled'
                 WHEN fc.click_ts IS NOT NULL THEN 'cancelled'
                 ELSE 'open' END AS final_state,
-           CASE WHEN lv.view_ts IS NULL THEN 0
+           CAST(CASE WHEN lv.view_ts IS NULL THEN 0
                 ELSE GREATEST(lv.amount - COALESCE(paid.paid_cents, 0), 0)
-                END AS remaining_cents
+                END AS BIGINT) AS remaining_cents
     FROM (SELECT DISTINCT user_id FROM ev) u
     LEFT JOIN lv ON u.user_id = lv.user_id
     LEFT JOIN fc ON u.user_id = fc.user_id
@@ -302,8 +303,8 @@ def d3_offer_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.user_id,
            CASE WHEN s.deadline > (SELECT mx FROM anchor)
                 THEN 'active' ELSE 'closed' END AS sale_state,
-           COALESCE(SUM(p.tokens), 0) AS tokens_issued,
-           COALESCE(SUM(p.tokens), 0) // 10 AS issuer_bonus,
+           CAST(COALESCE(SUM(p.tokens), 0) AS BIGINT) AS tokens_issued,
+           CAST(COALESCE(SUM(p.tokens), 0) // 10 AS BIGINT) AS issuer_bonus,
            COUNT(p.tokens) AS n_participations
     FROM sales s LEFT JOIN parts p ON s.user_id = p.user_id
     GROUP BY s.user_id, s.deadline
@@ -588,10 +589,11 @@ def a9_duplicate_name_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
     )
     SELECT CAST(day AS TIMESTAMP) AS day, n_events, day_value,
-           COALESCE(LAG(n_events) OVER (ORDER BY day), 0) AS prev_day_events,
-           SUM(n_events) OVER (
+           CAST(COALESCE(LAG(n_events) OVER (ORDER BY day), 0) AS BIGINT)
+             AS prev_day_events,
+           CAST(SUM(n_events) OVER (
              ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS cum_events
+             AS BIGINT) AS cum_events
     FROM daily
     """,
 )
@@ -630,8 +632,9 @@ def a5_daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                           AS BIGINT)
                 ELSE CAST(CAST(p_retailprice AS DECIMAL(18,4)) * 100
                           AS BIGINT) END AS amount_base_units,
-           list_sum([CAST(strpos('0123456789abcdef', h[i]) - 1 AS BIGINT)
-                     << (4 * (8 - i)) for i in range(1, 9)]) AS hex_val,
+           CAST(list_sum([CAST(strpos('0123456789abcdef', h[i]) - 1 AS BIGINT)
+                          << (4 * (8 - i)) for i in range(1, 9)]) AS BIGINT)
+             AS hex_val,
            CASE WHEN p_size < 10 THEN 'small'
                 WHEN p_size < 30 THEN 'medium'
                 ELSE 'large' END AS size_class,

@@ -142,7 +142,7 @@ def sql_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     bucket = F.least(
-        F.floor(F.col("value") / 25).cast("int"), F.lit(19)
+        F.floor(F.col("value") / 25), F.lit(19).cast("long")
     )
     return (
         ev.groupBy(
@@ -245,7 +245,7 @@ def j12_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT buyer, pid_d, -recv_units FROM tx
     )
     SELECT address, propertyid,
-           SUM(delta) AS net_units,
+           CAST(SUM(delta) AS BIGINT) AS net_units,
            COUNT(*) AS n_deltas
     FROM deltas
     GROUP BY address, propertyid

@@ -19,7 +19,8 @@ from omniengine_spark.sources.sinks import csv_roundtrip, json_roundtrip
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
            MAX(event_id) AS max_event_id
     FROM events
     GROUP BY event_type
@@ -46,7 +47,7 @@ def s13_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS min_doc_id
     FROM documents
     GROUP BY lang

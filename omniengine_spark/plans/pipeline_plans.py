@@ -94,7 +94,7 @@ def _tx_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tx WHERE t = 0
     )
     SELECT address, propertyid,
-           SUM(delta) AS balance,
+           CAST(SUM(delta) AS BIGINT) AS balance,
            COUNT(*) AS n_deltas
     FROM deltas
     GROUP BY address, propertyid

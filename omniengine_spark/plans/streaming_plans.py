@@ -64,7 +64,7 @@ def x6_stream_exactly_once_dedup(
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     )
-    SELECT user_id, SUM(new_session) AS n_sessions
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
     FROM flagged GROUP BY user_id
     """,
 )
@@ -96,10 +96,10 @@ def x4_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_id, user_id,
-           SUM(new_session) OVER (
+           CAST(SUM(new_session) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS session_seq
+             AS BIGINT) AS session_seq
     FROM flagged
     """,
 )

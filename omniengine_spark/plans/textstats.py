@@ -51,9 +51,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(toks)
     return docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.length("text").alias("n_chars_measured"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
         (
             F.length(F.regexp_replace("text", " ", "")).cast("double")
             / n_tokens
@@ -64,7 +64,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(
                 F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
             )
-        ).alias("n_bpe_pieces"),
+        ).cast("long").alias("n_bpe_pieces"),
     )
 
 
@@ -120,7 +120,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         "lang",
-        "n_tokens",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
         stop_ratio.alias("stopword_ratio"),
         ttr.alias("type_token_ratio"),
         score.alias("quality_score"),
@@ -190,7 +190,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("zh")
     )
     return d.select(
-        "doc_id", pred.alias("pred_lang"), best.alias("marker_hits")
+        "doc_id", pred.alias("pred_lang"), best.cast("long").alias("marker_hits")
     )
 
 
@@ -216,5 +216,5 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(norm).alias("content_md5"),
         F.substring(F.md5(norm), 1, 8).alias("bucket8"),
-        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )

@@ -110,7 +110,7 @@ def w3_order_serial(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("o_orderdate", "o_orderkey")
     return orders.select(
-        "o_orderkey", F.row_number().over(w).alias("serial")
+        "o_orderkey", F.row_number().over(w).cast("long").alias("serial")
     )
 
 
@@ -136,7 +136,7 @@ def w4_customer_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select(
         "c_custkey",
         "c_nationkey",
-        F.row_number().over(w).alias("rank_in_nation"),
+        F.row_number().over(w).cast("long").alias("rank_in_nation"),
     )
 
 

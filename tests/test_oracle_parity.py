@@ -34,6 +34,23 @@ def _assert_frames_equal(spark_pd: pd.DataFrame, duck_pd: pd.DataFrame, name: st
         f"oracle {sorted(duck_pd.columns)}"
     )
     a, b = _canon(spark_pd), _canon(duck_pd)
+    # The driver's value-hash is dtype-sensitive: DuckDB HUGEINT sums
+    # surface as float64 while Spark returns int64, hashing differently
+    # even when every value is equal (round-1 lesson — 11 plans failed
+    # only on this).  Enforce pandas dtype equality column-by-column.
+    def _canon_dtype(dt) -> str:
+        s = str(dt)
+        # Driver evidence (r1): f2/x1 hash-matched with spark
+        # datetime64[ns] vs duckdb datetime64[us], so timestamp unit
+        # is normalized by the driver; int64-vs-float64 is NOT.
+        return "datetime64" if s.startswith("datetime64") else s
+
+    for col in a.columns:
+        assert _canon_dtype(a[col].dtype) == _canon_dtype(b[col].dtype), (
+            f"{name}.{col}: spark dtype {a[col].dtype} != "
+            f"oracle dtype {b[col].dtype} (driver hash is dtype-sensitive; "
+            f"CAST the oracle aggregate, see VERDICT r1)"
+        )
     for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
