@@ -390,16 +390,35 @@ def connected_components(
     )
 
 
-def simhash(
-    df: DataFrame, id_col: str, text_col: str
-) -> DataFrame:
-    """64-bit SimHash per document: sign of per-bit vote sums over
-    distinct-token xxhash64 values.
+def md5_token_hash(col, bits: int = 60):
+    """Portable 60-bit token hash: the first 15 hex chars of md5.
 
-    Explode → 64 codegen'd conditional sums (one per bit) → sign
+    md5 is the one hash both Spark and DuckDB ship bit-identically, so
+    a signature built on it is reproducible by the SQL oracle (xxhash64
+    is Spark-only).  15 hex chars = 60 bits keeps the value positive in
+    a signed BIGINT on both engines."""
+    assert bits % 4 == 0 and bits <= 60
+    return F.conv(F.substring(F.md5(col), 1, bits // 4), 16, 10).cast(
+        "long"
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    hasher=None,
+) -> DataFrame:
+    """``bits``-wide SimHash per document: sign of per-bit vote sums
+    over distinct-token hash values (xxhash64 by default; pass
+    ``hasher=md5_token_hash`` with bits=60 for the oracle-reproducible
+    variant).
+
+    Explode → ``bits`` codegen'd conditional sums (one per bit) → sign
     fold.  Same rationale as ``minhash_signatures``: stay out of
     interpreted HOF lambdas, let map-side combine shrink the shuffle
-    to one 64-int row per doc.
+    to one int row per doc.
     """
     posting = df.select(
         F.col(id_col).alias("doc_id"),
@@ -407,17 +426,18 @@ def simhash(
             F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
         ).alias("tok"),
     )
-    h = F.xxhash64(F.col("tok"))
+    h = (hasher or F.xxhash64)(F.col("tok"))
     votes = [
         F.sum(
             F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
         ).alias(f"_v{j}")
-        for j in range(64)
+        for j in range(bits)
     ]
     d = posting.groupBy("doc_id").agg(*votes)
     fp = F.lit(0).cast("long")
-    for j in range(64):
-        bit = 1 << j if j < 63 else -(1 << 63)  # signed-long high bit
+    for j in range(bits):
+        # signed-long high bit only exists in the 64-wide layout
+        bit = 1 << j if j < 63 else -(1 << 63)
         fp = fp.bitwiseOR(
             F.when(F.col(f"_v{j}") >= 0, F.lit(bit).cast("long")).otherwise(
                 F.lit(0).cast("long")
@@ -427,7 +447,12 @@ def simhash(
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+    hasher=None,
 ) -> DataFrame:
     """Pairs within Hamming distance k of each other's SimHash.
 
@@ -436,8 +461,8 @@ def simhash_near_pairs(
     key is (chunk_idx, chunk_value), never an all-pairs scan.
     """
     chunks = max_hamming + 1
-    width = 64 // chunks
-    fps = simhash(df, id_col, text_col)
+    width = bits // chunks
+    fps = simhash(df, id_col, text_col, bits=bits, hasher=hasher)
     bands = fps.select(
         "doc_id",
         "simhash64",

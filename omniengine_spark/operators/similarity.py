@@ -319,42 +319,158 @@ def ivf_ann_topk(
     )
 
 
+def deterministic_planes(
+    seed: int, n_planes: int, dim: int
+) -> list[list[float]]:
+    """Hyperplane constants derived from md5(seed:plane:dim-index).
+
+    md5 is bit-identical in Python hashlib, Spark, and DuckDB, so the
+    same constants can be rebuilt (or inlined) on every engine — the
+    SQL oracle reproduces the exact buckets.  Components are exact
+    multiples of 2^-15 in [-1, 1), so their decimal literals round-trip
+    exactly through any parser.
+    """
+    import hashlib
+
+    return [
+        [
+            int(
+                hashlib.md5(f"{seed}:{p}:{j}".encode()).hexdigest()[:4], 16
+            )
+            / 32768.0
+            - 1.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def ivf_ann_topk_portable(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF top-k with a portable deterministic quantizer.
+
+    Centroids are the ``n_clusters`` data vectors with the smallest
+    md5-hash of their id — no Lloyd averaging, so no float-accumulation
+    ordering to diverge between engines; assignment, probing, and
+    rescoring are all codegen cosine folds whose doubles are
+    bit-identical to a SQL oracle's sequential evaluation.  The
+    kmeans-refined gemm variant (``ivf_ann_topk``) is the recall/perf
+    path; this is the exactly-checkable one — same inverted-list +
+    probe machinery, different quantizer.
+
+    Scale: the seed selection is a global top-``n_clusters``
+    (TakeOrderedAndProject, k·d floats broadcast back); assignment is
+    a broadcast cross join N×n_clusters with one narrow shuffle for
+    the per-vector argmax window.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    seeds = (
+        vectors.select(
+            F.col(id_col).alias("cluster"),
+            F.col(vec_col).alias("cvec"),
+            h.alias("h"),
+        )
+        .orderBy("h", "cluster")
+        .limit(n_clusters)
+        .select("cluster", "cvec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec")
+    )
+    wa = Window.partitionBy("nbr_id").orderBy(
+        F.col("csim").desc(), F.col("cluster").asc()
+    )
+    lists = (
+        v.crossJoin(F.broadcast(seeds))
+        .select(
+            "nbr_id",
+            "nbr_vec",
+            "cluster",
+            cosine(F.col("nbr_vec"), F.col("cvec")).alias("csim"),
+        )
+        .withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") == 1)
+        .select("nbr_id", "nbr_vec", "cluster")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cluster").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(seeds))
+        .select(
+            "query_id",
+            "query_vec",
+            "cluster",
+            cosine(F.col("query_vec"), F.col("cvec")).alias("csim"),
+        )
+        .withColumn("arank", F.row_number().over(wq))
+        .filter(F.col("arank") <= nprobe)
+        .select("query_id", "query_vec", "cluster")
+    )
+    # each vector sits in exactly one list (arank == 1), so a query
+    # meets each neighbor at most once — no dedup shuffle needed
+    scored = (
+        probes.join(lists, "cluster")
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            cosine(F.col("query_vec"), F.col("nbr_vec")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", "score")
+    )
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 12,
     seed: int = 42,
+    dim: int = 64,
 ) -> DataFrame:
     """Random-hyperplane signature per vector: bit i = sign(v · h_i).
 
-    Hyperplane components are derived deterministically from
-    xxhash64(seed, plane, dim) so executors need no broadcast state
-    and replays are reproducible (the engine-wide determinism rule).
+    Hyperplanes are ``deterministic_planes`` literals baked into the
+    plan — no broadcast state, no per-element hash evaluation in an
+    interpreted HOF lambda (a measured 13× trap), and replays are
+    reproducible (the engine-wide determinism rule).
     """
-    dims = F.size(F.col(vec_col))
-
-    def plane_component(plane: int, j: Column) -> Column:
-        h = F.xxhash64(F.lit(seed), F.lit(plane), j)
-        # map hash to [-1, 1) deterministically
-        return (h % 65536).cast("double") / 32768.0
+    planes = deterministic_planes(seed, n_planes, dim)
 
     def plane_bit(plane: int) -> Column:
+        lit_plane = F.array(*[F.lit(c) for c in planes[plane]])
         dot = F.aggregate(
             F.zip_with(
                 F.col(vec_col),
-                F.transform(
-                    F.sequence(F.lit(0), dims - 1),
-                    lambda j: plane_component(plane, j),
-                ),
+                lit_plane,
                 lambda x, h: x.cast("double") * h,
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        return F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), plane)).otherwise(
-            F.lit(0).cast("long")
-        )
+        return F.when(
+            dot >= 0, F.shiftleft(F.lit(1).cast("long"), plane)
+        ).otherwise(F.lit(0).cast("long"))
 
     bucket = plane_bit(0)
     for p in range(1, n_planes):
@@ -373,14 +489,15 @@ def lsh_ann_topk(
     k: int = 5,
     n_planes: int = 8,
     seed: int = 42,
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate cosine top-k: compare only within LSH buckets.
 
-    Recall < 1 by construction (bucket boundaries); the exact
-    brute-force plan is the oracle-checkable baseline, this is the
-    scale path.
+    Recall < 1 by construction (bucket boundaries), but the result is
+    deterministic and engine-independent: the oracle rebuilds the same
+    buckets from the same plane constants and must match exactly.
     """
-    b = hyperplane_lsh_buckets(vectors, id_col, vec_col, n_planes, seed)
+    b = hyperplane_lsh_buckets(vectors, id_col, vec_col, n_planes, seed, dim)
     pairs = (
         b.alias("a")
         .join(b.alias("b"), "bucket")

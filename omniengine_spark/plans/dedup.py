@@ -11,6 +11,7 @@ from __future__ import annotations
 from fractions import Fraction
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from omniengine_spark.operators import dedup as D
 from omniengine_spark.plans.registry import query
@@ -96,10 +97,55 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # rows-only: xxhash64 not reproducible in DuckDB
+# SimHash with the portable md5-derived 60-bit token hash, so the
+# oracle can rebuild the identical fingerprints and check the banded
+# Spark plan against an independent ALL-PAIRS hamming scan.
+_SH_BITS = 60
+_SH_VOTES = ",\n             ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(_SH_BITS)
+)
+_SH_FP = " | ".join(
+    f"(CASE WHEN v{j} >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    f" << {j})"
+    for j in range(_SH_BITS)
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH posting AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+               AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(list_sum(
+               [CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1
+                     AS BIGINT) << (4 * (15 - i)) for i in range(1, 16)])
+               AS BIGINT) AS h
+      FROM posting
+    ), votes AS (
+      SELECT doc_id, {_SH_VOTES}
+      FROM hashed GROUP BY doc_id
+    ), fp AS (
+      SELECT doc_id, {_SH_FP} AS sh FROM votes
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+    out = D.simhash_near_pairs(
+        docs, "doc_id", "text",
+        max_hamming=3, bits=_SH_BITS, hasher=D.md5_token_hash,
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
 @query(

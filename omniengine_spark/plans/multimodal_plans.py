@@ -54,6 +54,28 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(_media(spark, sf_dir))
 
 
-@query("mm_byte_histogram")  # rows-only: float32 array output
+# Per-nibble byte-count histogram as 16 scalar columns.  The corpus is
+# pure ASCII (verified: octet_length == length for every doc), so the
+# oracle reproduces the byte counts from code points exactly.
+_BIN_EXPRS = ",\n           ".join(
+    f"CAST(len(list_filter(codes, c -> c // 16 = {i})) AS BIGINT)"
+    f" AS bin_{i:02d}"
+    for i in range(16)
+)
+
+
+@query(
+    "mm_byte_histogram",
+    oracle=f"""
+    SELECT doc_id,
+           {_BIN_EXPRS}
+    FROM (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(text, ''),
+                            x -> ascii(x)) AS codes
+      FROM documents
+    )
+    """,
+)
 def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return M.byte_histogram_features(_media(spark, sf_dir))
+    return M.byte_histogram_scalars(_media(spark, sf_dir))

@@ -48,20 +48,126 @@ def sim_bruteforce_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
-@query("sim_lsh_ann_topk")  # rows-only: approximate by construction
+# LSH planes are md5-derived constants (operators/similarity.py:
+# deterministic_planes) — identical literals inlined into the Spark
+# plan and the oracle, so the approximate result is still exactly
+# checkable: same buckets, same candidates, same exact rescoring.
+_N_PLANES = 8
+_DIM = 64
+_PLANES = S.deterministic_planes(seed=42, n_planes=_N_PLANES, dim=_DIM)
+
+
+def _plane_lit(p: list[float]) -> str:
+    return "[" + ", ".join(repr(c) for c in p) + "]"
+
+
+_BUCKET_SQL = " | ".join(
+    f"(CASE WHEN list_dot_product(v, {_plane_lit(_PLANES[p])}) >= 0 "
+    f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {p})"
+    for p in range(_N_PLANES)
+)
+
+
+@query(
+    "sim_lsh_ann_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e
+    ), scored AS (
+      SELECT a.vec_id AS query_id, c.vec_id AS nbr_id,
+             list_dot_product(a.v, c.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS score
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, nbr_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, nbr_id, CAST(rank AS INT) AS rank, score
+    FROM ranked WHERE rank <= {_K}
+    """,
+)
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.lsh_ann_topk(emb, "vec_id", "embedding", k=_K, n_planes=8)
+    out = S.lsh_ann_topk(
+        emb, "vec_id", "embedding", k=_K, n_planes=_N_PLANES, dim=_DIM
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
 
 
-@query("sim_ivf_ann_topk")  # rows-only: approximate by construction
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+_MD5_ID_HASH = """
+      CAST(list_sum(
+        [CAST(strpos('0123456789abcdef',
+                     substr(md5(CAST(vec_id AS VARCHAR)), i, 1)) - 1
+              AS BIGINT) << (4 * (15 - i)) for i in range(1, 16)])
+        AS BIGINT)
+"""
+
+
+@query(
+    "sim_ivf_ann_topk",
+    # Portable IVF (operators/similarity.py:ivf_ann_topk_portable):
+    # md5-seeded centroids, no Lloyd averaging, so the oracle rebuilds
+    # the identical index and the approximate result is exactly
+    # checkable.  The kmeans gemm variant keeps its recall pin in
+    # tests/test_similarity.py.
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), hh AS (
+      SELECT vec_id, v, {_MD5_ID_HASH} AS h FROM e
+    ), seeds AS (
+      SELECT vec_id AS cluster, v AS cvec FROM hh ORDER BY h, cluster
+      LIMIT 16
+    ), asg AS (
+      SELECT e.vec_id AS nbr_id, e.v AS nbr_vec, s.cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.v', 's.cvec')} DESC, s.cluster ASC)
+               AS arank
+      FROM e CROSS JOIN seeds s
+    ), lists AS (
+      SELECT nbr_id, nbr_vec, cluster FROM asg WHERE arank = 1
+    ), q AS (
+      SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_N_QUERIES}
+    ), qasg AS (
+      SELECT q.vec_id AS query_id, q.v AS query_vec, s.cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_cos_sql('q.v', 's.cvec')} DESC, s.cluster ASC)
+               AS arank
+      FROM q CROSS JOIN seeds s
+    ), probes AS (
+      SELECT query_id, query_vec, cluster FROM qasg WHERE arank <= 4
+    ), scored AS (
+      SELECT p.query_id, l.nbr_id,
+             {_cos_sql('p.query_vec', 'l.nbr_vec')} AS score
+      FROM probes p JOIN lists l ON p.cluster = l.cluster
+      WHERE p.query_id <> l.nbr_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, nbr_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, nbr_id, CAST(rank AS INT) AS rank, score
+    FROM ranked WHERE rank <= {_K}
+    """,
+)
 def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF: deterministic coarse quantizer + probe-limited search —
-    the O(N·nprobe/k) scale path; recall vs brute force is pinned in
-    tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.orderBy("vec_id").limit(_N_QUERIES)
-    return S.ivf_ann_topk(
+    out = S.ivf_ann_topk_portable(
         emb, queries, "vec_id", "embedding",
         k=_K, n_clusters=16, nprobe=4,
     )
+    return out.withColumn("rank", F.col("rank").cast("int"))
