@@ -4,9 +4,11 @@
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is materialized via a count-collect (df.count() after the
-plan's own actions) so the full plan executes; results are not pulled
-to the driver beyond the count.
+Each query is materialized by collecting an xxhash64 checksum over
+every output column — count() alone lets Catalyst prune
+projection-only work (the timing would measure a parquet row count,
+not the plan), while the checksum forces every output expression to
+evaluate; only one aggregate row reaches the driver.
 """
 
 from __future__ import annotations
@@ -39,23 +41,40 @@ def main() -> None:
 
     load_table(spark, sf_dir, "region").count()
 
+    from pyspark.sql import functions as F
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in sorted(QUERIES.items()):
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        df.count()
+        df.select(
+            F.xxhash64(*[F.col(c) for c in df.columns]).alias("_h")
+        ).agg(F.expr("bit_xor(_h)"), F.count("_h")).collect()
         dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
+        timings[name] = round(dt, 3)
         total += dt
+
+    # Keep the JSON line inside the driver's stdout tail window
+    # (BENCH_r01 came back parsed:null because the full per-query dict
+    # overflowed it): detail the slow queries, fold the rest into one
+    # bucket.
+    ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+    slow = dict(kv for kv in ranked[:40] if kv[1] >= 0.25)
+    fast = {n: t for n, t in timings.items() if n not in slow}
+    queries_out = dict(sorted(slow.items(), key=lambda kv: -kv[1]))
+    if fast:
+        queries_out["_fast_bucket"] = round(sum(fast.values()), 3)
+        queries_out["_fast_bucket_n"] = len(fast)
 
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_clock",
-                "value": round(total, 4),
+                "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
+                "queries": queries_out,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -57,10 +57,25 @@ def as_of_join(
     unioned = l_tagged.unionByName(
         r_tagged.select(*l_tagged.columns)
     )
-    # right rows sort before left rows at equal ts → inclusive as-of
+    # right rows sort before left rows at equal ts → inclusive as-of.
+    # _tie breaks ties among multiple right rows at the same (key, ts)
+    # deterministically (payload hash): without it their relative order
+    # — and therefore the carried asof_ payload — would follow
+    # partition sort order, varying across runs (engine determinism
+    # rule).  Left rows get a constant; their order among themselves is
+    # irrelevant (each carries the same last-right state).
+    tie = (
+        F.when(
+            F.col("_side") == 0,
+            F.xxhash64(*[F.col(f"_r_{c}") for c in payload]),
+        ).otherwise(F.lit(0))
+        if payload
+        else F.lit(0)
+    )
+    unioned = unioned.withColumn("_tie", tie)
     w = (
         Window.partitionBy(key)
-        .orderBy("_ats", "_side")
+        .orderBy("_ats", "_side", "_tie")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

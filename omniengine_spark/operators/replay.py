@@ -56,8 +56,13 @@ def ordered_replay(
         carry: pd.DataFrame | None = None
 
         def fold_block(block: pd.DataFrame):
+            # dropna=False: a null entity key is reachable (e.g.
+            # expand_deltas emits a null address when the reference
+            # address is null) and must fold as its own group, not be
+            # silently dropped (pandas groupby default).
             outs = [
-                fold(g) for _, g in block.groupby(keys, sort=False)
+                fold(g)
+                for _, g in block.groupby(keys, sort=False, dropna=False)
             ]
             return pd.concat(outs, ignore_index=True)
 
@@ -67,11 +72,16 @@ def ordered_replay(
                 carry = None
             if not len(pdf):
                 continue
-            # the last key may continue in the next batch — hold it
+            # the last key may continue in the next batch — hold it;
+            # null-aware equality so a null-key tail group carries too
+            # (NaN == NaN is False)
             last = pdf.iloc[-1]
             tail_mask = pd.Series(True, index=pdf.index)
             for k in keys:
-                tail_mask &= pdf[k] == last[k]
+                eq = pdf[k] == last[k]
+                if pd.isna(last[k]):
+                    eq = pdf[k].isna()
+                tail_mask &= eq
             carry = pdf[tail_mask]
             done = pdf[~tail_mask]
             if len(done):

@@ -40,10 +40,17 @@ def salted_agg(
     if bad:
         raise ValueError(f"non-mergeable aggregate(s): {sorted(bad)}")
 
+    # Default salt mixes a per-row id into the content hash: fully
+    # identical duplicate rows of a hot key would otherwise all hash to
+    # one salt, defeating the mitigation in exactly the duplicate-heavy
+    # case it targets.  The salt only routes rows across reducers —
+    # algebraic aggregates merge identically whatever the routing — so
+    # the row-id's run-to-run instability never reaches the result.
     salt_cols = (
         [F.col(salt_from)]
         if salt_from
         else [F.col(c) for c in df.columns]
+        + [F.monotonically_increasing_id()]
     )
     salted = df.withColumn(
         "_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts))
@@ -75,9 +82,18 @@ def salted_join(
     """Equi-join with the big side salted and the small side
     replicated ``n_salts`` times, so a hot key spreads over
     ``n_salts`` reducers instead of one."""
+    # per-row id in the salt hash: see salted_agg — duplicate rows must
+    # spread, and the join result is independent of which salt a big-
+    # side row takes (the small side is replicated across all salts)
     big_s = big.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)),
+        F.pmod(
+            F.xxhash64(
+                *[F.col(c) for c in big.columns],
+                F.monotonically_increasing_id(),
+            ),
+            F.lit(n_salts),
+        ),
     )
     small_r = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -58,3 +58,21 @@ def test_frame_sampler_covers_all_bytes(spark):
     frames = M.sample_frames(media).collect()
     assert [f["frame_idx"] for f in frames] == [0, 1, 2]
     assert [f["frame_offset"] for f in frames] == [0, 1024, 2048]
+
+
+def test_floor_balance_replay_keeps_null_key_group(spark):
+    # null entity keys are reachable (expand_deltas emits null address
+    # when reference_address is null) — pandas groupby would silently
+    # drop them without dropna=False, and the batch-boundary carry mask
+    # must treat NaN == NaN as same-group.
+    rows = [(1, None, "2020-01-01 00:00:00", 7),
+            (2, None, "2020-01-01 00:01:00", -3),
+            (3, 10, "2020-01-01 00:02:00", 5)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, delta_cents long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["event_id"]: r["balance_cents"]
+        for r in floor_balance_replay(df).collect()
+    }
+    assert out == {1: 7, 2: 4, 3: 5}
