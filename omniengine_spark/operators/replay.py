@@ -250,6 +250,71 @@ def frozen_balance_replay(
     return ordered_replay(entries, list(key_cols), [order_col], fold, schema)
 
 
+def full_balance_replay(
+    entries: DataFrame,
+    key_cols: Sequence[str] = ("address", "propertyid"),
+    order_col: str = "serial",
+) -> DataFrame:
+    """Four-column AddressBalances fold for keys that carry a
+    freeze/unfreeze marker (reference ``updateBalance``,
+    ``sql.py:1320-1418``; markers from txtypes 185/186,
+    ``sql.py:2329-2372``):
+
+    * ``freeze``    → available moves to frozen; while frozen, every
+      available-column delta is diverted to frozen (the "frozen
+      address can receive but not send" rule, ``sql.py:1408-1414``)
+    * ``unfreeze``  → frozen moves back to available
+    * reserved/accepted deltas are unaffected by freezing
+
+    Input rows: key_cols + order_col + ``kind`` + the three delta
+    columns as longs.  Output: one row per key with
+    (available, reserved, accepted, frozen).
+    """
+    schema = T.StructType(
+        [T.StructField(k, T.StringType() if k == "address" else T.LongType())
+         for k in key_cols]
+        + [
+            T.StructField("available", T.LongType()),
+            T.StructField("reserved", T.LongType()),
+            T.StructField("accepted", T.LongType()),
+            T.StructField("frozen", T.LongType()),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        avail, resv, acc, frozen = 0, 0, 0, 0
+        is_frozen = False
+        for kind, d_a, d_r, d_c in zip(
+            pdf["kind"],
+            pdf["delta_base_units"],
+            pdf["delta_reserved"],
+            pdf["delta_accepted"],
+        ):
+            if kind == "freeze":
+                frozen += avail
+                avail = 0
+                is_frozen = True
+            elif kind == "unfreeze":
+                avail += frozen
+                frozen = 0
+                is_frozen = False
+            else:
+                if is_frozen:
+                    frozen += int(d_a)
+                else:
+                    avail += int(d_a)
+                resv += int(d_r)
+                acc += int(d_c)
+        out = {k: [pdf[k].iloc[0]] for k in key_cols}
+        out["available"] = [avail]
+        out["reserved"] = [resv]
+        out["accepted"] = [acc]
+        out["frozen"] = [frozen]
+        return pd.DataFrame(out)
+
+    return ordered_replay(entries, list(key_cols), [order_col], fold, schema)
+
+
 def event_delta_cents(value_col: str = "value", type_col: str = "event_type"):
     """Signed integer-cent delta for the harness event stream:
     purchases credit, errors and clicks debit, the rest are neutral —

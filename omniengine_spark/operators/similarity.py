@@ -91,13 +91,17 @@ def cosine_pair_join(
     vec_col: str = "embedding",
     threshold: float = 0.99,
     margin: float = 1e-9,
+    n_blocks: int | None = None,
+    target_block_bytes: int = 128 << 20,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold, exact.
+    """All pairs with cosine ≥ threshold, exact — fully distributed.
 
-    Two phases: (1) candidate generation as a blocked matrix multiply
-    — the reference side is collected and broadcast as one normalized
-    float64 matrix, the probe side streams through ``mapInPandas`` in
-    Arrow batches, and each batch is one BLAS gemm; (2) exact
+    Two phases: (1) candidate generation as a BLOCK-partitioned
+    matrix multiply: vectors hash into ``n_blocks`` tiles, every tile
+    pair (bi ≤ bj) cogroups once, and each cogroup runs one BLAS gemm
+    over its two tiles inside ``applyInPandas``.  Nothing is
+    collected to the driver, and no single executor ever holds more
+    than two tiles (~``target_block_bytes`` each).  (2) exact
     verification of candidates with the strict left-to-right fold
     (``cosine``), which is bit-identical to the oracle's sequential
     loop.  The gemm uses pairwise summation so its value can differ
@@ -105,17 +109,50 @@ def cosine_pair_join(
     candidate cut so no true pair is lost, and verification restores
     exactness.
 
-    Scale: valid whenever the reference side fits in executor memory
-    (N·d·8 bytes — 1 M × 768 ≈ 6 GB is the practical ceiling).  Above
-    that, use the LSH-bucketed path (``lsh_ann_topk``) or block both
-    sides.
+    Scale: shuffle volume is 2·n_blocks·|V| (each vector lands in
+    n_blocks tile pairs per side) — the standard √-replication cost
+    of dense blocked matmul.  With 128 MB tiles a 1 M × 768 corpus is
+    ~48 blocks and ~96× replication of 6 GB ≈ 0.6 TB shuffled across
+    the cluster, versus a hard driver OOM before; corpora that are
+    mostly-sparse in similarity should prefer ``lsh_ann_topk``.
+    ``n_blocks=None`` sizes tiles from a count+head probe.
     """
     spark = vectors.sparkSession
-    ref = vectors.select(id_col, vec_col).collect()
-    ids = np.array([r[id_col] for r in ref], dtype=np.int64)
-    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in ref])
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    if n_blocks is None:
+        first = vectors.select(vec_col).head(1)
+        if not first:
+            n_blocks = 1
+        else:
+            dim = len(first[0][0])
+            n_rows = vectors.count()
+            n_blocks = max(
+                1, -(-n_rows * dim * 8 // target_block_bytes)
+            )
+    nb = int(n_blocks)
+
+    # both cogroup sides derive from `vectors`; disjoint column names
+    # and per-side tile frames keep the self-join lineage unambiguous
+    def side(idn: str, vecn: str, blk_key: str) -> DataFrame:
+        tiles = (
+            spark.range(nb)
+            .select(F.col("id").cast("int").alias("bi"))
+            .crossJoin(
+                spark.range(nb).select(F.col("id").cast("int").alias("bj"))
+            )
+            .filter(F.col("bi") <= F.col("bj"))
+        )
+        s = vectors.select(
+            F.col(id_col).cast("long").alias(idn),
+            F.col(vec_col).alias(vecn),
+        ).withColumn(
+            "_blk", F.pmod(F.xxhash64(F.col(idn)), F.lit(nb)).cast("int")
+        )
+        return s.join(
+            F.broadcast(tiles), s["_blk"] == F.col(blk_key)
+        ).select("bi", "bj", idn, vecn)
+
+    left = side("_lid", "_lvec", "bi")
+    right = side("_rid", "_rvec", "bj")
 
     out_schema = T.StructType(
         [
@@ -125,22 +162,38 @@ def cosine_pair_join(
     )
     cut = threshold - margin
 
-    def candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ref_ids, ref_mat = bc.value
-        for pdf in batches:
-            a = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            sims = a @ ref_mat.T
-            ii, jj = np.nonzero(sims >= cut)
-            pa = pdf[id_col].to_numpy()[ii]
-            pb = ref_ids[jj]
-            keep = pa < pb  # dedupe orientation + drop self-pairs
-            yield pd.DataFrame({"vec_a": pa[keep], "vec_b": pb[keep]})
+    def gemm_tile(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        lmat = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in lpdf["_lvec"]]
+        )
+        lmat /= np.linalg.norm(lmat, axis=1, keepdims=True)
+        rmat = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in rpdf["_rvec"]]
+        )
+        rmat /= np.linalg.norm(rmat, axis=1, keepdims=True)
+        sims = lmat @ rmat.T
+        ii, jj = np.nonzero(sims >= cut)
+        pa = lpdf["_lid"].to_numpy()[ii]
+        pb = rpdf["_rid"].to_numpy()[jj]
+        if key[0] == key[1]:
+            # diagonal tile: both sides identical — a<b dedupes the
+            # orientation and drops self-pairs
+            keep = pa < pb
+            pa, pb = pa[keep], pb[keep]
+        else:
+            # off-diagonal: every cross pair appears exactly once —
+            # canonicalize the orientation
+            lo = np.minimum(pa, pb)
+            hi = np.maximum(pa, pb)
+            pa, pb = lo, hi
+        return pd.DataFrame({"vec_a": pa, "vec_b": pb})
 
-    cand = vectors.select(id_col, vec_col).mapInPandas(
-        candidates, schema=out_schema
+    cand = (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(gemm_tile, schema=out_schema)
     )
     a = vectors.select(
         F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")

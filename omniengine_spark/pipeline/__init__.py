@@ -2,8 +2,11 @@
 DataFrame stages."""
 
 from omniengine_spark.pipeline.omni import (
+    BTC_TX_SCHEMA,
     RAW_TX_SCHEMA,
     build_balances,
+    build_full_balances,
+    expand_btc_deltas,
     expand_deltas,
     stamp_serials,
     stamp_serials_distributed,
@@ -11,8 +14,11 @@ from omniengine_spark.pipeline.omni import (
 )
 
 __all__ = [
+    "BTC_TX_SCHEMA",
     "RAW_TX_SCHEMA",
     "build_balances",
+    "build_full_balances",
+    "expand_btc_deltas",
     "expand_deltas",
     "stamp_serials",
     "stamp_serials_distributed",

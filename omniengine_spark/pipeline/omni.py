@@ -11,16 +11,34 @@ Stage map (reference site → here):
 2. ``expand_deltas``   — the 25-way ``insertTxAddr`` dispatch
    (``sql.py:1664-2409``) → per-type column expressions producing
    1..N double-entry delta rows per tx via ``inline``/``explode``
-   (D1).  Implemented types: simple send (0, ``sql.py:1776-1797``),
-   send-all subsends (4, ``sql.py:1862-1899``), STO with
-   pre-computed recipients (3, ``sql.py:1802-1846``), MetaDEx trade
-   with pre-computed matches (25, ``sql.py:2032-2166``), fixed-supply
-   issuance (50, ``sql.py:2168-2244``), grant/revoke (55/56,
-   ``sql.py:2246-2327``).  Invalid txs expand to zero delta rows,
-   matching the reference's ``valid`` gating.
+   (D1).  Each delta row carries the reference's three credit/debit
+   columns (BalanceAvailable/Reserved/AcceptedCreditDebit) plus a
+   ``kind`` marker for the order-dependent freeze rule.  Implemented
+   types: simple send (0, ``sql.py:1776-1797``), STO with fee burn
+   (3, ``sql.py:1802-1846``), send-all subsends (4,
+   ``sql.py:1862-1899``), DEx-1 sell offer with replace/cancel
+   credit-back (20, ``sql.py:704-794`` + ``1904-1926``), DEx-1
+   accept (22, ``sql.py:1933-1964``), DEx-1 accept payment (-22,
+   ``sql.py:1966-2030``), MetaDEx trade with reserve semantics and
+   pre-computed matches (25, ``sql.py:2032-2127``), MetaDEx cancels
+   (26/27/28, ``sql.py:2129-2166``), crowdsale create/participate/
+   close (51/-51/53, ``sql.py:2175-2244``, ``csvtools.py:205-256``),
+   managed create/grant/revoke (54/55/56, ``sql.py:2246-2285``),
+   change-issuer (70, ``sql.py:2287-2304``), delegate updates
+   (73/74, ``sql.py:2306-2327``), freeze/unfreeze markers (185/186,
+   ``sql.py:2329-2372`` — folded by ``full_balance_replay``),
+   send-any-data (200) and notifications (65533/65534,
+   ``sql.py:2373-2396``) as zero-delta participation rows.  Invalid
+   txs expand to zero delta rows, matching the reference's ``valid``
+   gating; per-purchase validity gates each DEx payment
+   (``sql.py:1989-2024``).
 3. ``build_balances``  — ``updateBalance`` read-modify-write
    (``sql.py:1320-1418``) → one groupBy-sum fold (A10) in exact
    base units (F1 scaling via ``scale_base_units``).
+   ``build_full_balances`` adds the reserved/accepted columns and
+   the frozen-funds rule (``sql.py:1408-1414``): keys that carry a
+   freeze/unfreeze marker are routed through an ordered replay,
+   everything else stays in the one-shuffle groupBy fold.
 4. ``with_after_balances`` — ``finalizeAfterBalances``
    (``sql.py:1658-1662``) → cumulative window per (address,
    property) in serial order (W2).
@@ -94,6 +112,66 @@ RAW_TX_SCHEMA = T.StructType(
             ),
             True,
         ),
+        # DEx-1 sell offer (type 20, sql.py:704-794): subaction
+        # ('new'|'update'|'cancel'), the remaining amount of any prior
+        # active offer being replaced/cancelled (the reference reads
+        # it from ActiveOffers; the decoder supplies it here, like
+        # omnicore supplies the match list), and the offer terms.
+        T.StructField("subaction", T.StringType(), True),
+        T.StructField("remainder", T.StringType(), True),
+        T.StructField("amount_desired", T.StringType(), True),
+        T.StructField("time_limit", T.LongType(), True),
+        # STO fee (type 3, sql.py:1806-1821): totalstofee in the fee
+        # property's units — burned, never credited.
+        T.StructField("sto_fee", T.StringType(), True),
+        # DEx-1 accept payment (type -22, sql.py:1966-2030): one
+        # purchase per (seller, property) paid in this BTC tx, each
+        # individually valid-gated.
+        T.StructField(
+            "purchases",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("reference_address", T.StringType()),
+                        T.StructField("propertyid", T.LongType()),
+                        T.StructField("divisible", T.BooleanType()),
+                        T.StructField("amount_bought", T.StringType()),
+                        T.StructField("valid", T.BooleanType()),
+                    ]
+                )
+            ),
+            True,
+        ),
+        # MetaDEx cancels (26/27/28, sql.py:2129-2166): the cancelled
+        # transactions with their unreserved amounts, pre-computed by
+        # omni_gettrade's cancelledtransactions list.
+        T.StructField(
+            "cancellations",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("txid", T.StringType()),
+                        T.StructField("propertyid", T.LongType()),
+                        T.StructField("divisible", T.BooleanType()),
+                        T.StructField(
+                            "amount_unreserved", T.StringType()
+                        ),
+                    ]
+                )
+            ),
+            True,
+        ),
+        # MetaDEx trade (25): the amount moved into reserve when the
+        # offer lands (sql.py:2037-2055); null → no reservation row.
+        T.StructField("amount_forsale", T.StringType(), True),
+        # Crowdsale participation (-51, sql.py:2180-2233 +
+        # csvtools.py:205-256): tokens minted for the participant and
+        # the issuer bonus, both pre-computed by the decoder from the
+        # crowdsale terms (tokensperunit, early-bird decay, issuer %).
+        T.StructField("purchased_propertyid", T.LongType(), True),
+        T.StructField("purchased_divisible", T.BooleanType(), True),
+        T.StructField("purchased_tokens", T.StringType(), True),
+        T.StructField("issuer_tokens", T.StringType(), True),
     ]
 )
 
@@ -149,121 +227,116 @@ def _base_units(amount: F.Column, divisible: F.Column) -> F.Column:
     return scale_base_units(amount.cast("decimal(38,8)"), divisible)
 
 
+# Delta-row struct: the reference's AddressesInTxs credit/debit
+# columns.  delta_base_units == BalanceAvailableCreditDebit (name kept
+# from the single-column round-1 model for plan compatibility).
+_DELTA_STRUCT = (
+    "struct<address:string,propertyid:bigint,"
+    "delta_base_units:decimal(19,0),delta_reserved:decimal(19,0),"
+    "delta_accepted:decimal(19,0),kind:string,role:string>"
+)
+_DELTA_ARR = f"array<{_DELTA_STRUCT}>"
+_DEC = "decimal(19,0)"
+
+
 def expand_deltas(txs: DataFrame) -> DataFrame:
     """Per-txtype expansion into double-entry ledger rows
-    (address, propertyid, delta_base_units, role, serial)."""
-    amt = _base_units(F.col("amount"), F.col("divisible"))
-    neg = (-amt).cast("decimal(19,0)")
+    (address, propertyid, delta_base_units [available],
+    delta_reserved, delta_accepted, kind, role, serial).
+
+    ``kind`` is 'delta' for arithmetic rows and 'freeze'/'unfreeze'
+    for the type-185/186 markers, which only ``full_balance_replay``
+    interprets (the fold is order-dependent, sql.py:1408-1414).
+
+    Optional ``RAW_TX_SCHEMA`` fields absent from ``txs`` are added as
+    typed nulls, so a caller only carrying the fields its txtypes use
+    still resolves — null-only columns are constant-folded by
+    Catalyst, they cost nothing at scale.
+    """
+    present = set(txs.columns)
+    for field in RAW_TX_SCHEMA.fields:
+        if field.name not in present and field.nullable:
+            txs = txs.withColumn(
+                field.name, F.lit(None).cast(field.dataType)
+            )
+
+    zero = F.lit(0).cast(_DEC)
 
     def rows(*structs: F.Column) -> F.Column:
         return F.array(*structs)
 
-    def row(addr: F.Column, pid: F.Column, delta: F.Column, role: str):
+    def row(addr, pid_c, avail, resv, acc, role, kind="delta"):
         return F.struct(
             addr.alias("address"),
-            pid.alias("propertyid"),
-            delta.cast("decimal(19,0)").alias("delta_base_units"),
+            pid_c.cast("bigint").alias("propertyid"),
+            avail.cast(_DEC).alias("delta_base_units"),
+            resv.cast(_DEC).alias("delta_reserved"),
+            acc.cast(_DEC).alias("delta_accepted"),
+            F.lit(kind).alias("kind"),
             F.lit(role).alias("role"),
         )
 
+    def maybe(cond: F.Column, arr: F.Column) -> F.Column:
+        return F.when(cond, arr).otherwise(F.array().cast(_DELTA_ARR))
+
+    amt = _base_units(F.col("amount"), F.col("divisible"))
+    neg = (-amt).cast(_DEC)
     pid = F.col("propertyid")
+    sender = F.col("sending_address")
+    ref = F.col("reference_address")
+    has_ref = ref.isNotNull() & (ref != "")
 
     # type 0 — simple send: sender debit, recipient credit
-    simple = rows(
-        row(F.col("sending_address"), pid, neg, "sender"),
-        row(F.col("reference_address"), pid, amt, "recipient"),
+    # (recipient row only when a reference address exists,
+    # sql.py:1788-1797)
+    simple = F.concat(
+        rows(row(sender, pid, neg, zero, zero, "sender")),
+        maybe(has_ref, rows(row(ref, pid, amt, zero, zero, "recipient"))),
     )
 
     # type 50 — fixed issuance: issuer credited with created supply
-    issue = rows(row(F.col("sending_address"), pid, amt, "issuer"))
+    issue = rows(row(sender, pid, amt, zero, zero, "issuer"))
 
-    # type 55 — grant: issuer mints to reference address
-    grant = rows(
-        row(F.col("reference_address"), pid, amt, "grantee"),
-    )
+    # type 55 — grant: mints to the reference address when one exists
+    # and differs from the sender, else to the issuer
+    # (sql.py:2254-2277)
+    grantee = F.when(has_ref & (ref != sender), ref).otherwise(sender)
+    grant = rows(row(grantee, pid, amt, zero, zero, "grantee"))
+
     # type 56 — revoke: burn from sender
-    revoke = rows(row(F.col("sending_address"), pid, neg, "revoked"))
+    revoke = rows(row(sender, pid, neg, zero, zero, "revoked"))
 
     # type 3 — STO: sender debited total, each recipient credited
-    # (recipient list pre-computed upstream, reference S8)
+    # (recipient list pre-computed upstream, reference S8); the STO
+    # fee is burned from the sender in the ecosystem's fee property
+    # (1 prod / 2 test), with no matching credit (sql.py:1806-1821).
     sto_recipients = F.transform(
         F.col("recipients"),
-        lambda r: F.struct(
-            r["address"].alias("address"),
-            pid.alias("propertyid"),
-            _base_units(r["amount"], F.col("divisible"))
-            .cast("decimal(19,0)")
-            .alias("delta_base_units"),
-            F.lit("sto_recipient").alias("role"),
+        lambda r: row(
+            r["address"],
+            pid,
+            _base_units(r["amount"], F.col("divisible")),
+            zero,
+            zero,
+            "sto_recipient",
         ),
     )
     sto_total = F.aggregate(
         F.col("recipients"),
-        F.lit(0).cast("decimal(19,0)"),
+        zero,
         lambda acc, r: (
-            acc
-            + _base_units(r["amount"], F.col("divisible")).cast(
-                "decimal(19,0)"
-            )
-        ).cast("decimal(19,0)"),
+            acc + _base_units(r["amount"], F.col("divisible")).cast(_DEC)
+        ).cast(_DEC),
     )
+    fee_pid = F.when(pid >= F.lit(2147483648), F.lit(2)).otherwise(F.lit(1))
+    fee = _base_units(F.col("sto_fee"), F.lit(True))
     sto = F.concat(
-        rows(
-            F.struct(
-                F.col("sending_address").alias("address"),
-                pid.alias("propertyid"),
-                (-sto_total).cast("decimal(19,0)").alias("delta_base_units"),
-                F.lit("sto_sender").alias("role"),
-            )
-        ),
+        rows(row(sender, pid, -sto_total, zero, zero, "sto_sender")),
         sto_recipients,
-    )
-
-    # type 25 — MetaDEx trade: per pre-computed match, the seller
-    # gives amount_sold of pid and receives amount_received of
-    # pid_desired; the counterparty takes the mirror position
-    # (reference insertMatch/updatedex2, sql.py:2032-2166).  4 delta
-    # rows per match — conservation per property is automatic.
-    trade = F.flatten(
-        F.transform(
-            F.col("matches"),
-            lambda m: F.array(
-                F.struct(
-                    F.col("sending_address").alias("address"),
-                    pid.alias("propertyid"),
-                    (-_base_units(m["amount_sold"], F.col("divisible"))).cast(
-                        "decimal(19,0)"
-                    ).alias("delta_base_units"),
-                    F.lit("trade_sold").alias("role"),
-                ),
-                F.struct(
-                    F.col("sending_address").alias("address"),
-                    F.col("propertyid_desired").alias("propertyid"),
-                    _base_units(
-                        m["amount_received"], F.col("divisible_desired")
-                    ).cast("decimal(19,0)").alias("delta_base_units"),
-                    F.lit("trade_received").alias("role"),
-                ),
-                F.struct(
-                    m["address"].alias("address"),
-                    pid.alias("propertyid"),
-                    _base_units(m["amount_sold"], F.col("divisible")).cast(
-                        "decimal(19,0)"
-                    ).alias("delta_base_units"),
-                    F.lit("match_received").alias("role"),
-                ),
-                F.struct(
-                    m["address"].alias("address"),
-                    F.col("propertyid_desired").alias("propertyid"),
-                    (
-                        -_base_units(
-                            m["amount_received"], F.col("divisible_desired")
-                        )
-                    ).cast("decimal(19,0)").alias("delta_base_units"),
-                    F.lit("match_sold").alias("role"),
-                ),
-            ),
-        )
+        maybe(
+            F.col("sto_fee").isNotNull(),
+            rows(row(sender, fee_pid, -fee, zero, zero, "feepayer")),
+        ),
     )
 
     # type 4 — send-all: one debit/credit pair per subsend
@@ -271,44 +344,204 @@ def expand_deltas(txs: DataFrame) -> DataFrame:
         F.transform(
             F.col("subsends"),
             lambda s: F.array(
-                F.struct(
-                    F.col("sending_address").alias("address"),
-                    s["propertyid"].alias("propertyid"),
-                    (-_base_units(s["amount"], s["divisible"])).cast(
-                        "decimal(19,0)"
-                    ).alias("delta_base_units"),
-                    F.lit("sender").alias("role"),
+                row(
+                    sender,
+                    s["propertyid"],
+                    -_base_units(s["amount"], s["divisible"]),
+                    zero,
+                    zero,
+                    "sender",
                 ),
-                F.struct(
-                    F.col("reference_address").alias("address"),
-                    s["propertyid"].alias("propertyid"),
-                    _base_units(s["amount"], s["divisible"]).cast(
-                        "decimal(19,0)"
-                    ).alias("delta_base_units"),
-                    F.lit("recipient").alias("role"),
+                row(
+                    ref,
+                    s["propertyid"],
+                    _base_units(s["amount"], s["divisible"]),
+                    zero,
+                    zero,
+                    "recipient",
                 ),
             ),
         )
     )
 
-    expanded = (
-        F.when(~F.col("valid"), F.array().cast(
-            "array<struct<address:string,propertyid:bigint,"
-            "delta_base_units:decimal(19,0),role:string>>"
-        ))
-        .when(F.col("type_int") == 0, simple)
-        .when(F.col("type_int") == 3, sto)
-        .when(F.col("type_int") == 4, sendall)
-        .when(F.col("type_int") == 25, trade)
-        .when(F.col("type_int") == 50, issue)
-        .when(F.col("type_int") == 55, grant)
-        .when(F.col("type_int") == 56, revoke)
-        .otherwise(
-            F.array().cast(
-                "array<struct<address:string,propertyid:bigint,"
-                "delta_base_units:decimal(19,0),role:string>>"
-            )
+    # type 20 — DEx-1 sell offer (sql.py:704-794 updatedex +
+    # 1904-1926): new/update moves the offered amount from available
+    # to reserved and credits back the remainder of any replaced
+    # active offer; cancel only credits the remainder back.
+    rem = _base_units(F.col("remainder"), F.col("divisible"))
+    has_rem = F.col("remainder").isNotNull()
+    offer_back = rows(
+        row(sender, pid, rem, -rem, zero, "seller_replaced")
+    )
+    offer_new = F.concat(
+        rows(row(sender, pid, neg, amt, zero, "seller")),
+        maybe(has_rem, offer_back),
+    )
+    offer_cancel = F.when(has_rem, rows(
+        row(sender, pid, rem, -rem, zero, "seller")
+    )).otherwise(rows(row(sender, pid, zero, zero, zero, "seller")))
+    offer = F.when(
+        F.lower(F.coalesce(F.col("subaction"), F.lit("new")))
+        == "cancel",
+        offer_cancel,
+    ).otherwise(offer_new)
+
+    # type 22 — DEx-1 accept (sql.py:1933-1964): buyer participation
+    # row, seller's accepted balance credited.
+    accept = rows(
+        row(sender, pid, zero, zero, zero, "buyer"),
+        row(ref, pid, zero, zero, amt, "seller"),
+    )
+
+    # type -22 — DEx-1 accept payment (sql.py:1966-2030): per valid
+    # purchase, the bought amount leaves the seller's reserved AND
+    # accepted tallies (the engine tracks it twice, sql.py:2001) and
+    # lands in the buyer's available balance.
+    def purchase_rows(p):
+        bought = _base_units(p["amount_bought"], p["divisible"])
+        return F.array(
+            row(
+                p["reference_address"],
+                p["propertyid"],
+                zero,
+                -bought,
+                -bought,
+                "seller",
+            ),
+            row(sender, p["propertyid"], bought, zero, zero, "buyer"),
         )
+
+    payment = F.flatten(
+        F.transform(
+            F.filter(F.col("purchases"), lambda p: p["valid"]),
+            purchase_rows,
+        )
+    )
+
+    # type 25 — MetaDEx trade (sql.py:2032-2127): the new offer moves
+    # amount_forsale from available to reserved; each pre-computed
+    # match releases the sold amount from the maker's reserve to the
+    # taker's available balance and vice versa for the desired-side
+    # property.  4 delta rows per match — conservation per property
+    # is automatic.
+    vfs = _base_units(F.col("amount_forsale"), F.col("divisible"))
+    pid_d = F.col("propertyid_desired")
+
+    def match_rows(m):
+        sold = _base_units(m["amount_sold"], F.col("divisible"))
+        recv = _base_units(m["amount_received"], F.col("divisible_desired"))
+        return F.array(
+            row(sender, pid, zero, -sold, zero, "trade_sold"),
+            row(m["address"], pid, sold, zero, zero, "match_received"),
+            row(m["address"], pid_d, zero, -recv, zero, "match_sold"),
+            row(sender, pid_d, recv, zero, zero, "trade_received"),
+        )
+
+    trade = F.concat(
+        maybe(
+            F.col("amount_forsale").isNotNull(),
+            rows(row(sender, pid, -vfs, vfs, zero, "seller")),
+        ),
+        F.coalesce(
+            F.flatten(F.transform(F.col("matches"), match_rows)),
+            F.array().cast(_DELTA_ARR),
+        ),
+    )
+
+    # types 26/27/28 — MetaDEx cancels (sql.py:2129-2166): each
+    # cancelled offer's unreserved amount moves back to available.
+    cancels = F.transform(
+        F.col("cancellations"),
+        lambda c: row(
+            sender,
+            c["propertyid"],
+            _base_units(c["amount_unreserved"], c["divisible"]),
+            -_base_units(c["amount_unreserved"], c["divisible"]),
+            zero,
+            "seller",
+        ),
+    )
+
+    # type -51 — crowdsale participation (sql.py:2180-2233): the
+    # buy-in moves from participant to issuer in the funding property;
+    # the crowdsale property mints purchased tokens to the participant
+    # and the pre-computed issuer bonus (csvtools.py:230-236) to the
+    # issuer when positive.
+    ptok = _base_units(
+        F.col("purchased_tokens"), F.col("purchased_divisible")
+    )
+    itok = _base_units(F.col("issuer_tokens"), F.col("purchased_divisible"))
+    ppid = F.col("purchased_propertyid")
+    participate = F.concat(
+        rows(
+            row(sender, pid, neg, zero, zero, "participant"),
+            row(ref, pid, amt, zero, zero, "issuer"),
+        ),
+        maybe(
+            F.col("issuer_tokens").isNotNull() & (itok > 0),
+            rows(row(ref, ppid, itok, zero, zero, "issuer")),
+        ),
+        rows(row(sender, ppid, ptok, zero, zero, "participant")),
+    )
+
+    # zero-delta participation rows: the reference records who was in
+    # the tx even when no balance moves (sql.py:2175-2178 create
+    # crowdsale 51, 2237-2252 close 53 / managed create 54, 2287-2304
+    # change-issuer 70, 2306-2327 delegates 73/74, 2373-2390
+    # send-any-data 200 and notifications).
+    issuer_only = rows(row(sender, pid, zero, zero, zero, "issuer"))
+    issuer_and_ref = F.concat(
+        issuer_only,
+        maybe(
+            has_ref & (ref != sender),
+            rows(row(ref, pid, zero, zero, zero, "recipient")),
+        ),
+    )
+    data_send = F.concat(
+        rows(row(sender, pid, zero, zero, zero, "sender")),
+        maybe(
+            has_ref & (ref != sender),
+            rows(row(ref, pid, zero, zero, zero, "recipient")),
+        ),
+    )
+    notice = rows(row(sender, pid, zero, zero, zero, "sender"))
+
+    # types 185/186 — freeze/unfreeze markers (sql.py:2329-2372): the
+    # issuer participates with no delta; the target address gets a
+    # marker row that only the ordered fold interprets.
+    freeze = rows(
+        row(sender, pid, zero, zero, zero, "issuer"),
+        row(ref, pid, zero, zero, zero, "recipient", kind="freeze"),
+    )
+    unfreeze = rows(
+        row(sender, pid, zero, zero, zero, "issuer"),
+        row(ref, pid, zero, zero, zero, "recipient", kind="unfreeze"),
+    )
+
+    t = F.col("type_int")
+    empty = F.array().cast(_DELTA_ARR)
+    expanded = (
+        F.when(~F.col("valid"), empty)
+        .when(t == 0, simple)
+        .when(t == 3, sto)
+        .when(t == 4, sendall)
+        .when(t == 20, offer)
+        .when(t == 22, accept)
+        .when(t == -22, payment)
+        .when(t == 25, trade)
+        .when(t.isin(26, 27, 28), cancels)
+        .when(t == 50, issue)
+        .when(t == 51, issuer_only)
+        .when(t == -51, participate)
+        .when(t.isin(53, 54), issuer_only)
+        .when(t == 55, grant)
+        .when(t == 56, revoke)
+        .when(t.isin(70, 73, 74), issuer_and_ref)
+        .when(t == 185, freeze)
+        .when(t == 186, unfreeze)
+        .when(t == 200, data_send)
+        .when(t.isin(65533, 65534), notice)
+        .otherwise(empty)
     )
     return txs.select(
         "txid", "block", "serial", F.explode_outer(expanded).alias("d")
@@ -319,6 +552,9 @@ def expand_deltas(txs: DataFrame) -> DataFrame:
         F.col("d.address").alias("address"),
         F.col("d.propertyid").alias("propertyid"),
         F.col("d.delta_base_units").alias("delta_base_units"),
+        F.col("d.delta_reserved").alias("delta_reserved"),
+        F.col("d.delta_accepted").alias("delta_accepted"),
+        F.col("d.kind").alias("kind"),
         F.col("d.role").alias("role"),
     )
 
@@ -402,6 +638,47 @@ def resolve_utxo_inputs(btc_txs: DataFrame) -> DataFrame:
     return vins.join(vouts, ["prev_txid", "vout_n"], "left")
 
 
+def expand_btc_deltas(btc_txs: DataFrame) -> DataFrame:
+    """Bitcoin-side balance deltas (propertyid 0) — the reference's
+    ``Protocol == "Bitcoin"`` branch of ``insertTxAddr``
+    (``sql.py:1671-1719``): every readable vout credits its address
+    with the output value; every resolvable vin debits the source
+    address by the spent output's value.  The reference resolves each
+    input with a ``getrawtransaction`` RPC per vin; here the linkage
+    is the ``resolve_utxo_inputs`` equi-join, and coinbase /
+    out-of-batch inputs (null source) expand to no delta row.
+
+    Output matches the omni delta stream shape (kind='delta',
+    propertyid=0), so BTC and Omni deltas union into one fold.
+    """
+    zero = F.lit(0).cast(_DEC)
+    credits = btc_txs.select(
+        "txid", F.explode_outer("vout").alias("o")
+    ).filter(F.col("o.address").isNotNull()).select(
+        "txid",
+        F.col("o.address").alias("address"),
+        F.lit(0).cast("bigint").alias("propertyid"),
+        F.col("o.value_sat").cast(_DEC).alias("delta_base_units"),
+        zero.alias("delta_reserved"),
+        zero.alias("delta_accepted"),
+        F.lit("delta").alias("kind"),
+        F.lit("recipient").alias("role"),
+    )
+    debits = resolve_utxo_inputs(btc_txs).filter(
+        F.col("src_address").isNotNull()
+    ).select(
+        "txid",
+        F.col("src_address").alias("address"),
+        F.lit(0).cast("bigint").alias("propertyid"),
+        (-F.col("value_sat")).cast(_DEC).alias("delta_base_units"),
+        zero.alias("delta_reserved"),
+        zero.alias("delta_accepted"),
+        F.lit("delta").alias("kind"),
+        F.lit("sender").alias("role"),
+    )
+    return credits.unionByName(debits)
+
+
 def build_balances(deltas: DataFrame) -> DataFrame:
     """Materialized running state: fold of all deltas per
     (address, propertyid) — the whole of ``updateBalance`` as one
@@ -411,6 +688,48 @@ def build_balances(deltas: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_deltas"),
         F.max("serial").alias("last_serial"),
     )
+
+
+def build_full_balances(deltas: DataFrame) -> DataFrame:
+    """Materialized AddressBalances with all four reference columns
+    (available, reserved, accepted, frozen — ``sql.py:1320-1418``).
+
+    The frozen-funds rule (``sql.py:1408-1414``) is order-dependent,
+    but only for keys that ever see a freeze/unfreeze marker.  Split
+    accordingly: marker-bearing keys (rare — one governance action
+    per frozen address) go through the ordered replay; everything
+    else folds in the plain one-shuffle groupBy.  The marker-key set
+    is tiny by construction, so the routing join is a broadcast —
+    the wide side is never reshuffled twice.
+    """
+    from omniengine_spark.operators.replay import full_balance_replay
+
+    frozen_keys = (
+        deltas.filter(F.col("kind") != "delta")
+        .select("address", "propertyid")
+        .distinct()
+        .withColumn("__frozen_key", F.lit(True))
+    )
+    tagged = deltas.join(
+        F.broadcast(frozen_keys), ["address", "propertyid"], "left"
+    )
+    plain = tagged.filter(F.col("__frozen_key").isNull())
+    plain_out = plain.groupBy("address", "propertyid").agg(
+        F.sum("delta_base_units").cast("long").alias("available"),
+        F.sum("delta_reserved").cast("long").alias("reserved"),
+        F.sum("delta_accepted").cast("long").alias("accepted"),
+        F.lit(0).cast("long").alias("frozen"),
+    )
+    hot = tagged.filter(F.col("__frozen_key").isNotNull()).select(
+        "address",
+        "propertyid",
+        "serial",
+        "kind",
+        F.col("delta_base_units").cast("long").alias("delta_base_units"),
+        F.col("delta_reserved").cast("long").alias("delta_reserved"),
+        F.col("delta_accepted").cast("long").alias("delta_accepted"),
+    )
+    return plain_out.unionByName(full_balance_replay(hot))
 
 
 def with_after_balances(deltas: DataFrame) -> DataFrame:

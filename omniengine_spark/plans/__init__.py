@@ -20,6 +20,7 @@ from omniengine_spark.plans import filesource_plans  # noqa: E402,F401
 from omniengine_spark.plans import coverage_plans  # noqa: E402,F401
 from omniengine_spark.plans import pipeline_plans  # noqa: E402,F401
 from omniengine_spark.plans import sql_plans  # noqa: E402,F401
+from omniengine_spark.plans import dex_plans  # noqa: E402,F401
 from omniengine_spark.plans import extended  # noqa: E402,F401
 from omniengine_spark.plans import docpipe  # noqa: E402,F401
 

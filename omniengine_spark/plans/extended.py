@@ -290,8 +290,15 @@ def d5_metadex_net_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("matches"),
     )
     deltas = expand_deltas(stamp_serials_distributed(txs))
+    # net position = available + reserved: under the reference's
+    # reserve semantics (sql.py:2032-2127) the sold amount leaves the
+    # maker's reserve while the taker is credited available; their sum
+    # is the economic position and matches the oracle's single-column
+    # restatement exactly.
     return deltas.groupBy("address", "propertyid").agg(
-        F.sum("delta_base_units").cast("long").alias("net_units"),
+        F.sum(
+            F.col("delta_base_units") + F.col("delta_reserved")
+        ).cast("long").alias("net_units"),
         F.count(F.lit(1)).alias("n_deltas"),
     )
 

@@ -61,3 +61,44 @@ def test_lsh_ann_subset_of_universe(spark):
     ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
     assert all(r["nbr_id"] in ids and r["query_id"] in ids for r in rows)
     assert all(r["rank"] <= K for r in rows)
+
+
+def test_pair_join_blocked_matches_bruteforce(spark):
+    """The block-partitioned gemm must return exactly the brute-force
+    pair set (candidate margin + exact verification), regardless of
+    how many tiles the corpus is split into."""
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(120)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb")
+    )
+    brute = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cs", S.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cs") >= 0.4)
+        .collect()
+    }
+    for nb in (1, 3):
+        got = {
+            (r["vec_a"], r["vec_b"])
+            for r in S.cosine_pair_join(
+                emb, threshold=0.4, n_blocks=nb
+            ).collect()
+        }
+        assert got == brute, f"n_blocks={nb}"
+
+
+def test_pair_join_has_no_driver_collect(spark):
+    """Scale gate (VERDICT r1 item 5): candidate generation must be a
+    cogrouped tile gemm, not a driver-side broadcast of the corpus —
+    the plan carries FlatMapCoGroupsInPandas and builds lazily."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(50)
+    df = S.cosine_pair_join(emb, threshold=0.5, n_blocks=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
