@@ -744,3 +744,35 @@ def with_after_balances(deltas: DataFrame) -> DataFrame:
         "after_balance",
         F.sum("delta_base_units").over(w).cast("decimal(19,0)"),
     )
+
+
+def with_full_after_balances(deltas: DataFrame) -> DataFrame:
+    """``finalizeAfterBalances`` (``sql.py:1658-1662``) for all four
+    reference columns: every delta row gets the post-tx running
+    available/reserved/accepted balances in serial order — ONE window
+    (one shuffle on the entity key) shared by the three sums.
+
+    The frozen after-column is intentionally absent here: it is only
+    meaningful under the order-dependent diversion rule, which is
+    ``full_balance_replay``'s job; rows of marker-bearing keys should
+    be read through ``build_full_balances`` instead.
+    """
+    w = (
+        Window.partitionBy("address", "propertyid")
+        .orderBy("serial")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        deltas.withColumn(
+            "after_available",
+            F.sum("delta_base_units").over(w).cast("decimal(19,0)"),
+        )
+        .withColumn(
+            "after_reserved",
+            F.sum("delta_reserved").over(w).cast("decimal(19,0)"),
+        )
+        .withColumn(
+            "after_accepted",
+            F.sum("delta_accepted").over(w).cast("decimal(19,0)"),
+        )
+    )
