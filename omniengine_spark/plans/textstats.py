@@ -3,9 +3,10 @@
 Training-data-pipeline operators (project north star) generalizing the
 reference's only text analytics — duplicate-name LIKE scanning
 (reference ``sql.py:1602-1624``) — into the standard LLM-corpus
-toolkit: token counting, quality scoring, language-ID, fingerprinting.
+toolkit: token counting, quality scoring, language-ID,
+fingerprinting, benchmark decontamination, and PII scrubbing.
 
-All four are pure column-expression pipelines (no UDFs): at 100 TB
+All are pure column-expression pipelines (no UDFs): at 100 TB
 they run inside whole-stage codegen directly over the parquet scan,
 shuffling only the final per-group rollups.
 """
@@ -217,4 +218,144 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("content_md5"),
         F.substring(F.md5(norm), 1, 8).alias("bucket8"),
         F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+
+
+# --------------------------------------------------------------------
+# Benchmark decontamination: flag training docs sharing any 8-token
+# shingle with a held-out probe set (doc_id % 97 == 0 stands in for
+# the benchmark suite).  Candidate generation is an equi-join on the
+# shingle — the same bucketed no-all-pairs shape as the dedup suite.
+# Shingles join as raw strings here so the oracle is bit-exact; at
+# 100 TB swap the join key for xxhash64(shingle) (8-byte postings,
+# like operators/dedup.py ngram_jaccard) and keep counts identical
+# modulo a ~n²/2⁶⁴ collision risk.
+# --------------------------------------------------------------------
+@query(
+    "text_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+      WHERE len(t) >= 8
+    ), probe AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+    ), hits AS (
+      SELECT g.doc_id, COUNT(*) AS n_overlap
+      FROM grams g JOIN probe p ON g.gram = p.gram
+      WHERE g.doc_id % 97 != 0
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           COALESCE(h.n_overlap, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 97 != 0
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", _tokens(F.col("text")).alias("t")
+    ).withColumn("n", F.size("t"))
+    grams = (
+        toks.filter(F.col("n") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - 7),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("t"), i, F.lit(8))
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    probe = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(probe, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias(
+                "n_overlap"
+            ),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# PII scrubbing: detect + redact emails/phones with engine-portable
+# regexes (Java regex and RE2 agree on these character classes).
+# The corpus is word-salad, so deterministic PII is injected per doc
+# and then scrubbed — the plan proves the redaction pipeline, counts
+# and post-redaction lengths checked exactly.  Pure codegen
+# (regexp_extract_all / regexp_replace); no UDFs.
+# --------------------------------------------------------------------
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"555-[0-9]+"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || CAST(doc_id % 10000 AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           length(regexp_replace(regexp_replace(t, '{_EMAIL_RE}',
+                  '[EMAIL]', 'g'), '{_PHONE_RE}', '[PHONE]', 'g'))
+             AS scrubbed_len
+    FROM seeded
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            (F.col("doc_id") % 10000).cast("string"),
+        ).alias("t"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "[EMAIL]"),
+        _PHONE_RE,
+        "[PHONE]",
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_EMAIL_RE), F.lit(0))).cast(
+            "long"
+        ).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PHONE_RE), F.lit(0))).cast(
+            "long"
+        ).alias("n_phones"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
     )
