@@ -104,3 +104,73 @@ def unexpire_deltas(
         ),
         sign=-1,
     )
+
+
+def offer_book_replay(events, key_cols=("seller", "propertyid")):
+    """The reference's ActiveOffers row arithmetic (``updatedex`` /
+    ``offerAccept`` / ``updateAccept`` / ``expireAccepts``,
+    ``sql.py:590-794``) as a strict per-seller sequential fold —
+    the un-simplified D3/D4 state machine:
+
+    * ``offer``    → (re)list: amountavailable = amount
+      (``sql.py:774-793``)
+    * ``accept``   → amountavailable -= amount,
+      amountaccepted += amount (``sql.py:685-693``)
+    * ``payment``  → amountaccepted -= amount (``sql.py:629-641``);
+      availability is NOT touched — the sold portion left it at
+      accept time
+    * ``expiry``   → the unpaid remainder returns:
+      amountavailable += amount, amountaccepted -= amount
+      (``sql.py:565-566``)
+    * terminal ``offerstate``: 'sold' when both run dry
+      (``sql.py:632-635``), else 'active'
+
+    Input rows: key_cols + serial + kind + amount (long).  Output one
+    ActiveOffers-shaped row per key.  Runs through ``ordered_replay``
+    (one shuffle on the seller key, Arrow-batched fold); the closed
+    form used as its oracle lives in ``plans/dex_plans.py``
+    (``d3b_offer_book``).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from omniengine_spark.operators.replay import ordered_replay
+
+    schema = T.StructType(
+        [
+            T.StructField(
+                k, T.StringType() if k == "seller" else T.LongType()
+            )
+            for k in key_cols
+        ]
+        + [
+            T.StructField("amount_available", T.LongType()),
+            T.StructField("amount_accepted", T.LongType()),
+            T.StructField("offer_state", T.StringType()),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        avail, acc = 0, 0
+        for kind, amt in zip(pdf["kind"], pdf["amount"]):
+            amt = int(amt)
+            if kind == "offer":
+                avail = amt
+            elif kind == "accept":
+                avail -= amt
+                acc += amt
+            elif kind == "payment":
+                acc -= amt
+            elif kind == "expiry":
+                avail += amt
+                acc -= amt
+        state = "sold" if avail == 0 and acc == 0 else "active"
+        out = {k: [pdf[k].iloc[0]] for k in key_cols}
+        out["amount_available"] = [avail]
+        out["amount_accepted"] = [acc]
+        out["offer_state"] = [state]
+        return pd.DataFrame(out)
+
+    return ordered_replay(
+        events, list(key_cols), ["serial"], fold, schema
+    )

@@ -806,3 +806,120 @@ def a17_market_effective_price(
         .cast("long")
         .alias("best_price_e8"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D3b — the un-simplified ActiveOffers state machine (sql.py:590-794):
+# offer listing, accept reservations, payments, and expiry returns
+# folded sequentially per seller by offer_book_replay, proven against
+# the closed-form restatement.  Same deterministic stream as d4.
+# ---------------------------------------------------------------------------
+@query(
+    "d3b_offer_book",
+    oracle=f"""
+    WITH sign AS (
+      SELECT event_id, user_id,
+             {_SQL_CENTS} AS a,
+             {_SQL_DAY} AS d,
+             'u' || CAST(user_id AS VARCHAR) AS seller,
+             user_id % 5 AS pid
+      FROM events WHERE event_type = 'signup'
+    ), pay AS (
+      SELECT *,
+             CASE WHEN event_id % 3 = 0 THEN a
+                  WHEN event_id % 3 = 1 THEN a // 2
+                  ELSE 0 END AS p,
+             (d + 10 <= (SELECT MAX(d) FROM sign)) AS expired
+      FROM sign
+    ), offers AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS seller,
+             user_id % 5 AS pid,
+             SUM({_SQL_CENTS}) AS off
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), acc AS (
+      SELECT seller, pid,
+             SUM(a) AS sa,
+             SUM(CASE WHEN expired THEN a - p ELSE 0 END) AS sexp,
+             SUM(CASE WHEN expired THEN 0 ELSE a - p END) AS sacc
+      FROM pay GROUP BY seller, pid
+    ), u AS (
+      SELECT COALESCE(o.seller, acc.seller) AS seller,
+             COALESCE(o.pid, acc.pid) AS pid,
+             COALESCE(o.off, 0) - COALESCE(acc.sa, 0)
+               + COALESCE(acc.sexp, 0) AS amount_available,
+             COALESCE(acc.sacc, 0) AS amount_accepted
+      FROM offers o FULL OUTER JOIN acc ON o.seller = acc.seller
+    )
+    SELECT seller, CAST(pid AS BIGINT) AS propertyid,
+           CAST(amount_available AS BIGINT) AS amount_available,
+           CAST(amount_accepted AS BIGINT) AS amount_accepted,
+           CASE WHEN amount_available = 0 AND amount_accepted = 0
+                THEN 'sold' ELSE 'active' END AS offer_state
+    FROM u
+    """,
+)
+def d3b_offer_book(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omniengine_spark.operators.dex import offer_book_replay
+
+    ev = load_table(spark, sf_dir, "events")
+    sign = ev.filter(F.col("event_type") == "signup").select(
+        "event_id",
+        _cents().alias("a"),
+        _day().alias("d"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias(
+            "seller"
+        ),
+        (F.col("user_id") % 5).cast("long").alias("propertyid"),
+    ).withColumn(
+        "p",
+        F.when(F.col("event_id") % 3 == 0, F.col("a"))
+        .when(F.col("event_id") % 3 == 1, F.expr("a DIV 2"))
+        .otherwise(F.lit(0).cast("long")),
+    )
+    tip = sign.agg(F.max("d").alias("tip"))
+    signt = sign.crossJoin(F.broadcast(tip))
+    B = F.lit(1_000_000_000)
+
+    offers = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.sum(_cents()).alias("off"))
+        .select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias(
+                "seller"
+            ),
+            (F.col("user_id") % 5).cast("long").alias("propertyid"),
+            F.lit(0).cast("long").alias("serial"),
+            F.lit("offer").alias("kind"),
+            F.col("off").cast("long").alias("amount"),
+        )
+    )
+    accepts = sign.select(
+        "seller",
+        "propertyid",
+        (F.col("d") * B + F.col("event_id")).alias("serial"),
+        F.lit("accept").alias("kind"),
+        F.col("a").alias("amount"),
+    )
+    payments = sign.filter(F.col("p") > 0).select(
+        "seller",
+        "propertyid",
+        ((F.col("d") + 5) * B + F.col("event_id")).alias("serial"),
+        F.lit("payment").alias("kind"),
+        F.col("p").alias("amount"),
+    )
+    expiries = signt.filter(
+        (F.col("d") + 10 <= F.col("tip")) & (F.col("a") - F.col("p") > 0)
+    ).select(
+        "seller",
+        "propertyid",
+        ((F.col("d") + 10) * B + F.col("event_id")).alias("serial"),
+        F.lit("expiry").alias("kind"),
+        (F.col("a") - F.col("p")).alias("amount"),
+    )
+    events = (
+        offers.unionByName(accepts)
+        .unionByName(payments)
+        .unionByName(expiries)
+    )
+    return offer_book_replay(events)
