@@ -20,9 +20,15 @@ from omniengine_spark.sources import load_table
 
 
 def _tx_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("signup", "purchase")
+    return _tx_projection(
+        load_table(spark, sf_dir, "events")
     )
+
+
+def _tx_projection(ev: DataFrame) -> DataFrame:
+    """signup → fixed issuance (50), purchase → simple send (0) —
+    works over a batch OR streaming events frame (pure projection)."""
+    ev = ev.filter(F.col("event_type").isin("signup", "purchase"))
     user = F.col("user_id")
     return ev.select(
         F.concat(F.lit("e"), F.col("event_id").cast("string")).alias(

@@ -121,3 +121,61 @@ def w5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum("new_session").over(wc).alias("session_seq"),
     )
+
+
+@query(
+    "x9_stream_balance_fold",
+    oracle="""
+    WITH tx AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'signup' THEN 50 ELSE 0 END AS t,
+             'u' || CAST(user_id AS VARCHAR) AS sender,
+             'u' || CAST(user_id + 1 AS VARCHAR) AS ref,
+             user_id % 5 AS propertyid,
+             CASE WHEN user_id % 2 = 0
+                  THEN CAST(CAST(value AS DECIMAL(38,8)) * 100000000
+                            AS BIGINT)
+                  ELSE CAST(FLOOR(CAST(value AS DECIMAL(38,8)))
+                            AS BIGINT) END AS base_units
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ), deltas AS (
+      SELECT sender AS address, propertyid, base_units AS delta
+      FROM tx WHERE t = 50
+      UNION ALL
+      SELECT sender AS address, propertyid, -base_units AS delta
+      FROM tx WHERE t = 0
+      UNION ALL
+      SELECT ref AS address, propertyid, base_units AS delta
+      FROM tx WHERE t = 0
+    )
+    SELECT address, propertyid,
+           CAST(SUM(delta) AS BIGINT) AS balance,
+           COUNT(*) AS n_deltas
+    FROM deltas
+    GROUP BY address, propertyid
+    """,
+)
+def x9_stream_balance_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's CORE loop as a real stream: the same tx projection
+    and expand_deltas dispatch that omni_balance_pipeline runs in
+    batch, executed over a file stream and folded by a streaming
+    groupBy (complete mode) — the reference's block-by-block
+    updateBalance loop (omniEngine.py:109-232) with the state store
+    holding exactly the AddressBalances working set.  Serial stamping
+    is a batch concern (needs a global order); balances are
+    serial-independent sums, so the stream stamps a constant.
+    """
+    from omniengine_spark.pipeline import expand_deltas
+    from omniengine_spark.plans.pipeline_plans import _tx_projection
+    from omniengine_spark.sources import stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    txs = _tx_projection(ev).withColumn(
+        "serial", F.lit(0).cast("long")
+    )
+    deltas = expand_deltas(txs)
+    agg = deltas.groupBy("address", "propertyid").agg(
+        F.sum("delta_base_units").cast("long").alias("balance"),
+        F.count(F.lit(1)).alias("n_deltas"),
+    )
+    return S.run_available_now(agg, "complete")
