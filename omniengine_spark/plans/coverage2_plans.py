@@ -1,0 +1,345 @@
+"""Driver-checked plans for the SURVEY §2 ids that round 1 left
+"test-only": HTTP source normalizers (S9-S12), the partitioned
+warehouse sink with dynamic partition overwrite (S14), the tx-class
+classifier (F9/D8), the incremental processing cap (T3), and
+reorg-as-recompute (X2).
+
+Each plan exercises the real operator; the oracle states the expected
+result closed-form over the same parquet, so equality through the
+driver's hash gate proves the operator's semantics, not just its
+plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omniengine_spark.plans.registry import query
+from omniengine_spark.sources import load_table
+from omniengine_spark.sources.http import (
+    fees_frame,
+    normalize_fee_estimates,
+    normalize_fiat_rates,
+    rates_frame,
+)
+from omniengine_spark.sources.sinks import (
+    read_warehouse,
+    scratch_dir,
+    write_partitioned,
+)
+
+_CENTS = "CAST(ROUND(value*100) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# S9/S10 — HTTP rate source normalization + broadcast rate join
+# (reference updateBTC, updatePrices.py:113-138; rate join
+# SQLstatements.md:15-43).  The "HTTP response" is a fixture derived
+# from the nation dim on the driver — exactly where the reference's
+# fetch runs — with one malformed entry (no `last`) that the
+# normalizer must skip.  Rates stay OUT of the float aggregate: cents
+# are summed as BIGINT per nation first, the rate scales the single
+# aggregated value.
+# ---------------------------------------------------------------------------
+@query(
+    "s9_http_rate_join",
+    oracle="""
+    WITH bal AS (
+      SELECT c_nationkey AS nationkey,
+             CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             COUNT(*) AS n_customers
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT n.n_name AS currency,
+           b.sum_cents,
+           b.n_customers,
+           CAST(ROUND(b.sum_cents * ((n.n_nationkey*17 + 3) / 8.0))
+                AS BIGINT) AS fiat_cents
+    FROM nation n JOIN bal b ON b.nationkey = n.n_nationkey
+    WHERE n.n_nationkey <> 0
+    """,
+)
+def s9_http_rate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nations = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    ).collect()  # 25-row dim: the driver-side "HTTP fetch"
+    payload = {
+        r["n_name"]: (
+            {}  # malformed entry the normalizer must skip
+            if r["n_nationkey"] == 0
+            else {"last": (r["n_nationkey"] * 17 + 3) / 8.0}
+        )
+        for r in nations
+    }
+    rates = rates_frame(
+        spark, normalize_fiat_rates(payload, "fixture", 1_700_000_000)
+    ).join(
+        spark.createDataFrame(
+            [(r["n_nationkey"], r["n_name"]) for r in nations],
+            "nationkey long, n_name string",
+        ),
+        F.col("quote") == F.col("n_name"),
+    )
+    bal = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+    return bal.join(F.broadcast(rates), "nationkey").select(
+        F.col("quote").alias("currency"),
+        "sum_cents",
+        "n_customers",
+        F.round(F.col("sum_cents") * F.col("rate"))
+        .cast("long")
+        .alias("fiat_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S11/S12 — fee-estimate union + averaging (updateFees.py:27-93) and
+# the supply source's single-value normalization (sql.py:1460-1467).
+# Two provider payloads normalize to tier rows, union, and average
+# per tier — the oracle re-states the normalized rows as VALUES, so
+# equality pins the normalizer's output row-for-row.
+# ---------------------------------------------------------------------------
+@query(
+    "s11_fee_estimates",
+    oracle="""
+    SELECT tier,
+           CAST(CAST(AVG(fee_per_kb) AS DECIMAL(19,4)) AS BIGINT)
+             AS avg_fee,
+           COUNT(*) AS n_providers
+    FROM (VALUES
+      ('bitgo',   'fastestFee',  61), ('bitgo',   'halfHourFee', 31),
+      ('bitgo',   'hourFee',     11), ('bitgo',   'feePerKb', 12000),
+      ('mempool', 'fastestFee',  55), ('mempool', 'halfHourFee', 27),
+      ('mempool', 'hourFee',      9)
+    ) AS fees(provider, tier, fee_per_kb)
+    GROUP BY tier
+    """,
+)
+def s11_fee_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bitgo = normalize_fee_estimates(
+        {
+            "fastestFee": 61,
+            "halfHourFee": 31,
+            "hourFee": 11,
+            "feePerKb": 12000,
+        },
+        "bitgo",
+    )
+    mempool = normalize_fee_estimates(
+        {"fastestFee": 55, "halfHourFee": 27, "hourFee": 9}, "mempool"
+    )
+    return (
+        fees_frame(spark, bitgo)
+        .unionByName(fees_frame(spark, mempool))
+        .groupBy("tier")
+        .agg(
+            F.avg("fee_per_kb")
+            .cast("decimal(19,4)")
+            .cast("long")
+            .alias("avg_fee"),
+            F.count(F.lit(1)).alias("n_providers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9/D8 — tx-class classifier over vout script arrays
+# (omniutils.py:31-62).  Every synthetic tx carries a pubkeyhash
+# output; docs with even ids add a nulldata payload and user_id%3==0
+# adds a bare-multisig output, so the when-chain's precedence
+# (C before B before A) is what the oracle checks.
+# ---------------------------------------------------------------------------
+@query(
+    "f9_txclass",
+    oracle="""
+    WITH c AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'C'
+                  WHEN user_id % 3 = 0 THEN 'B'
+                  ELSE 'A' END AS tx_class
+      FROM events
+    )
+    SELECT tx_class, COUNT(*) AS n_txs
+    FROM c GROUP BY tx_class
+    """,
+)
+def f9_txclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omniengine_spark.pipeline.omni import classify_tx
+
+    ev = load_table(spark, sf_dir, "events")
+    out = lambda st: F.struct(  # noqa: E731
+        F.lit(0).cast("bigint").alias("n"),
+        F.lit("x").alias("address"),
+        F.lit(1).cast("bigint").alias("value_sat"),
+        F.lit(st).alias("script_type"),
+    )
+    base = F.array(out("pubkeyhash"))
+    with_ms = F.when(
+        F.col("user_id") % 3 == 0, F.concat(base, F.array(out("multisig")))
+    ).otherwise(base)
+    vout = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(with_ms, F.array(out("nulldata"))),
+    ).otherwise(with_ms)
+    btc = ev.select(
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias(
+            "txid"
+        ),
+        vout.alias("vout"),
+    )
+    return (
+        classify_tx(btc)
+        .groupBy("tx_class")
+        .agg(F.count(F.lit(1)).alias("n_txs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# T3 — incremental processing cap (sql.py:242-247: resume from a
+# high-watermark, process at most 25 000 blocks per run).  Pending
+# work = orders past the watermark date, deterministically ordered;
+# the capped batch aggregates to its resume bookkeeping row.
+# ---------------------------------------------------------------------------
+_T3_WATERMARK = "1995-06-01"
+_T3_CAP = 1000
+
+
+@query(
+    "t3_processing_cap",
+    oracle=f"""
+    WITH batch AS (
+      SELECT o_orderkey, o_orderdate
+      FROM orders
+      WHERE o_orderdate > DATE '{_T3_WATERMARK}'
+      ORDER BY o_orderdate, o_orderkey
+      LIMIT {_T3_CAP}
+    )
+    SELECT COUNT(*) AS n_processed,
+           MIN(o_orderkey) AS first_key,
+           MAX(o_orderkey) AS last_key,
+           CAST(floor(epoch(MAX(o_orderdate))) AS BIGINT)
+             AS new_watermark_epoch
+    FROM batch
+    """,
+)
+def t3_processing_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    batch = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") > F.lit(_T3_WATERMARK).cast("date"))
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(_T3_CAP)
+    )
+    return batch.agg(
+        F.count(F.lit(1)).alias("n_processed"),
+        F.min("o_orderkey").alias("first_key"),
+        F.max("o_orderkey").alias("last_key"),
+        F.unix_timestamp(F.max("o_orderdate")).alias(
+            "new_watermark_epoch"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S14 — warehouse sink with dynamic partition overwrite.  Write all
+# events partitioned by event_type, then rewrite ONLY the 'purchase'
+# partition with doubled cents; reading the warehouse back must show
+# doubling in exactly that partition — proving the dynamic overwrite
+# replaced one partition and left the rest untouched.
+# ---------------------------------------------------------------------------
+@query(
+    "s14_warehouse_overwrite",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN 2 * {_CENTS} ELSE {_CENTS} END)
+                AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def s14_warehouse_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_type",
+    )
+    path = scratch_dir("warehouse-s14")
+    write_partitioned(ev, path, ["event_type"])
+    patched = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "cents", F.col("cents") * 2
+    )
+    write_partitioned(patched, path, ["event_type"])
+    return (
+        read_warehouse(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — reorg as recompute (reference undoes state imperatively,
+# sql.py:85-218; the engine overwrites partitions ≥ fork and
+# replays, SURVEY §7.0).  Block ranges ≥ the fork are first written
+# from a corrupted "orphaned chain" (cents off by one), then the
+# reorg recomputes those ranges from the true stream via dynamic
+# partition overwrite.  The oracle is the truth over the full
+# stream: equality proves convergence — corrupt partitions were
+# replaced, pre-fork partitions were never touched.
+# ---------------------------------------------------------------------------
+_X2_FORK = 2  # block ranges >= this get orphaned then replayed
+
+
+@query(
+    "x2_reorg_recompute",
+    oracle=f"""
+    SELECT event_id // 1000 AS block_range,
+           COUNT(*) AS n_events,
+           CAST(SUM({_CENTS}) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY event_id // 1000
+    """,
+)
+def x2_reorg_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") / F.lit(1000))
+        .cast("long")
+        .alias("block_range"),
+    )
+    fork = F.lit(_X2_FORK)
+    orphaned = ev.withColumn(
+        "cents",
+        F.when(
+            F.col("block_range") >= fork, F.col("cents") + 1
+        ).otherwise(F.col("cents")),
+    )
+    path = scratch_dir("warehouse-x2")
+    write_partitioned(orphaned, path, ["block_range"])
+    # reorg: recompute every range >= fork from the true stream
+    write_partitioned(
+        ev.filter(F.col("block_range") >= fork), path, ["block_range"]
+    )
+    return (
+        read_warehouse(spark, path)
+        # partition-column values are re-inferred as int on read
+        .withColumn("block_range", F.col("block_range").cast("long"))
+        .groupBy("block_range")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
