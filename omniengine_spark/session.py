@@ -55,6 +55,11 @@ def get_spark(
         )
         # --- scan shaping --------------------------------------------
         .config("spark.sql.parquet.filterPushdown", "true")
+        # harness parquet carries naive timestamps; read them as UTC
+        # TIMESTAMP_LTZ (session tz is pinned to UTC below) so
+        # unix_micros, RANGE window frames, and stream watermarks —
+        # all of which require TIMESTAMP — keep working.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # broadcast threshold: generous — every dim table in this
         # engine (region/nation/properties/rates) is tiny vs facts
