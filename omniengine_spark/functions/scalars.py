@@ -55,6 +55,19 @@ def epoch_to_ts(col: Column | str) -> Column:
     return F.timestamp_seconds(c.cast("long"))
 
 
+def epoch_us(col: Column | str) -> Column:
+    """F2: timestamp → epoch microseconds, tolerant of NTZ input.
+
+    ``unix_micros`` requires TIMESTAMP (with local tz); sessions not
+    built by our factory read parquet naive timestamps as
+    TIMESTAMP_NTZ.  The session tz is pinned UTC at load time, so the
+    cast preserves the wall-clock epoch; on an already-LTZ column the
+    cast is a no-op Catalyst folds away.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def trailing_window(ts: Column, anchor: Column, days: int = 1) -> Column:
     """F2: membership in a trailing interval window
     (reference ``sql.py:266``: ``txrecvtime > now() - '1 day'``)."""

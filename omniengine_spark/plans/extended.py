@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from omniengine_spark.operators.rangejoin import bucketed_range_join
 from omniengine_spark.pipeline import expand_deltas, stamp_serials_distributed
 from omniengine_spark.plans.registry import query
+from omniengine_spark.functions.scalars import epoch_us
 from omniengine_spark.sources import load_table
 
 _D = "decimal(18,4)"
@@ -183,14 +184,14 @@ def stats_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j12_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     points = ev.select(
-        F.unix_micros("ts").alias("p_us"), F.col("value")
+        epoch_us("ts").alias("p_us"), F.col("value")
     )
     windows = (
         ev.filter((F.col("event_type") == "error") & (F.col("value") > 195))
         .select(
             F.col("event_id").alias("window_id"),
-            F.unix_micros("ts").alias("lo"),
-            (F.unix_micros("ts") + F.lit(7_200_000_000)).alias("hi"),
+            epoch_us("ts").alias("lo"),
+            (epoch_us("ts") + F.lit(7_200_000_000)).alias("hi"),
         )
     )
     joined = bucketed_range_join(
@@ -330,8 +331,8 @@ def j14_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "error") & (F.col("value") > 190)
     ).select(
         F.col("event_id"),
-        F.unix_micros("ts").alias("lo"),
-        (F.unix_micros("ts") + F.lit(14_400_000_000)).alias("hi"),
+        epoch_us("ts").alias("lo"),
+        (epoch_us("ts") + F.lit(14_400_000_000)).alias("hi"),
     )
     a = windows.select(
         F.col("event_id").alias("a_id"),
@@ -646,7 +647,7 @@ def w8_trailing_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(epoch_us("ts"))
         .rangeBetween(-7 * 86_400_000_000, 0)
     )
     return ev.select(

@@ -102,10 +102,17 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         .parquet(sf_dir)
     )
     for c in TABLES.get(name, {}).get("ts_cols", []):
-        if isinstance(df.schema[c].dataType, T.LongType):
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.LongType):
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
             )
+        elif isinstance(dt, T.TimestampNTZType):
+            # Watermarks/event-time require TIMESTAMP (with local tz);
+            # sessions not built by our factory read parquet naive
+            # timestamps as NTZ.  Session tz is pinned UTC above, so
+            # this cast preserves the wall-clock == UTC epoch.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

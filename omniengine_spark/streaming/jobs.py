@@ -90,7 +90,10 @@ def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hour_value"),
         )
         .select(
-            F.col("win.start").alias("hour_start"),
+            # NTZ output: matches the batch/oracle naive-timestamp
+            # convention regardless of which session built the stream
+            # (the stream itself runs on TIMESTAMP for the watermark).
+            F.col("win.start").cast("timestamp_ntz").alias("hour_start"),
             "event_type",
             "n_events",
             "hour_value",
