@@ -239,27 +239,15 @@ _DELTA_ARR = f"array<{_DELTA_STRUCT}>"
 _DEC = "decimal(19,0)"
 
 
-def expand_deltas(txs: DataFrame) -> DataFrame:
-    """Per-txtype expansion into double-entry ledger rows
-    (address, propertyid, delta_base_units [available],
-    delta_reserved, delta_accepted, kind, role, serial).
-
-    ``kind`` is 'delta' for arithmetic rows and 'freeze'/'unfreeze'
-    for the type-185/186 markers, which only ``full_balance_replay``
-    interprets (the fold is order-dependent, sql.py:1408-1414).
-
-    Optional ``RAW_TX_SCHEMA`` fields absent from ``txs`` are added as
-    typed nulls, so a caller only carrying the fields its txtypes use
-    still resolves — null-only columns are constant-folded by
-    Catalyst, they cost nothing at scale.
+def _build_delta_array() -> F.Column:
+    """Build the per-txtype delta-array expression (see
+    ``expand_deltas``).  Pure function of column NAMES — the returned
+    Column is unresolved and reusable across any DataFrame carrying
+    the RAW_TX_SCHEMA fields, so it is built once per process
+    (``_DELTA_ARRAY_CACHE``): constructing it costs thousands of py4j
+    round trips (~2 s), which eight registered plans would otherwise
+    each pay.
     """
-    present = set(txs.columns)
-    for field in RAW_TX_SCHEMA.fields:
-        if field.name not in present and field.nullable:
-            txs = txs.withColumn(
-                field.name, F.lit(None).cast(field.dataType)
-            )
-
     zero = F.lit(0).cast(_DEC)
 
     def rows(*structs: F.Column) -> F.Column:
@@ -543,6 +531,47 @@ def expand_deltas(txs: DataFrame) -> DataFrame:
         .when(t.isin(65533, 65534), notice)
         .otherwise(empty)
     )
+    return expanded
+
+
+_DELTA_ARRAY_CACHE: F.Column | None = None
+
+
+def expand_deltas(txs: DataFrame) -> DataFrame:
+    """Per-txtype expansion into double-entry ledger rows
+    (address, propertyid, delta_base_units [available],
+    delta_reserved, delta_accepted, kind, role, serial).
+
+    ``kind`` is 'delta' for arithmetic rows and 'freeze'/'unfreeze'
+    for the type-185/186 markers, which only ``full_balance_replay``
+    interprets (the fold is order-dependent, sql.py:1408-1414).
+
+    Optional ``RAW_TX_SCHEMA`` fields absent from ``txs`` are added as
+    typed nulls, so a caller only carrying the fields its txtypes use
+    still resolves — null-only columns are constant-folded by
+    Catalyst, they cost nothing at scale.
+    """
+    global _DELTA_ARRAY_CACHE
+    if _DELTA_ARRAY_CACHE is None:
+        _DELTA_ARRAY_CACHE = _build_delta_array()
+    expanded = _DELTA_ARRAY_CACHE
+
+    missing = [
+        field
+        for field in RAW_TX_SCHEMA.fields
+        if field.name not in set(txs.columns) and field.nullable
+    ]
+    if missing:
+        # one select, one analysis pass (a withColumn per field
+        # re-analyzes the growing plan quadratically)
+        txs = txs.select(
+            "*",
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in missing
+            ],
+        )
+
     return txs.select(
         "txid", "block", "serial", F.explode_outer(expanded).alias("d")
     ).filter(F.col("d").isNotNull()).select(
