@@ -569,3 +569,143 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "rank", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bounded ANN scale path.
+#
+# A dim-D vector is split into M subspaces of D/M dims; each subvector
+# is replaced by the id of its nearest codebook centroid (K entries
+# per subspace), so a 64-dim float vector compresses to M small ints
+# (M bytes once packed — 64× smaller than float32, 512× smaller than
+# the double-precision working set).  Search scans CODES, not
+# vectors: the asymmetric-distance (ADC) score of query q against
+# code (c_1..c_M) is dot(q, concat(centroid[m][c_m])), computable
+# from an M×K lookup table built once per query.  At 100 TB this is
+# the difference between scanning 100 TB of floats and ~1.5 TB of
+# codes with the codebook broadcast (IVF-PQ composes `ivf_assign`
+# coarse lists with these codes for sublinear scan).
+#
+# Codebooks here are md5-derived constants (`deterministic_planes`
+# rationale): exact multiples of 2^-15, bit-identical when inlined
+# into the DuckDB oracle, so encode → ADC → top-k is EXACTLY
+# checkable end-to-end.  A production deployment would train them
+# with k-means (`ivf_build_centroids` has the gemm machinery) — the
+# pipeline shape is identical, only the constants change.
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(
+    seed: int, m: int, k: int, subdim: int
+) -> list[list[list[float]]]:
+    """M codebooks × K centroids × subdim components, md5-derived
+    exact multiples of 2^-15 in [-1, 1)."""
+    import hashlib
+
+    return [
+        [
+            [
+                int(
+                    hashlib.md5(
+                        f"pq:{seed}:{mm}:{cc}:{j}".encode()
+                    ).hexdigest()[:4],
+                    16,
+                )
+                / 32768.0
+                - 1.0
+                for j in range(subdim)
+            ]
+            for cc in range(k)
+        ]
+        for mm in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Expression-only PQ encode: per subspace, argmin-L2 centroid.
+
+    ``argmin_c ||s - cent_c||² = argmin_c (cent_c·cent_c − 2 s·cent_c)``
+    (the ``s·s`` term is constant per row); ``cent_c·cent_c`` is an
+    exact double computed at plan-build time (products of 2^-15
+    multiples stay within 53 mantissa bits), so the comparison is
+    deterministic and engine-independent.  Output: one row per
+    vector with the chosen centroid per subspace (``recon`` is their
+    ordered concatenation) plus the integer ``codes`` — all
+    whole-stage-codegen, no Python execution.
+    """
+    subdim = dim // m
+    books = pq_codebooks(seed, m, k, subdim)
+
+    chosen = []
+    codes = []
+    for mm in range(m):
+        sub = F.slice(F.col(vec_col), mm * subdim + 1, subdim)
+        cands = []
+        for cc in range(k):
+            cent = books[mm][cc]
+            cent_lit = F.array(*[F.lit(x) for x in cent])
+            self_dot = sum(x * x for x in cent)  # exact in binary64
+            d = F.lit(self_dot) - 2.0 * _dot(sub, cent_lit)
+            cands.append(
+                F.struct(
+                    d.alias("d"),
+                    F.lit(cc).alias("c"),
+                    cent_lit.alias("cent"),
+                )
+            )
+        best = F.array_min(F.array(*cands))
+        chosen.append(best["cent"])
+        codes.append(best["c"])
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.array(*codes).alias("codes"),
+        F.flatten(F.array(*chosen)).alias("recon"),
+    )
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    knn: int = 5,
+    seed: int = 42,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """ADC top-k: queries (raw vectors, broadcast) × candidate codes.
+
+    The score is dot(q, reconstruction) — a single left-to-right
+    64-element fold, the same shape the bit-exact brute-force plan
+    uses, so the oracle reproduces it exactly.  Only ``codes``/
+    ``recon`` of the corpus participate; raw corpus vectors are never
+    rescanned (at scale: optionally exact-re-rank the top candidates
+    against raw vectors as a second pass).
+    """
+    enc = pq_encode(vectors, id_col, vec_col, seed, m, k, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    pairs = enc.join(
+        F.broadcast(q), F.col("query_id") != F.col("vec_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("nbr_id"),
+        _dot(F.col("qv"), F.col("recon")).alias("adc_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= knn)
+        .select("query_id", "nbr_id", "rank", "adc_score")
+    )

@@ -171,3 +171,75 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_K, n_clusters=16, nprobe=4,
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# PQ-ADC: the memory-bounded ANN scale path (codes scanned instead of
+# vectors; operators/similarity.py pq_* for the design note).  The
+# md5-derived codebook is inlined into the oracle as a VALUES table;
+# DuckDB re-derives the same codes (argmin over exact doubles) and
+# the same single-fold ADC dot, so the approximate result is exactly
+# checkable like the LSH/IVF plans.
+_PQ_M, _PQ_K, _PQ_SUBDIM = 8, 16, 8
+_PQ_BOOKS = S.pq_codebooks(seed=42, m=_PQ_M, k=_PQ_K, subdim=_PQ_SUBDIM)
+
+_PQ_CB_VALUES = ",\n      ".join(
+    f"({mm}, {cc}, {_plane_lit(_PQ_BOOKS[mm][cc])})"
+    for mm in range(_PQ_M)
+    for cc in range(_PQ_K)
+)
+
+
+@query(
+    "sim_pq_ann_topk",
+    oracle=f"""
+    WITH cb(m, c, cent) AS (VALUES
+      {_PQ_CB_VALUES}
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), dist AS (
+      SELECT e.vec_id, cb.m, cb.c, cb.cent,
+             list_dot_product(cb.cent, cb.cent)
+               - 2 * list_dot_product(
+                   list_slice(e.v, cb.m*{_PQ_SUBDIM}+1,
+                              cb.m*{_PQ_SUBDIM}+{_PQ_SUBDIM}),
+                   cb.cent) AS d
+      FROM e CROSS JOIN cb
+    ), codes AS (
+      SELECT vec_id, m, cent FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, m ORDER BY d, c) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ), recon AS (
+      SELECT vec_id, flatten(list(cent ORDER BY m)) AS rv
+      FROM codes GROUP BY vec_id
+    ), q AS (
+      SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_N_QUERIES}
+    ), scored AS (
+      SELECT q.vec_id AS query_id, r.vec_id AS nbr_id,
+             list_dot_product(q.v, r.rv) AS adc_score
+      FROM q JOIN recon r ON q.vec_id <> r.vec_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY adc_score DESC, nbr_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, nbr_id, CAST(rank AS INT) AS rank, adc_score
+    FROM ranked WHERE rank <= {_K}
+    """,
+)
+def sim_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(_N_QUERIES)
+    return S.pq_adc_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        knn=_K,
+        seed=42,
+        m=_PQ_M,
+        k=_PQ_K,
+        dim=64,
+    )

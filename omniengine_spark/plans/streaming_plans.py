@@ -52,6 +52,52 @@ def x6_stream_exactly_once_dedup(
 
 
 @query(
+    "x10_stream_stream_join",
+    oracle="""
+    WITH pairs AS (
+      SELECT p.user_id AS p_user, p.event_id AS purchase_id
+      FROM events p
+      JOIN events c
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND c.ts <= p.ts
+       AND c.ts >= p.ts - INTERVAL 60 MINUTE
+    )
+    SELECT p_user,
+           COUNT(DISTINCT purchase_id) AS n_attributed,
+           COUNT(*) AS n_pairs
+    FROM pairs GROUP BY p_user
+    """,
+)
+def x10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (purchase ← prior clicks
+    within 1 h, per user): both sides' state stores are bounded by the
+    watermark + time-range condition — the only join shape that scales
+    on two unbounded streams.  Checked against the batch self-join."""
+    return S.click_purchase_attribution(spark, sf_dir, horizon_minutes=60)
+
+
+@query(
+    "x11_stream_append_window",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    HAVING CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
+           <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+)
+def x11_stream_append_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermarked hourly counts: exactly the windows
+    whose end ≤ final watermark (max ts − 1 h) are emitted, once, and
+    their state evicted — the bounded-state emission rule the oracle
+    restates in SQL (windows inside the last watermark horizon are
+    deliberately absent)."""
+    return S.hourly_counts_append(spark, sf_dir)
+
+
+@query(
     "x4_stream_sessionize",
     oracle="""
     WITH flagged AS (

@@ -1,16 +1,21 @@
 """Streaming-shaped layer (SURVEY §2.9): incremental catch-up,
-watermarked windows, exactly-once dedup over at-least-once delivery."""
+watermarked windows, stream-stream joins, exactly-once dedup over
+at-least-once delivery."""
 
 from omniengine_spark.streaming.jobs import (
-    sessionize_with_state,
+    click_purchase_attribution,
     deduped_type_counts,
+    hourly_counts_append,
     hourly_event_counts,
     run_available_now,
+    sessionize_with_state,
 )
 
 __all__ = [
-    "sessionize_with_state",
+    "click_purchase_attribution",
     "deduped_type_counts",
+    "hourly_counts_append",
     "hourly_event_counts",
     "run_available_now",
+    "sessionize_with_state",
 ]

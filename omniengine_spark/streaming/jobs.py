@@ -168,6 +168,85 @@ def sessionize_with_state(
     return w_last
 
 
+def click_purchase_attribution(
+    spark: SparkSession, sf_dir: str, horizon_minutes: int = 60
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join: every purchase is
+    attributed to the same user's clicks in the preceding
+    ``horizon_minutes``.  Both sides carry a 1 h watermark and the
+    join condition bounds event time on both sides, so each side's
+    state store holds only one horizon of rows — the bounded-state
+    recipe for joining two unbounded streams (the reference joins
+    offers to accepts per block, ``sql.py:605-641``; block == the
+    micro-batch here).
+
+    The aggregate (purchases with ≥1 prior click, per event type of
+    the click) runs on the joined stream in complete mode.
+    """
+    ev = stream_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTE")
+        ),
+    )
+    # stream-stream joins emit matched rows in APPEND mode only; the
+    # rollup is presentation, so it runs as batch on the drained sink
+    pairs = run_available_now(
+        joined.select("p_user", "purchase_id", "click_id"), "append"
+    )
+    return pairs.groupBy("p_user").agg(
+        F.count_distinct("purchase_id").alias("n_attributed"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
+def hourly_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermarked windowed count: a window row is emitted
+    exactly once, when the watermark (max event time − 1 h) passes its
+    end — after that the window's state is evicted and late rows are
+    dropped.  Complete mode (x1) re-emits everything each batch and
+    its state never shrinks; append mode is the only shape that
+    survives an unbounded stream, so its exact emission rule is worth
+    pinning: with availableNow draining the whole file, the final
+    watermark is max(ts) − 1 h and precisely the windows whose END ≤
+    that watermark have been emitted.  The oracle states that rule in
+    SQL.
+    """
+    ev = stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("hour_start"),
+            "n_events",
+        )
+    )
+    return run_available_now(agg, "append")
+
+
 def deduped_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once counts from an at-least-once source: the stream is
     unioned with itself (every event delivered twice), then
