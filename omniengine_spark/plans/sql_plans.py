@@ -120,3 +120,112 @@ def sql_q5_local_supplier_volume(
             rev=f"CAST({_REV_SUM} AS DOUBLE)",
         )
     )
+
+
+_Q10 = """
+SELECT
+  c.c_custkey,
+  c.c_name,
+  {rev} AS revenue,
+  c.c_acctbal,
+  n.n_name,
+  COUNT(*) AS n_items
+FROM {cust} c
+JOIN {orders} o ON c.c_custkey = o.o_custkey
+JOIN {li} l ON l.l_orderkey = o.o_orderkey
+JOIN {nat} n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query(
+    "sql_q10_returned_items",
+    oracle=_Q10.format(
+        cust="customer",
+        orders="orders",
+        li="lineitem",
+        nat="nation",
+        rev=f"CAST(CAST({_REV_SUM} AS VARCHAR) AS DOUBLE)",
+    ),
+)
+def sql_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue report over returned items —
+    fact⋈fact (lineitem⋈orders) with a broadcast customer/nation
+    enrichment and a top-20 TakeOrderedAndProject, the serving-layer
+    "worst customers" query the reference answers with AddressStats
+    (``sql.py:1644-1656``)."""
+    for name in ("customer", "orders", "lineitem", "nation"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"v_{name}")
+    return spark.sql(
+        _Q10.format(
+            cust="v_customer",
+            orders="v_orders",
+            li="v_lineitem",
+            nat="v_nation",
+            rev=f"CAST({_REV_SUM} AS DOUBLE)",
+        )
+    )
+
+
+_Q7 = """
+WITH flows AS (
+  SELECT
+    sn.n_name AS supp_nation,
+    cn.n_name AS cust_nation,
+    CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
+    CAST(l.l_extendedprice AS DECIMAL(18,4))
+      * (CAST(1 AS DECIMAL(5,4)) - CAST(l.l_discount AS DECIMAL(5,4)))
+      AS volume
+  FROM {supp} s
+  JOIN {li} l ON s.s_suppkey = l.l_suppkey
+  JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+  JOIN {cust} c ON c.c_custkey = o.o_custkey
+  JOIN {nat} sn ON s.s_nationkey = sn.n_nationkey
+  JOIN {nat} cn ON c.c_nationkey = cn.n_nationkey
+  WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+      OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1997-12-31 00:00:00'
+)
+SELECT supp_nation, cust_nation, l_year,
+       {rev} AS revenue,
+       COUNT(*) AS n_items
+FROM flows
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query(
+    "sql_q7_volume_shipping",
+    oracle=_Q7.format(
+        cust="customer",
+        orders="orders",
+        li="lineitem",
+        supp="supplier",
+        nat="nation",
+        rev="CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE)",
+    ),
+)
+def sql_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: six-way join where the interesting predicate is
+    a symmetric OR over a broadcast dim joined TWICE under different
+    aliases (supplier's nation vs customer's nation) — proves alias
+    resolution and that the disjunction is pushed into the two
+    broadcast hash joins rather than materializing the cross flow."""
+    for name in ("customer", "orders", "lineitem", "supplier", "nation"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"v_{name}")
+    return spark.sql(
+        _Q7.format(
+            cust="v_customer",
+            orders="v_orders",
+            li="v_lineitem",
+            supp="v_supplier",
+            nat="v_nation",
+            rev="CAST(SUM(volume) AS DOUBLE)",
+        )
+    )
