@@ -709,3 +709,102 @@ def pq_adc_topk(
         .filter(F.col("rank") <= knn)
         .select("query_id", "nbr_id", "rank", "adc_score")
     )
+
+
+def ivfpq_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    knn: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ: coarse inverted lists (portable md5-seed quantizer,
+    ``ivf_ann_topk_portable``) scanned via PQ codes (``pq_encode``)
+    instead of raw vectors — the standard billion-scale ANN index.
+
+    At scale the per-vector state after indexing is (cluster id,
+    M-byte code): a 100 TB float corpus becomes ~1.5 TB of codes
+    partitioned BY cluster, a query touches nprobe/n_clusters of
+    them, and the raw vectors are read exactly once (at encode).
+    Still exactly checkable: both quantizers are deterministic, and
+    the ADC score is the same single 64-element fold the oracle
+    reproduces.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    seeds = (
+        vectors.select(
+            F.col(id_col).alias("cluster"),
+            F.col(vec_col).alias("cvec"),
+            h.alias("h"),
+        )
+        .orderBy("h", "cluster")
+        .limit(n_clusters)
+        .select("cluster", "cvec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec")
+    )
+    wa = Window.partitionBy("nbr_id").orderBy(
+        F.col("csim").desc(), F.col("cluster").asc()
+    )
+    lists = (
+        v.crossJoin(F.broadcast(seeds))
+        .select(
+            "nbr_id",
+            "cluster",
+            cosine(F.col("nbr_vec"), F.col("cvec")).alias("csim"),
+        )
+        .withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") == 1)
+        .select("nbr_id", "cluster")
+    )
+    codes = pq_encode(vectors, id_col, vec_col, seed, m, k, dim).select(
+        F.col("vec_id").alias("nbr_id"), "recon"
+    )
+    # the index: one (cluster, code) row per vector — joined here;
+    # a deployment would store lists ⋈ codes partitioned by cluster
+    indexed = lists.join(codes, "nbr_id")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cluster").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(seeds))
+        .select(
+            "query_id",
+            "query_vec",
+            "cluster",
+            cosine(F.col("query_vec"), F.col("cvec")).alias("csim"),
+        )
+        .withColumn("arank", F.row_number().over(wq))
+        .filter(F.col("arank") <= nprobe)
+        .select("query_id", "query_vec", "cluster")
+    )
+    scored = (
+        probes.join(indexed, "cluster")
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            _dot(F.col("query_vec"), F.col("recon")).alias("adc_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= knn)
+        .select("query_id", "nbr_id", "rank", "adc_score")
+    )

@@ -243,3 +243,97 @@ def sim_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_PQ_K,
         dim=64,
     )
+
+
+_MD5_ID_LONG = (
+    "CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) "
+    "AS UBIGINT) AS BIGINT)"
+)
+
+
+@query(
+    "sim_ivfpq_ann_topk",
+    # IVF coarse lists (portable md5-seed quantizer, as
+    # sim_ivf_ann_topk) scanned via PQ reconstructions (as
+    # sim_pq_ann_topk) — the composite billion-scale index, still
+    # exactly checkable because both quantizers are deterministic.
+    oracle=f"""
+    WITH cb(m, c, cent) AS (VALUES
+      {_PQ_CB_VALUES}
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), hh AS (
+      SELECT vec_id, v, {_MD5_ID_LONG} AS h FROM e
+    ), seeds AS (
+      SELECT vec_id AS cluster, v AS cvec FROM hh ORDER BY h, cluster
+      LIMIT 16
+    ), asg AS (
+      SELECT e.vec_id AS nbr_id, s.cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.v', 's.cvec')} DESC, s.cluster ASC)
+               AS arank
+      FROM e CROSS JOIN seeds s
+    ), lists AS (
+      SELECT nbr_id, cluster FROM asg WHERE arank = 1
+    ), dist AS (
+      SELECT e.vec_id, cb.m, cb.c, cb.cent,
+             list_dot_product(cb.cent, cb.cent)
+               - 2 * list_dot_product(
+                   list_slice(e.v, cb.m*{_PQ_SUBDIM}+1,
+                              cb.m*{_PQ_SUBDIM}+{_PQ_SUBDIM}),
+                   cb.cent) AS d
+      FROM e CROSS JOIN cb
+    ), codes AS (
+      SELECT vec_id, m, cent FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, m ORDER BY d, c) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ), recon AS (
+      SELECT vec_id AS nbr_id, flatten(list(cent ORDER BY m)) AS rv
+      FROM codes GROUP BY vec_id
+    ), q AS (
+      SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_N_QUERIES}
+    ), qasg AS (
+      SELECT q.vec_id AS query_id, q.v AS query_vec, s.cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_cos_sql('q.v', 's.cvec')} DESC, s.cluster ASC)
+               AS arank
+      FROM q CROSS JOIN seeds s
+    ), probes AS (
+      SELECT query_id, query_vec, cluster FROM qasg WHERE arank <= 4
+    ), scored AS (
+      SELECT p.query_id, l.nbr_id,
+             list_dot_product(p.query_vec, r.rv) AS adc_score
+      FROM probes p
+      JOIN lists l ON p.cluster = l.cluster
+      JOIN recon r ON r.nbr_id = l.nbr_id
+      WHERE p.query_id <> l.nbr_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY adc_score DESC, nbr_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, nbr_id, CAST(rank AS INT) AS rank, adc_score
+    FROM ranked WHERE rank <= {_K}
+    """,
+)
+def sim_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(_N_QUERIES)
+    return S.ivfpq_ann_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        knn=_K,
+        n_clusters=16,
+        nprobe=4,
+        seed=42,
+        m=_PQ_M,
+        k=_PQ_K,
+        dim=64,
+    )

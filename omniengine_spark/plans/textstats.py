@@ -359,3 +359,71 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_phones"),
         F.length(scrubbed).cast("long").alias("scrubbed_len"),
     )
+
+
+# --------------------------------------------------------------------
+# Repetition ratio: fraction of word 3-grams that are duplicates
+# within the document — the Gopher/C4-style boilerplate signal (a
+# high ratio means templated or looping text).  Generalizes the
+# reference's duplicate-name scan (sql.py:1602-1624) from
+# across-corpus names to within-document n-grams; pure expressions,
+# no shuffle at all (per-row computation + one rollup-free output).
+# --------------------------------------------------------------------
+@query(
+    "text_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [] END AS tri
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(tri) AS BIGINT) AS n_trigrams,
+           CAST(len(list_distinct(tri)) AS BIGINT) AS n_unique,
+           CASE WHEN len(tri) > 0
+                THEN CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)
+                     / CAST(len(tri) AS DOUBLE)
+                ELSE 0.0 END AS dup_ratio,
+           CASE WHEN len(tri) > 0
+                AND CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)
+                    / CAST(len(tri) AS DOUBLE) > 0.05
+                THEN TRUE ELSE FALSE END AS is_repetitive
+    FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    tri = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_tri = F.size(tri)
+    n_uniq = F.size(F.array_distinct(tri))
+    dup_ratio = F.when(
+        n_tri > 0,
+        (n_tri - n_uniq).cast("double") / n_tri.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n_tri.cast("long").alias("n_trigrams"),
+        n_uniq.cast("long").alias("n_unique"),
+        dup_ratio.alias("dup_ratio"),
+        (dup_ratio > 0.05).alias("is_repetitive"),
+    )
