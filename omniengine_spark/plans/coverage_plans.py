@@ -282,20 +282,81 @@ def stats_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stats_value_profile_approx")  # rows-only: sketch-based
+# Sketch plans: HLL/KLL internals are engine-specific, so the raw
+# estimates cannot hash-match a DuckDB oracle.  Instead the plan runs
+# the sketch FOR REAL and emits its accuracy contract alongside the
+# exact value — the oracle states the exact value and `TRUE`, so the
+# driver's hash gate verifies both the exact arithmetic and that the
+# sketch met its error bound (the recall-gate pattern the ANN plans
+# use for their approximate paths).
+@query(
+    "stats_value_profile_approx",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           TRUE AS p50_ok,
+           TRUE AS p95_ok,
+           TRUE AS nd_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def stats_value_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.expr("approx_percentile(value, array(0.5, 0.95), 10000)").alias(
             "p_approx"
         ),
         F.approx_count_distinct("user_id").alias("nd_users"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.expr("percentile(value, 0.95)").alias("p95_exact"),
+        F.count_distinct("user_id").alias("nd_exact"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def close(a, b, tol):  # |a-b| <= tol·(|b|+1)
+        return F.abs(a - b) <= tol * (F.abs(b) + F.lit(1.0))
+
+    return agg.select(
+        "event_type",
+        "n",
+        close(F.element_at("p_approx", 1), F.col("p50_exact"), 0.05).alias(
+            "p50_ok"
+        ),
+        close(F.element_at("p_approx", 2), F.col("p95_exact"), 0.05).alias(
+            "p95_ok"
+        ),
+        (
+            F.abs(F.col("nd_users") - F.col("nd_exact"))
+            <= 0.05 * F.col("nd_exact")
+        ).alias("nd_ok"),
     )
 
 
-@query("u4_distinct_users_approx")  # rows-only: HLL is engine-specific
+@query(
+    "u4_distinct_users_approx",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users_exact,
+           TRUE AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def u4_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+            F.count_distinct("user_id").alias("n_users_exact"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("approx") - F.col("n_users_exact"))
+                <= 0.03 * F.col("n_users_exact")
+            ).alias("approx_ok"),
+        )
     )

@@ -161,3 +161,60 @@ def w6_user_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("max_event_id"),
         F.max("ts").alias("watermark_ts"),
     )
+
+
+@query(
+    "w9_session_window_native",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def w9_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN session_window (dynamic-gap merged windows)
+    against the lag→flag→cumsum formulation the manual plans use
+    (w5/x4): one hash aggregate whose grouping key merges overlapping
+    [ts, ts+gap) intervals — no window-function sort at all, which at
+    scale beats the two stacked sorts of the manual gap-cut.  The
+    oracle proves the two formulations define identical sessions.
+    session_window needs TIMESTAMP input; outputs are pinned NTZ to
+    the engine's naive-timestamp output convention."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        ev.groupBy(sw, F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start")
+            .cast("timestamp_ntz")
+            .alias("session_start"),
+            F.col("session_window.end")
+            .cast("timestamp_ntz")
+            .alias("session_end"),
+            "n_events",
+        )
+    )
