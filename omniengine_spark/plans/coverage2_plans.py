@@ -343,3 +343,59 @@ def x2_reorg_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("total_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X1b — incremental high-watermark batch, driver-checked (reference
+# resume loop, omniEngine.py:60-69 + A1 coalesce(max(...)) resume
+# points): batch 1 lands days ≤ split into the warehouse; batch 2
+# reads the warehouse's own max(day) watermark — exactly the
+# reference's `max(blocknumber)+1` — and appends only newer days.
+# The result proves incremental == one-shot over the same stream.
+# At scale each batch touches only its new day partitions; the
+# watermark read is a partition-pruned max over the partition column.
+# ---------------------------------------------------------------------------
+@query(
+    "x1b_incremental_batch",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY 1
+    """,
+)
+def x1b_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    split = ev.agg(
+        F.date_add(F.min("day"), 10).alias("s")
+    ).collect()[0]["s"]
+
+    path = scratch_dir("warehouse-x1b")
+    write_partitioned(ev.filter(F.col("day") <= F.lit(split)), path, ["day"])
+
+    # resume point read back from the warehouse itself (A1)
+    watermark = (
+        read_warehouse(spark, path)
+        .agg(F.max(F.col("day").cast("date")).alias("w"))
+        .collect()[0]["w"]
+    )
+    write_partitioned(
+        ev.filter(F.col("day") > F.lit(watermark)), path, ["day"]
+    )
+
+    return (
+        read_warehouse(spark, path)
+        .withColumn(
+            "day", F.col("day").cast("date").cast("timestamp_ntz")
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )

@@ -138,16 +138,29 @@ def sessionize_with_state(
     )
 
     def fold(key, batches, state: GroupState):
+        import numpy as np
+
         last_epoch, n_sessions = (
             state.get if state.exists else (None, 0)
         )
         for pdf in batches:
+            if pdf.empty:
+                continue
             pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            for t in pdf["ts"]:
-                epoch = t.timestamp()
-                if last_epoch is None or epoch - last_epoch > gap_s:
-                    n_sessions += 1
-                last_epoch = epoch
+            # vectorized gap-cut over the Arrow batch: a session opens
+            # at every within-batch gap > gap_s, plus at the batch
+            # head if it gaps against the carried state (or none yet)
+            s = pdf["ts"]
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            epochs = (
+                s.astype("datetime64[ns]").astype("int64").to_numpy()
+                / 1e9
+            )
+            n_sessions += int((np.diff(epochs) > gap_s).sum())
+            if last_epoch is None or epochs[0] - last_epoch > gap_s:
+                n_sessions += 1
+            last_epoch = float(epochs[-1])
         state.update((last_epoch, n_sessions))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_sessions": [n_sessions]}
