@@ -399,3 +399,92 @@ def x1b_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("total_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A19 — hierarchical continuous aggregate (hypertable-style rollup):
+# hourly partials are MATERIALIZED once, then day and month grains
+# derive from the next-finer materialization (sum-of-sums), never
+# rescanning raw events — at 100 TB the raw scan happens once per
+# ingest and every coarser window is a rollup over ~1/3600th the
+# rows.  The reference recomputes its 24 h windows from raw
+# transactions every block (sql.py:266, 276); the oracle here states
+# all three grains directly against raw events, proving the derived
+# chain is lossless.
+# ---------------------------------------------------------------------------
+@query(
+    "a19_hierarchical_rollup",
+    oracle="""
+    WITH raw AS (
+      SELECT ts, CAST(ROUND(value*100) AS BIGINT) AS cents FROM events
+    )
+    SELECT 'hour' AS grain,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM raw GROUP BY 2
+    UNION ALL
+    SELECT 'day', CAST(date_trunc('day', ts) AS TIMESTAMP),
+           COUNT(*), CAST(SUM(cents) AS BIGINT)
+    FROM raw GROUP BY 2
+    UNION ALL
+    SELECT 'month', CAST(date_trunc('month', ts) AS TIMESTAMP),
+           COUNT(*), CAST(SUM(cents) AS BIGINT)
+    FROM raw GROUP BY 2
+    """,
+)
+def a19_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts"))
+        .cast("timestamp_ntz")
+        .alias("hour"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    hourly = ev.groupBy("hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    path = scratch_dir("rollup-hourly")
+    hourly.write.mode("overwrite").parquet(path)
+    hourly_m = spark.read.parquet(path)  # the materialized partials
+
+    daily = hourly_m.groupBy(
+        F.date_trunc("day", F.col("hour"))
+        .cast("timestamp_ntz")
+        .alias("day")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("total_cents").cast("long").alias("total_cents"),
+    )
+    monthly = daily.groupBy(
+        F.date_trunc("month", F.col("day"))
+        .cast("timestamp_ntz")
+        .alias("month")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("total_cents").cast("long").alias("total_cents"),
+    )
+    return (
+        hourly_m.select(
+            F.lit("hour").alias("grain"),
+            F.col("hour").alias("bucket_start"),
+            "n_events",
+            "total_cents",
+        )
+        .unionByName(
+            daily.select(
+                F.lit("day").alias("grain"),
+                F.col("day").alias("bucket_start"),
+                "n_events",
+                "total_cents",
+            )
+        )
+        .unionByName(
+            monthly.select(
+                F.lit("month").alias("grain"),
+                F.col("month").alias("bucket_start"),
+                "n_events",
+                "total_cents",
+            )
+        )
+    )
