@@ -773,3 +773,142 @@ def sql_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "promo_pct",
         100.0 * F.col("promo_revenue") / F.col("total_revenue"),
     )
+
+
+# --------------------------------------------------------------------
+# Count-min sketch heavy hitters: the fixed-memory frequency sketch
+# (D=4 rows × W=256 buckets of BIGINT, mergeable by addition) probed
+# for the top spenders.  At 100 TB the sketch is a map-side-combined
+# groupBy over D·W cells — constant state per executor regardless of
+# key cardinality — where the exact per-key count it replaces would
+# shuffle every distinct key.  Hashes are md5-derived (engine-
+# independent), so the oracle rebuilds the IDENTICAL sketch: both the
+# estimates and the guaranteed-overcount property are hash-checked,
+# the accuracy-gate pattern with zero tolerance.
+# --------------------------------------------------------------------
+_CM_D, _CM_W = 4, 256
+
+
+def _cm_hash_sql(j: int) -> str:
+    return (
+        f"CAST(CAST(('0x' || substr(md5({j} || ':' || "
+        f"CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) % {_CM_W} "
+        f"AS BIGINT)"
+    )
+
+
+@query(
+    "stats_countmin_heavy_hitters",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    ), cells AS (
+      SELECT j, h, COUNT(*) AS c
+      FROM p CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(j),
+      LATERAL (SELECT CASE j
+        WHEN 0 THEN {_cm_hash_sql(0)}
+        WHEN 1 THEN {_cm_hash_sql(1)}
+        WHEN 2 THEN {_cm_hash_sql(2)}
+        ELSE {_cm_hash_sql(3)} END AS h)
+      GROUP BY j, h
+    ), probes AS (
+      SELECT DISTINCT user_id,
+             {_cm_hash_sql(0)} AS h0, {_cm_hash_sql(1)} AS h1,
+             {_cm_hash_sql(2)} AS h2, {_cm_hash_sql(3)} AS h3
+      FROM p
+    ), est AS (
+      SELECT pr.user_id,
+             LEAST(c0.c, c1.c, c2.c, c3.c) AS cm_estimate
+      FROM probes pr
+      JOIN cells c0 ON c0.j = 0 AND c0.h = pr.h0
+      JOIN cells c1 ON c1.j = 1 AND c1.h = pr.h1
+      JOIN cells c2 ON c2.j = 2 AND c2.h = pr.h2
+      JOIN cells c3 ON c3.j = 3 AND c3.h = pr.h3
+    ), exact AS (
+      SELECT user_id, COUNT(*) AS n_exact FROM p GROUP BY user_id
+    )
+    SELECT e.user_id, e.cm_estimate, x.n_exact,
+           e.cm_estimate >= x.n_exact AS never_undercounts
+    FROM est e JOIN exact x ON e.user_id = x.user_id
+    ORDER BY e.cm_estimate DESC, e.user_id
+    LIMIT 20
+    """,
+)
+def stats_countmin_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+    )
+
+    def h(j: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{j}:"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CM_W
+        )
+
+    # the sketch: one explode into (j, h) cells, map-side combined to
+    # at most D·W rows before the shuffle
+    cells = (
+        ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"), h(j).alias("h")
+                        )
+                        for j in range(_CM_D)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .groupBy(F.col("cell.j").alias("j"), F.col("cell.h").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    probes = ev.distinct().select(
+        "user_id", *[h(j).alias(f"h{j}") for j in range(_CM_D)]
+    )
+    est = probes
+    for j in range(_CM_D):
+        cj = cells.filter(F.col("j") == j).select(
+            F.col("h").alias(f"h{j}"), F.col("c").alias(f"c{j}")
+        )
+        est = est.join(F.broadcast(cj), f"h{j}")
+    est = est.select(
+        "user_id",
+        F.least(*[F.col(f"c{j}") for j in range(_CM_D)]).alias(
+            "cm_estimate"
+        ),
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "cm_estimate",
+            "n_exact",
+            (F.col("cm_estimate") >= F.col("n_exact")).alias(
+                "never_undercounts"
+            ),
+        )
+        .orderBy(F.col("cm_estimate").desc(), "user_id")
+        .limit(20)
+    )
