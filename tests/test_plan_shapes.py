@@ -63,3 +63,28 @@ def test_j8_anti_join_is_hash_join(spark):
     plan = _plan(spark, "j8_customers_without_orders")
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_plans_are_pure_codegen(spark):
+    # PQ encode/ADC is argmin + folds over literal codebooks — the
+    # whole index build and scan must stay JVM-side (no Python stage)
+    for name in ("sim_pq_ann_topk", "sim_ivfpq_ann_topk"):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+
+
+def test_countmin_probe_joins_are_broadcast(spark):
+    # the sketch is at most D·W cells — every probe join must
+    # broadcast it, never shuffle the probe side
+    plan = _plan(spark, "stats_countmin_heavy_hitters")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "TakeOrderedAndProject" in plan  # top-20, not global sort
+
+
+def test_session_window_avoids_window_sort_exchange(spark):
+    # native session_window is a (merged-interval) aggregate — there
+    # must be no window-function Sort+Window pair over the wide data
+    plan = _plan(spark, "w9_session_window_native")
+    assert "Window" not in plan.replace("session_window", "")
