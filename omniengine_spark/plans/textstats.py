@@ -399,28 +399,41 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    n = F.size(toks)
-    tri = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    n_tri = F.size(tri)
-    n_uniq = F.size(F.array_distinct(tri))
+    # Relational formulation, not a per-row array HOF: building the
+    # trigram array with transform/element_at lambdas runs the
+    # interpreted expression path (measured 26 s at sf0.1 vs 0.2 s in
+    # DuckDB).  posexplode → lead ×2 → grouped count/count_distinct
+    # stays entirely in codegen; the shuffle is the token stream
+    # partitioned by doc_id — the same posting-list shape
+    # dedup_ngram_jaccard scales on, bounded by max doc length per
+    # group.
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode("toks").alias("pos", "w")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    nxt1, nxt2 = F.lead("w", 1).over(w), F.lead("w", 2).over(w)
+    tri = tok.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("w"), nxt1, nxt2).alias("tri"),
+        nxt2.isNotNull().alias("full"),
+    ).filter("full")
+    counts = tri.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.count_distinct("tri").alias("n_unique"),
+    )
+    base = docs.select("doc_id").join(counts, "doc_id", "left")
+    n_tri = F.coalesce(F.col("n_trigrams"), F.lit(0))
+    n_uniq = F.coalesce(F.col("n_unique"), F.lit(0))
     dup_ratio = F.when(
         n_tri > 0,
         (n_tri - n_uniq).cast("double") / n_tri.cast("double"),
     ).otherwise(F.lit(0.0))
-    return docs.select(
+    return base.select(
         "doc_id",
         n_tri.cast("long").alias("n_trigrams"),
         n_uniq.cast("long").alias("n_unique"),
