@@ -620,29 +620,21 @@ def pq_codebooks(
     ]
 
 
-def pq_encode(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed: int = 42,
-    m: int = 8,
-    k: int = 16,
-    dim: int = 64,
-) -> DataFrame:
-    """Expression-only PQ encode: per subspace, argmin-L2 centroid.
+_PQ_EXPR_CACHE: dict[tuple, tuple] = {}
 
-    ``argmin_c ||s - cent_c||² = argmin_c (cent_c·cent_c − 2 s·cent_c)``
-    (the ``s·s`` term is constant per row); ``cent_c·cent_c`` is an
-    exact double computed at plan-build time (products of 2^-15
-    multiples stay within 53 mantissa bits), so the comparison is
-    deterministic and engine-independent.  Output: one row per
-    vector with the chosen centroid per subspace (``recon`` is their
-    ordered concatenation) plus the integer ``codes`` — all
-    whole-stage-codegen, no Python execution.
-    """
+
+def _pq_exprs(
+    vec_col: str, seed: int, m: int, k: int, dim: int
+) -> tuple:
+    """(codes, recon) Columns for a PQ config — pure functions of the
+    column NAME and constants, memoized per process: building them
+    costs m·k dot-expression trees (thousands of py4j calls, ~3 s)
+    which every PQ-based plan would otherwise re-pay."""
+    key = (vec_col, seed, m, k, dim)
+    if key in _PQ_EXPR_CACHE:
+        return _PQ_EXPR_CACHE[key]
     subdim = dim // m
     books = pq_codebooks(seed, m, k, subdim)
-
     chosen = []
     codes = []
     for mm in range(m):
@@ -663,10 +655,36 @@ def pq_encode(
         best = F.array_min(F.array(*cands))
         chosen.append(best["cent"])
         codes.append(best["c"])
+    out = (F.array(*codes), F.flatten(F.array(*chosen)))
+    _PQ_EXPR_CACHE[key] = out
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Expression-only PQ encode: per subspace, argmin-L2 centroid.
+
+    ``argmin_c ||s - cent_c||² = argmin_c (cent_c·cent_c − 2 s·cent_c)``
+    (the ``s·s`` term is constant per row); ``cent_c·cent_c`` is an
+    exact double computed at plan-build time (products of 2^-15
+    multiples stay within 53 mantissa bits), so the comparison is
+    deterministic and engine-independent.  Output: one row per
+    vector with the chosen centroid per subspace (``recon`` is their
+    ordered concatenation) plus the integer ``codes`` — all
+    whole-stage-codegen, no Python execution.
+    """
+    codes, recon = _pq_exprs(vec_col, seed, m, k, dim)
     return df.select(
         F.col(id_col).alias("vec_id"),
-        F.array(*codes).alias("codes"),
-        F.flatten(F.array(*chosen)).alias("recon"),
+        codes.alias("codes"),
+        recon.alias("recon"),
     )
 
 
