@@ -10,6 +10,7 @@ the repo-local ``.scratch/`` dir (gitignored, driver-safe).
 from __future__ import annotations
 
 import shutil
+import time
 import uuid
 from pathlib import Path
 
@@ -19,8 +20,21 @@ _SCRATCH = Path(__file__).resolve().parents[2] / ".scratch"
 
 
 def scratch_dir(label: str) -> str:
-    """Fresh unique scratch directory under the repo."""
+    """Fresh unique scratch directory under the repo.
+
+    Sink plans cannot remove their own output (the returned DataFrame
+    reads it lazily, after the plan function returns), so each call
+    also prunes siblings older than 2 h — bounds accumulation across
+    repeated gate/bench runs without racing a live query.
+    """
     _SCRATCH.mkdir(exist_ok=True)
+    cutoff = time.time() - 7200
+    for old in _SCRATCH.iterdir():
+        try:
+            if old.stat().st_mtime < cutoff:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
     return str(_SCRATCH / f"{label}-{uuid.uuid4().hex[:12]}")
 
 
