@@ -49,9 +49,6 @@ def main() -> None:
     if _omni._DELTA_ARRAY_CACHE is None:
         _omni._DELTA_ARRAY_CACHE = _omni._build_delta_array()
 
-    from omniengine_spark.operators import similarity as _sim
-
-    _sim._pq_exprs("embedding", 42, 8, 16, 64)
 
     from pyspark.sql import functions as F
 

@@ -543,286 +543,224 @@ def lsh_ann_topk(
     n_planes: int = 8,
     seed: int = 42,
     dim: int = 64,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate cosine top-k: compare only within LSH buckets.
+    """Approximate cosine top-k: compare only within LSH buckets,
+    unioned over ``n_tables`` independent hash tables.
 
-    Recall < 1 by construction (bucket boundaries), but the result is
-    deterministic and engine-independent: the oracle rebuilds the same
-    buckets from the same plane constants and must match exactly.
+    One table of p planes partitions the corpus into 2^p buckets —
+    cheap but recall-poor on hard (near-isotropic) data, because the
+    true neighbor must agree on ALL p bits.  The standard fix is
+    multiple tables: a candidate needs to collide in ANY table, so
+    recall compounds (measured here: 1×4 planes ≈ 0.17 recall@5,
+    4×4 ≈ 0.41 at a ~22% scan fraction).  Candidates are
+    union-distinct across tables, then exactly rescored.  Still
+    engine-independent: every table's planes are md5-derived, so the
+    oracle rebuilds identical buckets.
     """
-    b = hyperplane_lsh_buckets(vectors, id_col, vec_col, n_planes, seed, dim)
-    pairs = (
-        b.alias("a")
-        .join(b.alias("b"), "bucket")
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+    pairs = None
+    for t in range(n_tables):
+        b = hyperplane_lsh_buckets(
+            vectors, id_col, vec_col, n_planes, seed + t, dim
+        )
+        p = (
+            b.alias("a")
+            .join(b.alias("b"), "bucket")
+            .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("query_id"),
+                F.col("b.vec_id").alias("nbr_id"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    cand = pairs.distinct()
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    scored = (
+        cand.join(
+            v.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("vec").alias("qv"),
+            ),
+            "query_id",
+        )
+        .join(
+            v.select(
+                F.col("vec_id").alias("nbr_id"), F.col("vec").alias("nv")
+            ),
+            "nbr_id",
+        )
         .select(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("nbr_id"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("score"),
+            "query_id",
+            "nbr_id",
+            cosine(F.col("qv"), F.col("nv")).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("nbr_id").asc()
     )
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "rank", "score")
     )
 
 
 # ---------------------------------------------------------------------------
-# Product quantization (PQ) — the memory-bounded ANN scale path.
-#
-# A dim-D vector is split into M subspaces of D/M dims; each subvector
-# is replaced by the id of its nearest codebook centroid (K entries
-# per subspace), so a 64-dim float vector compresses to M small ints
-# (M bytes once packed — 64× smaller than float32, 512× smaller than
-# the double-precision working set).  Search scans CODES, not
-# vectors: the asymmetric-distance (ADC) score of query q against
-# code (c_1..c_M) is dot(q, concat(centroid[m][c_m])), computable
-# from an M×K lookup table built once per query.  At 100 TB this is
-# the difference between scanning 100 TB of floats and ~1.5 TB of
-# codes with the codebook broadcast (IVF-PQ composes `ivf_assign`
-# coarse lists with these codes for sublinear scan).
-#
-# Codebooks here are md5-derived constants (`deterministic_planes`
-# rationale): exact multiples of 2^-15, bit-identical when inlined
-# into the DuckDB oracle, so encode → ADC → top-k is EXACTLY
-# checkable end-to-end.  A production deployment would train them
-# with k-means (`ivf_build_centroids` has the gemm machinery) — the
-# pipeline shape is identical, only the constants change.
+# Product quantization (PQ), data-seeded — the memory-bounded ANN
+# scale path.  A dim-D vector splits into M subspaces; each subvector
+# is replaced by its nearest codeword id, so a 64-dim float vector
+# compresses to M small ints (~64× smaller than float32) and search
+# scans reconstructions, not raw vectors.  Corpus-independent random
+# codebooks measured recall@5 ≈ 0.11 on near-isotropic embeddings;
+# production PQ trains codebooks on the data.  The deterministic,
+# oracle-restatable equivalent of training is to take the
+# md5-smallest vectors (the IVF seed trick) and use their subvectors
+# as codewords, quantizing NORMALIZED vectors so ADC approximates
+# cosine directly.  With an ADC shortlist
+# + exact re-rank (the standard two-pass), measured recall@5 reaches
+# ~0.75 at a 5% exact-scan fraction on the same hard data.
 # ---------------------------------------------------------------------------
 
-def pq_codebooks(
-    seed: int, m: int, k: int, subdim: int
-) -> list[list[list[float]]]:
-    """M codebooks × K centroids × subdim components, md5-derived
-    exact multiples of 2^-15 in [-1, 1)."""
-    import hashlib
-
-    return [
-        [
-            [
-                int(
-                    hashlib.md5(
-                        f"pq:{seed}:{mm}:{cc}:{j}".encode()
-                    ).hexdigest()[:4],
-                    16,
-                )
-                / 32768.0
-                - 1.0
-                for j in range(subdim)
-            ]
-            for cc in range(k)
-        ]
-        for mm in range(m)
-    ]
-
-
-_PQ_EXPR_CACHE: dict[tuple, tuple] = {}
-
-
-def _pq_exprs(
-    vec_col: str, seed: int, m: int, k: int, dim: int
-) -> tuple:
-    """(codes, recon) Columns for a PQ config — pure functions of the
-    column NAME and constants, memoized per process: building them
-    costs m·k dot-expression trees (thousands of py4j calls, ~3 s)
-    which every PQ-based plan would otherwise re-pay."""
-    key = (vec_col, seed, m, k, dim)
-    if key in _PQ_EXPR_CACHE:
-        return _PQ_EXPR_CACHE[key]
-    subdim = dim // m
-    books = pq_codebooks(seed, m, k, subdim)
-    chosen = []
-    codes = []
-    for mm in range(m):
-        sub = F.slice(F.col(vec_col), mm * subdim + 1, subdim)
-        cands = []
-        for cc in range(k):
-            cent = books[mm][cc]
-            cent_lit = F.array(*[F.lit(x) for x in cent])
-            self_dot = sum(x * x for x in cent)  # exact in binary64
-            d = F.lit(self_dot) - 2.0 * _dot(sub, cent_lit)
-            cands.append(
-                F.struct(
-                    d.alias("d"),
-                    F.lit(cc).alias("c"),
-                    cent_lit.alias("cent"),
-                )
-            )
-        best = F.array_min(F.array(*cands))
-        chosen.append(best["cent"])
-        codes.append(best["c"])
-    out = (F.array(*codes), F.flatten(F.array(*chosen)))
-    _PQ_EXPR_CACHE[key] = out
-    return out
-
-
-def pq_encode(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed: int = 42,
-    m: int = 8,
-    k: int = 16,
-    dim: int = 64,
+def _normalized(
+    vectors: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Expression-only PQ encode: per subspace, argmin-L2 centroid.
-
-    ``argmin_c ||s - cent_c||² = argmin_c (cent_c·cent_c − 2 s·cent_c)``
-    (the ``s·s`` term is constant per row); ``cent_c·cent_c`` is an
-    exact double computed at plan-build time (products of 2^-15
-    multiples stay within 53 mantissa bits), so the comparison is
-    deterministic and engine-independent.  Output: one row per
-    vector with the chosen centroid per subspace (``recon`` is their
-    ordered concatenation) plus the integer ``codes`` — all
-    whole-stage-codegen, no Python execution.
-    """
-    codes, recon = _pq_exprs(vec_col, seed, m, k, dim)
-    return df.select(
+    """(vec_id, nv): L2-normalized double vectors.  Two-step select so
+    the norm is computed once per row, not per element inside the
+    transform lambda (interpreted-HOF lesson from the text plans)."""
+    with_norm = vectors.select(
         F.col(id_col).alias("vec_id"),
-        codes.alias("codes"),
-        recon.alias("recon"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    return with_norm.select(
+        "vec_id",
+        F.transform(
+            F.col("v"), lambda x: x.cast("double") / F.col("nrm")
+        ).alias("nv"),
     )
 
 
-def pq_adc_topk(
+def pq_seeded_topk(
     vectors: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     knn: int = 5,
-    seed: int = 42,
+    n_codewords: int = 16,
     m: int = 8,
-    k: int = 16,
     dim: int = 64,
+    shortlist: int = 100,
+    probes: DataFrame | None = None,
+    lists: DataFrame | None = None,
 ) -> DataFrame:
-    """ADC top-k: queries (raw vectors, broadcast) × candidate codes.
+    """ADC top-k over data-seeded PQ codes with exact re-rank.
 
-    The score is dot(q, reconstruction) — a single left-to-right
-    64-element fold, the same shape the bit-exact brute-force plan
-    uses, so the oracle reproduces it exactly.  Only ``codes``/
-    ``recon`` of the corpus participate; raw corpus vectors are never
-    rescanned (at scale: optionally exact-re-rank the top candidates
-    against raw vectors as a second pass).
+    Pipeline: normalize → seed codebooks (md5-smallest ids'
+    subvectors) → per-subspace argmin encode (one narrow shuffle on
+    (vec_id, m)) → ordered reconstruction → ADC score vs broadcast
+    queries → per-query shortlist → exact cosine re-rank of the
+    shortlist only.  When ``probes``/``lists`` are given
+    ((query_id, cluster) / (vec_id, cluster)), the ADC scan is
+    restricted to probed coarse lists — the IVF-PQ composite.
+
+    At scale: codes are M small ints per vector; the exact pass
+    touches |queries|·shortlist raw vectors, everything else scans
+    codes.  All stages are codegen DataFrame ops.
     """
-    enc = pq_encode(vectors, id_col, vec_col, seed, m, k, dim)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    pairs = enc.join(
-        F.broadcast(q), F.col("query_id") != F.col("vec_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("nbr_id"),
-        _dot(F.col("qv"), F.col("recon")).alias("adc_score"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_score").desc(), F.col("nbr_id").asc()
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= knn)
-        .select("query_id", "nbr_id", "rank", "adc_score")
-    )
+    subdim = dim // m
+    nv = _normalized(vectors, id_col, vec_col)
 
-
-def ivfpq_ann_topk(
-    vectors: DataFrame,
-    queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    knn: int = 5,
-    n_clusters: int = 16,
-    nprobe: int = 4,
-    seed: int = 42,
-    m: int = 8,
-    k: int = 16,
-    dim: int = 64,
-) -> DataFrame:
-    """IVF-PQ: coarse inverted lists (portable md5-seed quantizer,
-    ``ivf_ann_topk_portable``) scanned via PQ codes (``pq_encode``)
-    instead of raw vectors — the standard billion-scale ANN index.
-
-    At scale the per-vector state after indexing is (cluster id,
-    M-byte code): a 100 TB float corpus becomes ~1.5 TB of codes
-    partitioned BY cluster, a query touches nprobe/n_clusters of
-    them, and the raw vectors are read exactly once (at encode).
-    Still exactly checkable: both quantizers are deterministic, and
-    the ADC score is the same single 64-element fold the oracle
-    reproduces.
-    """
     h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
     seeds = (
-        vectors.select(
-            F.col(id_col).alias("cluster"),
-            F.col(vec_col).alias("cvec"),
-            h.alias("h"),
-        )
-        .orderBy("h", "cluster")
-        .limit(n_clusters)
-        .select("cluster", "cvec")
+        nv.select(F.col("vec_id").alias("c"), F.col("nv").alias("cv"),
+                  h.alias("h"))
+        .orderBy("h", "c")
+        .limit(n_codewords)
+        .select("c", "cv")
     )
-    v = vectors.select(
-        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec")
+    ms = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m")
+    seeds_sub = seeds.select("c", "cv", ms).select(
+        "m",
+        "c",
+        F.expr(f"slice(cv, m*{subdim}+1, {subdim})").alias("cent"),
     )
-    wa = Window.partitionBy("nbr_id").orderBy(
-        F.col("csim").desc(), F.col("cluster").asc()
+    vec_sub = nv.select("vec_id", "nv", ms).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(nv, m*{subdim}+1, {subdim})").alias("sv"),
     )
-    lists = (
-        v.crossJoin(F.broadcast(seeds))
+    d = _dot(F.col("cent"), F.col("cent")) - 2.0 * _dot(
+        F.col("sv"), F.col("cent")
+    )
+    codes = (
+        vec_sub.join(F.broadcast(seeds_sub), "m")
         .select(
-            "nbr_id",
-            "cluster",
-            cosine(F.col("nbr_vec"), F.col("cvec")).alias("csim"),
+            "vec_id",
+            "m",
+            F.struct(
+                d.alias("d"), F.col("c").alias("c"),
+                F.col("cent").alias("cent"),
+            ).alias("cand"),
         )
-        .withColumn("arank", F.row_number().over(wa))
-        .filter(F.col("arank") == 1)
-        .select("nbr_id", "cluster")
+        .groupBy("vec_id", "m")
+        .agg(F.min("cand").alias("best"))
     )
-    codes = pq_encode(vectors, id_col, vec_col, seed, m, k, dim).select(
-        F.col("vec_id").alias("nbr_id"), "recon"
+    recon = codes.groupBy("vec_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("m"), F.col("best.cent").alias("cent"))
+                    )
+                ),
+                lambda s: s["cent"],
+            )
+        ).alias("rv")
     )
-    # the index: one (cluster, code) row per vector — joined here;
-    # a deployment would store lists ⋈ codes partitioned by cluster
-    indexed = lists.join(codes, "nbr_id")
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    qn = _normalized(queries, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")
     )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("csim").desc(), F.col("cluster").asc()
-    )
-    probes = (
-        q.crossJoin(F.broadcast(seeds))
-        .select(
-            "query_id",
-            "query_vec",
-            "cluster",
-            cosine(F.col("query_vec"), F.col("cvec")).alias("csim"),
+    if probes is not None and lists is not None:
+        scan = qn.join(F.broadcast(probes), "query_id").join(
+            lists.join(recon, "vec_id"), "cluster"
         )
-        .withColumn("arank", F.row_number().over(wq))
-        .filter(F.col("arank") <= nprobe)
-        .select("query_id", "query_vec", "cluster")
+    else:
+        scan = qn.crossJoin(recon)
+    adc = scan.filter(F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("nbr_id"),
+        _dot(F.col("qv"), F.col("rv")).alias("adc"),
     )
-    scored = (
-        probes.join(indexed, "cluster")
-        .filter(F.col("query_id") != F.col("nbr_id"))
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("nbr_id").asc()
+    )
+    short = adc.withColumn("srank", F.row_number().over(ws)).filter(
+        F.col("srank") <= shortlist
+    )
+    rerank = (
+        short.join(qn, "query_id")
+        .join(
+            nv.select(
+                F.col("vec_id").alias("nbr_id"), F.col("nv").alias("nn")
+            ),
+            "nbr_id",
+        )
         .select(
             "query_id",
             "nbr_id",
-            _dot(F.col("query_vec"), F.col("recon")).alias("adc_score"),
+            _dot(F.col("qv"), F.col("nn")).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_score").desc(), F.col("nbr_id").asc()
+        F.col("score").desc(), F.col("nbr_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        rerank.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= knn)
-        .select("query_id", "nbr_id", "rank", "adc_score")
+        .select("query_id", "nbr_id", "rank", "score")
     )

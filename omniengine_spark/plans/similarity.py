@@ -52,20 +52,37 @@ def sim_bruteforce_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic_planes) — identical literals inlined into the Spark
 # plan and the oracle, so the approximate result is still exactly
 # checkable: same buckets, same candidates, same exact rescoring.
-_N_PLANES = 8
+# Multi-table LSH: one table of p planes demands agreement on ALL p
+# bits (recall@5 ≈ 0.17 on this near-isotropic data); with T
+# independent tables a candidate needs a collision in ANY table
+# (4×4 planes ≈ 0.41 recall at a ~22% scan fraction).  Each table's
+# planes are md5-derived from seed 42+t, so the oracle rebuilds
+# identical buckets and the approximate result stays exactly
+# checkable.
+_N_PLANES = 4
+_N_TABLES = 4
 _DIM = 64
-_PLANES = S.deterministic_planes(seed=42, n_planes=_N_PLANES, dim=_DIM)
 
 
 def _plane_lit(p: list[float]) -> str:
     return "[" + ", ".join(repr(c) for c in p) + "]"
 
 
-_BUCKET_SQL = " | ".join(
-    f"(CASE WHEN list_dot_product(v, {_plane_lit(_PLANES[p])}) >= 0 "
-    f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {p})"
-    for p in range(_N_PLANES)
+def _bucket_sql(seed: int) -> str:
+    planes = S.deterministic_planes(
+        seed=seed, n_planes=_N_PLANES, dim=_DIM
+    )
+    return " | ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_lit(planes[p])}) >= 0 "
+        f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {p})"
+        for p in range(_N_PLANES)
+    )
+
+
+_TABLE_KEYS = ",\n             ".join(
+    f"{_bucket_sql(42 + t)} AS k{t}" for t in range(_N_TABLES)
 )
+_TABLE_MATCH = " OR ".join(f"a.k{t} = c.k{t}" for t in range(_N_TABLES))
 
 
 @query(
@@ -74,13 +91,21 @@ _BUCKET_SQL = " | ".join(
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ), b AS (
-      SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e
+      SELECT vec_id, v,
+             {_TABLE_KEYS}
+      FROM e
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS nbr_id
+      FROM b a JOIN b c
+        ON ({_TABLE_MATCH}) AND a.vec_id <> c.vec_id
     ), scored AS (
-      SELECT a.vec_id AS query_id, c.vec_id AS nbr_id,
-             list_dot_product(a.v, c.v)
-               / (sqrt(list_dot_product(a.v, a.v))
-                  * sqrt(list_dot_product(c.v, c.v))) AS score
-      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+      SELECT cand.query_id, cand.nbr_id,
+             list_dot_product(qa.v, nb.v)
+               / (sqrt(list_dot_product(qa.v, qa.v))
+                  * sqrt(list_dot_product(nb.v, nb.v))) AS score
+      FROM cand
+      JOIN e qa ON qa.vec_id = cand.query_id
+      JOIN e nb ON nb.vec_id = cand.nbr_id
     ), ranked AS (
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY query_id ORDER BY score DESC, nbr_id ASC) AS rank
@@ -93,7 +118,13 @@ _BUCKET_SQL = " | ".join(
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = S.lsh_ann_topk(
-        emb, "vec_id", "embedding", k=_K, n_planes=_N_PLANES, dim=_DIM
+        emb,
+        "vec_id",
+        "embedding",
+        k=_K,
+        n_planes=_N_PLANES,
+        dim=_DIM,
+        n_tables=_N_TABLES,
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
 
@@ -173,37 +204,55 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
-# PQ-ADC: the memory-bounded ANN scale path (codes scanned instead of
-# vectors; operators/similarity.py pq_* for the design note).  The
-# md5-derived codebook is inlined into the oracle as a VALUES table;
-# DuckDB re-derives the same codes (argmin over exact doubles) and
-# the same single-fold ADC dot, so the approximate result is exactly
-# checkable like the LSH/IVF plans.
+# ---------------------------------------------------------------------------
+# PQ — the memory-bounded ANN scale path: vectors quantize to M small
+# codes (operators/similarity.py pq_* for the design notes), search
+# scans reconstructions instead of raw vectors, and a per-query ADC
+# shortlist gets an exact cosine re-rank (the standard two-pass;
+# measured recall@5 ≈ 0.75 at a 5% exact-scan fraction on this
+# near-isotropic data).  Codebooks are DATA-SEEDED — the md5-smallest
+# ids' normalized subvectors, the same deterministic seed trick the
+# IVF plan uses — so the DuckDB oracle rebuilds the identical index
+# and the whole encode → ADC → re-rank pipeline is exactly checkable.
+# ---------------------------------------------------------------------------
 _PQ_M, _PQ_K, _PQ_SUBDIM = 8, 16, 8
-_PQ_BOOKS = S.pq_codebooks(seed=42, m=_PQ_M, k=_PQ_K, subdim=_PQ_SUBDIM)
+_PQ_SHORTLIST = 100
 
-_PQ_CB_VALUES = ",\n      ".join(
-    f"({mm}, {cc}, {_plane_lit(_PQ_BOOKS[mm][cc])})"
-    for mm in range(_PQ_M)
-    for cc in range(_PQ_K)
+_MD5_ID_LONG = (
+    "CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) "
+    "AS UBIGINT) AS BIGINT)"
 )
 
-
-@query(
-    "sim_pq_ann_topk",
-    oracle=f"""
-    WITH cb(m, c, cent) AS (VALUES
-      {_PQ_CB_VALUES}
-    ), e AS (
+# shared oracle CTE chain: normalize → seed codebooks → encode →
+# ordered reconstruction (parameterized only by the ADC scan source)
+_PQ_INDEX_CTES = f"""
+    e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), nv AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+               AS nv
+      FROM e
+    ), hh AS (
+      SELECT vec_id, nv, {_MD5_ID_LONG} AS h FROM nv
+    ), seeds AS (
+      SELECT vec_id AS c, nv AS cv FROM hh ORDER BY h, c
+      LIMIT {_PQ_K}
+    ), ss AS (
+      SELECT s.c, r.m,
+             list_slice(s.cv, r.m*{_PQ_SUBDIM}+1,
+                        r.m*{_PQ_SUBDIM}+{_PQ_SUBDIM}) AS cent
+      FROM seeds s CROSS JOIN range({_PQ_M}) AS r(m)
+    ), vs AS (
+      SELECT n.vec_id, r.m,
+             list_slice(n.nv, r.m*{_PQ_SUBDIM}+1,
+                        r.m*{_PQ_SUBDIM}+{_PQ_SUBDIM}) AS sv
+      FROM nv n CROSS JOIN range({_PQ_M}) AS r(m)
     ), dist AS (
-      SELECT e.vec_id, cb.m, cb.c, cb.cent,
-             list_dot_product(cb.cent, cb.cent)
-               - 2 * list_dot_product(
-                   list_slice(e.v, cb.m*{_PQ_SUBDIM}+1,
-                              cb.m*{_PQ_SUBDIM}+{_PQ_SUBDIM}),
-                   cb.cent) AS d
-      FROM e CROSS JOIN cb
+      SELECT vs.vec_id, vs.m, ss.c, ss.cent,
+             list_dot_product(ss.cent, ss.cent)
+               - 2 * list_dot_product(vs.sv, ss.cent) AS d
+      FROM vs JOIN ss ON ss.m = vs.m
     ), codes AS (
       SELECT vec_id, m, cent FROM (
         SELECT *, ROW_NUMBER() OVER (
@@ -214,126 +263,141 @@ _PQ_CB_VALUES = ",\n      ".join(
       SELECT vec_id, flatten(list(cent ORDER BY m)) AS rv
       FROM codes GROUP BY vec_id
     ), q AS (
-      SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_N_QUERIES}
-    ), scored AS (
-      SELECT q.vec_id AS query_id, r.vec_id AS nbr_id,
-             list_dot_product(q.v, r.rv) AS adc_score
-      FROM q JOIN recon r ON q.vec_id <> r.vec_id
+      SELECT vec_id, nv FROM nv ORDER BY vec_id LIMIT {_N_QUERIES}
+    )"""
+
+_PQ_RANK_SQL = f"""
+    short AS (
+      SELECT query_id, nbr_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY adc DESC, nbr_id) AS srank
+        FROM adc
+      ) WHERE srank <= {_PQ_SHORTLIST}
+    ), rr AS (
+      SELECT s.query_id, s.nbr_id,
+             list_dot_product(qn.nv, nn.nv) AS score
+      FROM short s
+      JOIN nv qn ON qn.vec_id = s.query_id
+      JOIN nv nn ON nn.vec_id = s.nbr_id
     ), ranked AS (
       SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY query_id
-        ORDER BY adc_score DESC, nbr_id ASC) AS rank
-      FROM scored
+        PARTITION BY query_id ORDER BY score DESC, nbr_id ASC) AS rank
+      FROM rr
     )
-    SELECT query_id, nbr_id, CAST(rank AS INT) AS rank, adc_score
-    FROM ranked WHERE rank <= {_K}
+    SELECT query_id, nbr_id, CAST(rank AS INT) AS rank, score
+    FROM ranked WHERE rank <= {_K}"""
+
+
+@query(
+    "sim_pq_ann_topk",
+    oracle=f"""
+    WITH {_PQ_INDEX_CTES}, adc AS (
+      SELECT q.vec_id AS query_id, r.vec_id AS nbr_id,
+             list_dot_product(q.nv, r.rv) AS adc
+      FROM q JOIN recon r ON q.vec_id <> r.vec_id
+    ), {_PQ_RANK_SQL}
     """,
 )
 def sim_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.orderBy("vec_id").limit(_N_QUERIES)
-    return S.pq_adc_topk(
+    return S.pq_seeded_topk(
         emb,
         queries,
         "vec_id",
         "embedding",
         knn=_K,
-        seed=42,
+        n_codewords=_PQ_K,
         m=_PQ_M,
-        k=_PQ_K,
         dim=64,
+        shortlist=_PQ_SHORTLIST,
     )
-
-
-_MD5_ID_LONG = (
-    "CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) "
-    "AS UBIGINT) AS BIGINT)"
-)
 
 
 @query(
     "sim_ivfpq_ann_topk",
-    # IVF coarse lists (portable md5-seed quantizer, as
-    # sim_ivf_ann_topk) scanned via PQ reconstructions (as
-    # sim_pq_ann_topk) — the composite billion-scale index, still
-    # exactly checkable because both quantizers are deterministic.
+    # IVF-PQ composite: the ADC scan is restricted to nprobe=4 of 16
+    # md5-seeded coarse lists (as sim_ivf_ann_topk), then the same
+    # shortlist + exact re-rank.  Per-vector state after indexing is
+    # (cluster id, M codes): a query touches ~nprobe/16 of the
+    # compressed index and raw vectors only for its shortlist.
     oracle=f"""
-    WITH cb(m, c, cent) AS (VALUES
-      {_PQ_CB_VALUES}
-    ), e AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ), hh AS (
-      SELECT vec_id, v, {_MD5_ID_LONG} AS h FROM e
-    ), seeds AS (
-      SELECT vec_id AS cluster, v AS cvec FROM hh ORDER BY h, cluster
-      LIMIT 16
-    ), asg AS (
-      SELECT e.vec_id AS nbr_id, s.cluster,
+    WITH {_PQ_INDEX_CTES}, casg AS (
+      SELECT e.vec_id, s.c AS cluster,
              ROW_NUMBER() OVER (
                PARTITION BY e.vec_id
-               ORDER BY {_cos_sql('e.v', 's.cvec')} DESC, s.cluster ASC)
+               ORDER BY {_cos_sql('e.v', 'sv.v')} DESC, s.c ASC)
                AS arank
-      FROM e CROSS JOIN seeds s
+      FROM e CROSS JOIN seeds s JOIN e sv ON sv.vec_id = s.c
     ), lists AS (
-      SELECT nbr_id, cluster FROM asg WHERE arank = 1
-    ), dist AS (
-      SELECT e.vec_id, cb.m, cb.c, cb.cent,
-             list_dot_product(cb.cent, cb.cent)
-               - 2 * list_dot_product(
-                   list_slice(e.v, cb.m*{_PQ_SUBDIM}+1,
-                              cb.m*{_PQ_SUBDIM}+{_PQ_SUBDIM}),
-                   cb.cent) AS d
-      FROM e CROSS JOIN cb
-    ), codes AS (
-      SELECT vec_id, m, cent FROM (
-        SELECT *, ROW_NUMBER() OVER (
-          PARTITION BY vec_id, m ORDER BY d, c) AS rn
-        FROM dist
-      ) WHERE rn = 1
-    ), recon AS (
-      SELECT vec_id AS nbr_id, flatten(list(cent ORDER BY m)) AS rv
-      FROM codes GROUP BY vec_id
-    ), q AS (
-      SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_N_QUERIES}
-    ), qasg AS (
-      SELECT q.vec_id AS query_id, q.v AS query_vec, s.cluster,
-             ROW_NUMBER() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY {_cos_sql('q.v', 's.cvec')} DESC, s.cluster ASC)
-               AS arank
-      FROM q CROSS JOIN seeds s
+      SELECT vec_id, cluster FROM casg WHERE arank = 1
     ), probes AS (
-      SELECT query_id, query_vec, cluster FROM qasg WHERE arank <= 4
-    ), scored AS (
-      SELECT p.query_id, l.nbr_id,
-             list_dot_product(p.query_vec, r.rv) AS adc_score
+      SELECT vec_id AS query_id, cluster FROM casg
+      WHERE arank <= 4 AND vec_id IN (SELECT vec_id FROM q)
+    ), adc AS (
+      SELECT p.query_id, l.vec_id AS nbr_id,
+             list_dot_product(q.nv, r.rv) AS adc
       FROM probes p
-      JOIN lists l ON p.cluster = l.cluster
-      JOIN recon r ON r.nbr_id = l.nbr_id
-      WHERE p.query_id <> l.nbr_id
-    ), ranked AS (
-      SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY query_id
-        ORDER BY adc_score DESC, nbr_id ASC) AS rank
-      FROM scored
-    )
-    SELECT query_id, nbr_id, CAST(rank AS INT) AS rank, adc_score
-    FROM ranked WHERE rank <= {_K}
+      JOIN lists l ON l.cluster = p.cluster
+      JOIN recon r ON r.vec_id = l.vec_id
+      JOIN q ON q.vec_id = p.query_id
+      WHERE p.query_id <> l.vec_id
+    ), {_PQ_RANK_SQL}
     """,
 )
 def sim_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.orderBy("vec_id").limit(_N_QUERIES)
-    return S.ivfpq_ann_topk(
+
+    # coarse quantizer: the PQ seed vectors double as IVF centroids
+    # (cosine on raw vectors — scale-invariant, same as the oracle)
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    seeds = (
+        emb.select(
+            F.col("vec_id").alias("cluster"),
+            F.col("embedding").alias("cvec"),
+            h.alias("h"),
+        )
+        .orderBy("h", "cluster")
+        .limit(_PQ_K)
+        .select("cluster", "cvec")
+    )
+    asg = emb.select("vec_id", "embedding").crossJoin(
+        F.broadcast(seeds)
+    ).select(
+        "vec_id",
+        "cluster",
+        S.cosine(F.col("embedding"), F.col("cvec")).alias("csim"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cluster").asc()
+    )
+    ranked = asg.withColumn("arank", F.row_number().over(wa))
+    lists = ranked.filter(F.col("arank") == 1).select(
+        "vec_id", "cluster"
+    )
+    probes = (
+        ranked.filter(F.col("arank") <= 4)
+        .join(
+            queries.select(F.col("vec_id").alias("qid")),
+            F.col("vec_id") == F.col("qid"),
+        )
+        .select(F.col("vec_id").alias("query_id"), "cluster")
+    )
+    return S.pq_seeded_topk(
         emb,
         queries,
         "vec_id",
         "embedding",
         knn=_K,
-        n_clusters=16,
-        nprobe=4,
-        seed=42,
+        n_codewords=_PQ_K,
         m=_PQ_M,
-        k=_PQ_K,
         dim=64,
+        shortlist=_PQ_SHORTLIST,
+        probes=probes,
+        lists=lists,
     )

@@ -102,3 +102,24 @@ def test_pair_join_has_no_driver_collect(spark):
     df = S.cosine_pair_join(emb, threshold=0.5, n_blocks=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_registered_ann_plan_recall_floors(spark):
+    """The REGISTERED approximate plans (what the driver gate runs)
+    keep pinned recall floors vs the registered brute-force plan at
+    smoke scale.  Observed on the fixed corpus: PQ+rerank 0.70,
+    IVF-PQ 0.49, multi-table LSH 0.50 — floors leave a margin but
+    would catch a quality regression (pre-upgrade values were 0.11,
+    0.15, and 0.00 respectively)."""
+    from omniengine_spark.plans import QUERIES
+
+    exact = _topk_sets(QUERIES["sim_bruteforce_cosine_topk"](spark, SF_SMOKE))
+    floors = {
+        "sim_pq_ann_topk": 0.5,
+        "sim_ivfpq_ann_topk": 0.3,
+        "sim_lsh_ann_topk": 0.3,
+    }
+    for name, floor in floors.items():
+        approx = _topk_sets(QUERIES[name](spark, SF_SMOKE))
+        r = _recall(approx, exact)
+        assert r >= floor, f"{name}: recall {r:.2f} < floor {floor}"
