@@ -1,0 +1,158 @@
+"""Data-quality plans: column profiling and constraint validation —
+the Deequ/dbt-test shape, run as ordinary DataFrame aggregates.
+
+The reference validates itself by full-state diff against omnicore
+(``sql.py:1205-1316`` checkbalances); a warehouse this engine owns
+needs the generic version: profile what landed, assert the
+invariants, emit violations as DATA so the orchestrator can gate on
+them.  One pass per table; every metric is a conditional aggregate
+fused into a single scan (no per-check scans, unlike the reference's
+one-statement-per-check style).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omniengine_spark.plans.registry import query
+from omniengine_spark.sources import load_table
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+
+
+@query(
+    "quality_column_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_null,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR),
+           CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS VARCHAR),
+           CAST(MAX(o_totalprice) AS VARCHAR)
+    FROM orders
+    """,
+)
+def quality_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column completeness/cardinality/range profile, computed in
+    ONE scan: every metric for every column is a conditional aggregate
+    in the same groupBy-less agg, then unpivoted to (column, metric)
+    rows.  String-typed min/max keep one output schema for mixed
+    column types (Deequ's profile result shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.count_distinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    profiles = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__rows").alias("n_rows"),
+            F.col(f"{c}__null").alias("n_null"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return one.select(
+        F.explode(F.array(*profiles)).alias("p")
+    ).select("p.*")
+
+
+@query(
+    "quality_constraint_checks",
+    oracle="""
+    SELECT 'totalprice_positive' AS check_name,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+             AS n_violations,
+           COUNT(*) FILTER (WHERE o_totalprice <= 0) = 0 AS ok
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           COUNT(*) = COUNT(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'status_in_domain',
+           CAST(COUNT(*) FILTER (
+             WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT),
+           COUNT(*) FILTER (
+             WHERE o_orderstatus NOT IN ('O', 'F', 'P')) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_fk_valid',
+           CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative invariants evaluated as data: non-negativity and
+    domain checks fuse into one scan of orders; PK uniqueness is one
+    distinct-agg; the FK check is a broadcast anti-join against
+    customer (the engine's upsert/existence machinery, J7/J8,
+    pointed at validation).  The reference's analog is its consensus
+    checker (sql.py:1205-1316) — external oracle diff; these are the
+    self-contained invariants a warehouse gates on."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    scan = orders.agg(
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("neg_price"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias(
+            "dup_keys"
+        ),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("bad_status"),
+    )
+    fk_violations = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("fk_bad"))
+    )
+    one = scan.crossJoin(fk_violations)
+    checks = [
+        ("totalprice_positive", F.col("neg_price")),
+        ("orderkey_unique", F.col("dup_keys")),
+        ("status_in_domain", F.col("bad_status")),
+        ("custkey_fk_valid", F.col("fk_bad")),
+    ]
+    rows = [
+        F.struct(
+            F.lit(name).alias("check_name"),
+            v.cast("long").alias("n_violations"),
+            (v == 0).alias("ok"),
+        )
+        for name, v in checks
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("c")).select("c.*")
