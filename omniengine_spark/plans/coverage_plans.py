@@ -307,7 +307,9 @@ def stats_value_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(value, array(0.5, 0.95), 10000)").alias(
             "p_approx"
         ),
-        F.approx_count_distinct("user_id").alias("nd_users"),
+        # rsd pinned well under the 5% gate: the default (~5%) lands
+        # right on the bound and broke it at sf0.1 (scale_parity find)
+        F.approx_count_distinct("user_id", rsd=0.01).alias("nd_users"),
         F.expr("percentile(value, 0.5)").alias("p50_exact"),
         F.expr("percentile(value, 0.95)").alias("p95_exact"),
         F.count_distinct("user_id").alias("nd_exact"),
