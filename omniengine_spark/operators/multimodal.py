@@ -175,3 +175,59 @@ def byte_histogram_scalars(media: DataFrame, bins: int = 16) -> DataFrame:
             yield out
 
     return media.mapInPandas(featurize, schema=schema)
+
+
+RESIZE_W, RESIZE_H = 64, 48  # fixed thumbnail grid for the stub
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    """Thumbnail "resize" via an Arrow-batched mapInPandas kernel:
+    nearest-neighbor sampling of the payload bytes onto a fixed
+    RESIZE_W×RESIZE_H grid (the real kernel would be PIL's
+    ``Image.resize`` on decoded pixels — same batch shape, same
+    schema, different inner loop).  Output carries the sampled-byte
+    checksum so the stub's arithmetic is oracle-checkable; at scale
+    the thumbnail bytes themselves would be written back as a binary
+    column exactly the same way.
+    """
+    out_len = RESIZE_W * RESIZE_H
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("out_w", T.IntegerType()),
+            T.StructField("out_h", T.IntegerType()),
+            T.StructField("n_out_bytes", T.LongType()),
+            T.StructField("checksum", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                n = len(buf)
+                if n == 0:
+                    out.append((doc_id, RESIZE_W, RESIZE_H, 0, 0))
+                    continue
+                idx = (np.arange(out_len, dtype=np.int64) * n) // out_len
+                sampled = buf[idx]
+                out.append(
+                    (
+                        doc_id,
+                        RESIZE_W,
+                        RESIZE_H,
+                        out_len,
+                        int(sampled.sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "out_w", "out_h", "n_out_bytes", "checksum",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        kernel, schema=schema
+    )

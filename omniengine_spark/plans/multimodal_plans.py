@@ -79,3 +79,31 @@ _BIN_EXPRS = ",\n           ".join(
 )
 def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.byte_histogram_scalars(_media(spark, sf_dir))
+
+
+@query(
+    "mm_resize",
+    # nearest-neighbor byte sampling onto a fixed 64×48 grid; corpus
+    # is pure ASCII (see mm_byte_histogram), so the oracle replays the
+    # sampling arithmetic over code points exactly
+    oracle="""
+    SELECT doc_id,
+           CAST(64 AS INT) AS out_w,
+           CAST(48 AS INT) AS out_h,
+           CAST(CASE WHEN n > 0 THEN 3072 ELSE 0 END AS BIGINT)
+             AS n_out_bytes,
+           CAST(CASE WHEN n > 0 THEN list_sum(
+                  list_transform(range(3072),
+                                 i -> codes[(i * n) // 3072 + 1]))
+                ELSE 0 END AS BIGINT) AS checksum
+    FROM (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(text, ''),
+                            x -> ascii(x)) AS codes,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.resize_media(_media(spark, sf_dir))
