@@ -225,3 +225,34 @@ def x9_stream_balance_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_deltas"),
     )
     return S.run_available_now(agg, "complete")
+
+
+@query(
+    "x12_stream_timer_expiry",
+    oracle="""
+    WITH horizon AS (
+      SELECT MAX(ts) - INTERVAL 1 HOUR AS wm
+      FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT c.user_id,
+           COUNT(*) AS n_expired,
+           CAST(SUM(epoch_ms(c.ts)) AS BIGINT) AS sum_click_ms
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+          AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+      AND c.ts + INTERVAL 30 MINUTE <= (SELECT wm FROM horizon)
+    GROUP BY c.user_id
+    """,
+)
+def x12_stream_timer_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-height-style expiry timers as STREAMING STATE
+    (EventTimeTimeout): clicks open offers, purchases clear them,
+    the watermark passing a deadline fires the timeout and emits the
+    expired offer — the reference's expireAccepts sweep
+    (sql.py:537-588) without ever scanning an offers table.  The
+    oracle restates the deadline rule plus the final-watermark
+    emission cutoff."""
+    return S.offer_expiry_with_timers(spark, sf_dir, horizon_minutes=30)

@@ -7,6 +7,7 @@ from omniengine_spark.streaming.jobs import (
     deduped_type_counts,
     hourly_counts_append,
     hourly_event_counts,
+    offer_expiry_with_timers,
     run_available_now,
     sessionize_with_state,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "deduped_type_counts",
     "hourly_counts_append",
     "hourly_event_counts",
+    "offer_expiry_with_timers",
     "run_available_now",
     "sessionize_with_state",
 ]

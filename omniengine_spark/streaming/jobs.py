@@ -278,3 +278,114 @@ def deduped_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_unique")
     )
     return run_available_now(counts, "complete")
+
+
+def offer_expiry_with_timers(
+    spark: SparkSession, sf_dir: str, horizon_minutes: int = 30
+) -> DataFrame:
+    """EVENT-TIME TIMERS via applyInPandasWithState with
+    ``GroupStateTimeout.EventTimeTimeout``: every click opens a
+    pending "offer" with a deadline ``horizon_minutes`` out; a
+    same-user purchase inside the horizon clears it; otherwise the
+    state times out when the watermark passes the earliest open
+    deadline and the expired offers are emitted.  This is the
+    reference's block-height expiry sweep (``expireAccepts``,
+    sql.py:537-588) as push-based timer state instead of a per-block
+    table scan — state holds only open offers, and each key re-arms
+    its timeout to its next-earliest deadline.
+
+    The 1 h watermark delay exceeds the 30 min horizon, so a clearing
+    purchase always reaches the processor before its offer's timeout
+    can fire — emission is deterministic for any time-ordered batch
+    split.  (Spark 4's transformWithStateInPandas has first-class
+    per-timer registration, but its state protocol needs protobuf,
+    absent in this environment; the timeout-based form expresses the
+    same semantics.)
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    horizon_ms = horizon_minutes * 60_000
+
+    def _epoch_ms(s: pd.Series) -> pd.Series:
+        if getattr(s.dtype, "tz", None) is not None:
+            s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+        return s.astype("datetime64[ns]").astype("int64") // 1_000_000
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("click_ms", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("deadlines", T.ArrayType(T.LongType())),
+            T.StructField("clicks", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def fold(key, batches, state: GroupState):
+        pend: list[tuple[int, int]] = []
+        if state.exists:
+            deadlines, clicks = state.get
+            pend = list(zip(deadlines, clicks))
+
+        events: list[tuple[int, str]] = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ms = _epoch_ms(pdf["ts"])
+            events += list(zip(ms, pdf["event_type"]))
+        events.sort()
+        for ms, kind in events:
+            if kind == "click":
+                pend.append((ms + horizon_ms, ms))
+            else:  # purchase clears open offers it falls inside
+                pend = [
+                    (d, c) for (d, c) in pend if not (c < ms <= d)
+                ]
+
+        wm = state.getCurrentWatermarkMs()
+        fired = sorted(
+            (d, c) for (d, c) in pend if d <= wm
+        )
+        pend = [(d, c) for (d, c) in pend if d > wm]
+
+        if pend:
+            state.update(
+                ([d for d, _ in pend], [c for _, c in pend])
+            )
+            # re-arm to the earliest open deadline (must be > wm)
+            state.setTimeoutTimestamp(min(d for d, _ in pend))
+        else:
+            state.remove()
+        if fired:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(fired),
+                    "click_ms": [c for (_, c) in fired],
+                }
+            )
+
+    ev = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("user_id", "ts", "event_type")
+        .withWatermark("ts", "1 hour")
+    )
+    expired = ev.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    rows = run_available_now(expired, "update")
+    return rows.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_expired"),
+        F.sum("click_ms").cast("long").alias("sum_click_ms"),
+    )
