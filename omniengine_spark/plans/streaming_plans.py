@@ -256,3 +256,49 @@ def x12_stream_timer_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle restates the deadline rule plus the final-watermark
     emission cutoff."""
     return S.offer_expiry_with_timers(spark, sf_dir, horizon_minutes=30)
+
+
+@query(
+    "x13_stream_static_join",
+    oracle="""
+    WITH totals AS (
+      SELECT user_id, COUNT(*) AS user_total_events
+      FROM events GROUP BY user_id
+    )
+    SELECT t.user_total_events,
+           COUNT(*) AS n_purchases,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN totals t ON t.user_id = e.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY t.user_total_events
+    """,
+)
+def x13_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join: the purchase stream enriches
+    against a batch per-user dimension (re-read each micro-batch —
+    the reference's rate/property lookups, sql.py:282-295).  No state
+    store at all: the cheapest streaming join shape."""
+    return S.stream_static_enrichment(spark, sf_dir)
+
+
+@query(
+    "x14_stream_exactly_once_sink",
+    oracle="""
+    SELECT CAST(event_id % 8 AS BIGINT) AS shard,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY 1
+    """,
+)
+def x14_stream_exactly_once_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """foreachBatch + dynamic partition overwrite: the production
+    stream-to-warehouse path with exactly-once BY IDEMPOTENCE — the
+    first batch is deliberately written twice (simulated redelivery)
+    and must land byte-identically (X6, omniEngine.py:210's
+    per-block transaction).  The oracle checks the read-back
+    warehouse against the batch truth."""
+    return S.exactly_once_warehouse_sink(spark, sf_dir)

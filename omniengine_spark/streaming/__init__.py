@@ -7,7 +7,9 @@ from omniengine_spark.streaming.jobs import (
     deduped_type_counts,
     hourly_counts_append,
     hourly_event_counts,
+    exactly_once_warehouse_sink,
     offer_expiry_with_timers,
+    stream_static_enrichment,
     run_available_now,
     sessionize_with_state,
 )
@@ -17,7 +19,9 @@ __all__ = [
     "deduped_type_counts",
     "hourly_counts_append",
     "hourly_event_counts",
+    "exactly_once_warehouse_sink",
     "offer_expiry_with_timers",
+    "stream_static_enrichment",
     "run_available_now",
     "sessionize_with_state",
 ]

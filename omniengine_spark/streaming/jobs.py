@@ -389,3 +389,89 @@ def offer_expiry_with_timers(
         F.count(F.lit(1)).alias("n_expired"),
         F.sum("click_ms").cast("long").alias("sum_click_ms"),
     )
+
+
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: the event stream enriches against a batch
+    dimension re-read every micro-batch (rate/property lookups in the
+    reference, ``sql.py:282-295`` — the dim may change between
+    blocks).  The static side broadcasts; no state store is involved
+    at all, which is why this is the cheapest streaming join shape.
+    """
+    from omniengine_spark.sources import load_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    users = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_total_events"))
+    )
+    joined = ev.join(F.broadcast(users), "user_id").filter(
+        F.col("event_type") == "purchase"
+    )
+    # the streaming capability under test is the stateless broadcast
+    # join; the rollup runs as batch on the drained sink (streaming
+    # disallows COUNT DISTINCT)
+    rows = run_available_now(
+        joined.select("user_id", "user_total_events"), "append"
+    )
+    return rows.groupBy("user_total_events").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+def exactly_once_warehouse_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """foreachBatch + idempotent partition overwrite — the production
+    write path (X6: one transactional commit per block,
+    ``omniEngine.py:210``).  Each micro-batch computes its partition
+    set and dynamically overwrites exactly those partitions, so a
+    replayed batch (at-least-once trigger semantics) lands
+    byte-identically instead of duplicating — exactly-once by
+    idempotence, no sink transaction log needed.  The drained
+    warehouse is read back and aggregated so the oracle can check the
+    whole path end-to-end.
+    """
+    from omniengine_spark.sources.sinks import (
+        read_warehouse,
+        scratch_dir,
+        write_partitioned,
+    )
+
+    path = scratch_dir("stream-warehouse")
+    ev = stream_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % 8).cast("long").alias("shard"),
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_partitioned(batch_df, path, ["shard"])
+        # idempotence probe: re-deliver the same batch — the dynamic
+        # overwrite must leave the warehouse unchanged
+        if batch_id == 0:
+            write_partitioned(batch_df, path, ["shard"])
+
+    with _stream_state_partitions(spark):
+        q = (
+            ev.writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", scratch_dir("stream-wh-ckpt")
+            )
+            .start()
+        )
+        q.awaitTermination()
+
+    return (
+        read_warehouse(spark, path)
+        .withColumn("shard", F.col("shard").cast("long"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
