@@ -88,3 +88,41 @@ def test_session_window_avoids_window_sort_exchange(spark):
     # must be no window-function Sort+Window pair over the wide data
     plan = _plan(spark, "w9_session_window_native")
     assert "Window" not in plan.replace("session_window", "")
+
+
+def test_dynamic_partition_pruning_on_warehouse_join(spark):
+    """A partitioned-warehouse fact joined to a filtered dim must get
+    a DPP filter: the scan reads only partitions matching the dim
+    filter's keys, discovered at runtime — the optimizer feature that
+    makes dim-filtered fact scans cheap at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from omniengine_spark.sources import load_table
+    from omniengine_spark.sources.sinks import (
+        cleanup,
+        scratch_dir,
+        write_partitioned,
+    )
+
+    path = scratch_dir("dpp-fact")
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("user_id") % 20).cast("long").alias("bucket"),
+    )
+    write_partitioned(ev, path, ["bucket"])
+    fact = spark.read.parquet(path)
+    dim = (
+        spark.range(20)
+        .select(F.col("id").alias("bucket"))
+        .filter(F.col("bucket") < 3)
+    )
+    joined = fact.join(dim, "bucket").agg(F.count(F.lit(1)))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    try:
+        assert (
+            "dynamicpruning" in plan.lower()
+            or "PartitionFilters: [" in plan
+        ), plan[:2000]
+    finally:
+        cleanup(path)
