@@ -493,21 +493,13 @@ def ivf_ann_topk_portable(
     )
 
 
-def hyperplane_lsh_buckets(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_planes: int = 12,
-    seed: int = 42,
-    dim: int = 64,
-) -> DataFrame:
-    """Random-hyperplane signature per vector: bit i = sign(v · h_i).
-
-    Hyperplanes are ``deterministic_planes`` literals baked into the
-    plan — no broadcast state, no per-element hash evaluation in an
-    interpreted HOF lambda (a measured 13× trap), and replays are
-    reproducible (the engine-wide determinism rule).
-    """
+def hyperplane_bucket_expr(
+    vec_col: str, n_planes: int, seed: int, dim: int
+) -> Column:
+    """The bucket id as a pure Column: bit i = sign(v · h_i) with
+    ``deterministic_planes`` literals baked in — no broadcast state,
+    no per-element hash evaluation in an interpreted HOF lambda (a
+    measured 13× trap), reproducible on any engine."""
     planes = deterministic_planes(seed, n_planes, dim)
 
     def plane_bit(plane: int) -> Column:
@@ -528,10 +520,25 @@ def hyperplane_lsh_buckets(
     bucket = plane_bit(0)
     for p in range(1, n_planes):
         bucket = bucket.bitwiseOR(plane_bit(p))
+    return bucket
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane signature per vector (see
+    ``hyperplane_bucket_expr``)."""
     return df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
-        bucket.alias("bucket"),
+        hyperplane_bucket_expr(vec_col, n_planes, seed, dim).alias(
+            "bucket"
+        ),
     )
 
 
@@ -558,22 +565,35 @@ def lsh_ann_topk(
     engine-independent: every table's planes are md5-derived, so the
     oracle rebuilds identical buckets.
     """
-    pairs = None
-    for t in range(n_tables):
-        b = hyperplane_lsh_buckets(
-            vectors, id_col, vec_col, n_planes, seed + t, dim
-        )
-        p = (
-            b.alias("a")
-            .join(b.alias("b"), "bucket")
-            .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-            .select(
-                F.col("a.vec_id").alias("query_id"),
-                F.col("b.vec_id").alias("nbr_id"),
+    # all T bucket keys in ONE scan, exploded to (table, bucket) rows,
+    # then a single self-join on the composite key — one shuffle and
+    # one join instead of T of each
+    keyed = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        hyperplane_bucket_expr(
+                            vec_col, n_planes, seed + t, dim
+                        ).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
             )
+        ).alias("tb"),
+    ).select("vec_id", "tb.t", "tb.bucket")
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), ["t", "bucket"])
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("nbr_id"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    cand = pairs.distinct()
+        .distinct()
+    )
     v = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     )
