@@ -125,9 +125,16 @@ def cosine_pair_join(
         else:
             dim = len(first[0][0])
             n_rows = vectors.count()
-            n_blocks = max(
-                1, -(-n_rows * dim * 8 // target_block_bytes)
+            by_input = -(-n_rows * dim * 8 // target_block_bytes)
+            # the sims matrix of a tile pair is tile_rows² doubles —
+            # an input-only bound let a 20k-row corpus fit one tile
+            # and allocate a 3.2 GB sims block in a single task; cap
+            # tile_rows so sims stays ≤ target_block_bytes as well
+            max_tile_rows = max(
+                1, int((target_block_bytes / 8) ** 0.5)
             )
+            by_output = -(-n_rows // max_tile_rows)
+            n_blocks = max(1, by_input, by_output)
     nb = int(n_blocks)
 
     # both cogroup sides derive from `vectors`; disjoint column names

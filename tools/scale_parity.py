@@ -27,7 +27,12 @@ def main() -> None:
     # The two Jaccard oracles are all-pairs in DuckDB — O(N²) list
     # intersections (12.5M pairs at sf0.1) make the ORACLE the
     # bottleneck; run them explicitly if you have the minutes.
-    slow_oracles = {"dedup_ngram_jaccard", "dedup_minhash_lsh"}
+    slow_oracles = {
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        # O(N²) DuckDB side: 20k vectors → 200M list-dot pairs
+        "dedup_embedding_cosine",
+    }
     names = sys.argv[2:] or sorted(set(ORACLES) - slow_oracles)
 
     spark = get_spark(app_name="scale-parity", shuffle_partitions=32)
