@@ -60,11 +60,17 @@ def brute_force_topk(
     queries is broadcast (Q small); ranking is a per-query window with
     a deterministic (score desc, id asc) tie order.
     """
+    # norms computed once per row before the join (bit-identical to
+    # the per-pair cosine: same folds, same division order)
     v = vectors.select(
-        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec")
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("nbr_vec"),
+        _norm(F.col(vec_col)).alias("nbr_nrm"),
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        _norm(F.col(vec_col)).alias("query_nrm"),
     )
     scored = (
         v.crossJoin(F.broadcast(q))
@@ -72,7 +78,10 @@ def brute_force_topk(
         .select(
             "query_id",
             "nbr_id",
-            cosine(F.col("query_vec"), F.col("nbr_vec")).alias("score"),
+            (
+                _dot(F.col("query_vec"), F.col("nbr_vec"))
+                / (F.col("query_nrm") * F.col("nbr_nrm"))
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -443,8 +452,15 @@ def ivf_ann_topk_portable(
         .limit(n_clusters)
         .select("cluster", "cvec")
     )
+    # per-row norms hoisted out of the per-pair cosine (identical
+    # folds → bit-identical scores, oracle unchanged)
     v = vectors.select(
-        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec")
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("nbr_vec"),
+        _norm(F.col(vec_col)).alias("nbr_nrm"),
+    )
+    seeds = seeds.select(
+        "cluster", "cvec", _norm(F.col("cvec")).alias("cnrm")
     )
     wa = Window.partitionBy("nbr_id").orderBy(
         F.col("csim").desc(), F.col("cluster").asc()
@@ -454,15 +470,21 @@ def ivf_ann_topk_portable(
         .select(
             "nbr_id",
             "nbr_vec",
+            "nbr_nrm",
             "cluster",
-            cosine(F.col("nbr_vec"), F.col("cvec")).alias("csim"),
+            (
+                _dot(F.col("nbr_vec"), F.col("cvec"))
+                / (F.col("nbr_nrm") * F.col("cnrm"))
+            ).alias("csim"),
         )
         .withColumn("arank", F.row_number().over(wa))
         .filter(F.col("arank") == 1)
-        .select("nbr_id", "nbr_vec", "cluster")
+        .select("nbr_id", "nbr_vec", "nbr_nrm", "cluster")
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        _norm(F.col(vec_col)).alias("query_nrm"),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("csim").desc(), F.col("cluster").asc()
@@ -472,12 +494,16 @@ def ivf_ann_topk_portable(
         .select(
             "query_id",
             "query_vec",
+            "query_nrm",
             "cluster",
-            cosine(F.col("query_vec"), F.col("cvec")).alias("csim"),
+            (
+                _dot(F.col("query_vec"), F.col("cvec"))
+                / (F.col("query_nrm") * F.col("cnrm"))
+            ).alias("csim"),
         )
         .withColumn("arank", F.row_number().over(wq))
         .filter(F.col("arank") <= nprobe)
-        .select("query_id", "query_vec", "cluster")
+        .select("query_id", "query_vec", "query_nrm", "cluster")
     )
     # each vector sits in exactly one list (arank == 1), so a query
     # meets each neighbor at most once — no dedup shuffle needed
@@ -487,7 +513,10 @@ def ivf_ann_topk_portable(
         .select(
             "query_id",
             "nbr_id",
-            cosine(F.col("query_vec"), F.col("nbr_vec")).alias("score"),
+            (
+                _dot(F.col("query_vec"), F.col("nbr_vec"))
+                / (F.col("query_nrm") * F.col("nbr_nrm"))
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -601,27 +630,38 @@ def lsh_ann_topk(
         )
         .distinct()
     )
+    # norms precomputed once per VECTOR, not once per pair — the
+    # resulting doubles are the identical folds, so score =
+    # dot/(na·nb) is bit-equal to cosine() and the oracle unchanged
     v = vectors.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
     )
     scored = (
         cand.join(
             v.select(
                 F.col("vec_id").alias("query_id"),
                 F.col("vec").alias("qv"),
+                F.col("nrm").alias("qn"),
             ),
             "query_id",
         )
         .join(
             v.select(
-                F.col("vec_id").alias("nbr_id"), F.col("vec").alias("nv")
+                F.col("vec_id").alias("nbr_id"),
+                F.col("vec").alias("nv"),
+                F.col("nrm").alias("nn"),
             ),
             "nbr_id",
         )
         .select(
             "query_id",
             "nbr_id",
-            cosine(F.col("qv"), F.col("nv")).alias("score"),
+            (
+                _dot(F.col("qv"), F.col("nv"))
+                / (F.col("qn") * F.col("nn"))
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
