@@ -1,17 +1,25 @@
 """Similarity search over embedding columns.
 
-Brute-force cosine top-k as the exact baseline, and a random-
-hyperplane LSH bucketed variant as the scale path (candidates only
-within matching hash buckets).  Dot products are computed with
-``zip_with``+``aggregate`` folds — strict left-to-right double
-accumulation, which is bit-identical to the oracle's sequential loop,
-and stays inside whole-stage codegen (no UDF, no NumPy round trip).
+The ladder, cheapest-scan first: brute-force cosine top-k (exact
+baseline, O(Q·N) pairs), multi-table hyperplane LSH (candidates only
+within colliding buckets, union over tables), seeded IVF (nprobe of
+n_clusters inverted lists), PQ with ADC shortlist + exact re-rank
+(scans M-byte codes instead of vectors), and IVF-PQ (coarse pruning ×
+codes — the billion-scale layout).  The exact all-pairs form is
+``cosine_pair_join`` (blocked gemm, both tile inputs AND the sims
+output bounded per task).
 
-Scale: brute force is O(Q·N) pair rows — fine for reranking small Q;
-the LSH path bounds comparisons per query to its bucket cohort, and
-buckets are balanced by construction (random hyperplanes).  At 100 TB
-the bucketed join shuffles on (table, bucket) and AQE splits hot
-buckets.
+Dot products are ``zip_with``+``aggregate`` folds — strict
+left-to-right double accumulation, bit-identical to the oracle's
+sequential loop; per-vector norms are hoisted out of per-pair scoring
+(same folds, same division order, so still bit-exact).  Every
+quantizer is deterministic (md5-derived planes / md5-smallest seed
+vectors), which is what makes the APPROXIMATE paths exactly
+oracle-checkable.
+
+Scale: candidate generation shuffles on (table, bucket) / cluster /
+code partitions; AQE splits hot buckets; recall floors are pinned in
+tests/test_similarity.py.
 """
 
 from __future__ import annotations

@@ -1,9 +1,13 @@
 """Similarity-search plans over ``embeddings``
 (operators in operators/similarity.py).
 
-The brute-force plan is the oracle-checked exact baseline (bit-exact
-cosine: both engines fold doubles left-to-right); the LSH plan is the
-approximate scale path and gets a rows-only check.
+The brute-force plan is the exact baseline (bit-exact cosine: both
+engines fold doubles left-to-right).  Every approximate path —
+multi-table LSH, seeded IVF, PQ with re-rank, IVF-PQ — is ALSO
+exactly oracle-checked: their quantizers are deterministic constants
+or md5-seeded selections, so DuckDB rebuilds the identical index and
+reproduces the identical approximate result.  Recall floors vs the
+exact baseline are pinned in tests/test_similarity.py.
 """
 
 from __future__ import annotations
