@@ -218,3 +218,147 @@ def w9_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "w10_funnel_stages",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT 'viewed' AS stage, COUNT(*) AS n_users FROM v
+    UNION ALL
+    SELECT 'clicked', COUNT(*) FROM c
+    UNION ALL
+    SELECT 'purchased', COUNT(*) FROM p
+    """,
+)
+def w10_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click after it → purchase after that):
+    the classic sequence-detection rollup, computed as ONE pass with
+    conditional ordered aggregates per user — min(view), then
+    min(click > that), then min(purchase > that) — instead of the
+    three self-joins the SQL restatement uses.  No reference analog
+    (serving-layer analytics the engine should offer); one shuffle on
+    user_id, three counters after."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+                "t_view"
+            ),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("event_type") == "click", F.col("ts")
+                    )
+                )
+            ).alias("clicks"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("ts")
+                    )
+                )
+            ).alias("purchases"),
+        )
+        .filter(F.col("t_view").isNotNull())
+    )
+    t_click = F.array_min(
+        F.filter(F.col("clicks"), lambda t: t > F.col("t_view"))
+    )
+    staged = per_user.select(
+        "user_id",
+        "t_view",
+        t_click.alias("t_click"),
+        F.array_min(
+            F.filter(
+                F.col("purchases"),
+                lambda t: t > t_click,
+            )
+        ).alias("t_purchase"),
+    )
+    counts = staged.agg(
+        F.count(F.lit(1)).alias("viewed"),
+        F.count("t_click").alias("clicked"),
+        F.count("t_purchase").alias("purchased"),
+    )
+    stages = [
+        ("viewed", F.col("viewed")),
+        ("clicked", F.col("clicked")),
+        ("purchased", F.col("purchased")),
+    ]
+    return counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("stage"), v.alias("n_users")
+                    )
+                    for n, v in stages
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+
+
+@query(
+    "a20_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(MIN(date_trunc('day', ts)) AS TIMESTAMP) AS cohort_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day,
+                       CAST(date_trunc('day', e.ts) AS TIMESTAMP))
+               AS day_offset
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           COUNT(*) AS n_active
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def a20_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort grid: users keyed by first-seen day, counted
+    per (cohort, day-offset ≤ 7) — the standard growth-analytics
+    rollup.  One shuffle to find cohorts (a min-agg), one broadcast
+    join back, one distinct+count; the cohort dim never exceeds
+    |days| × 8 rows regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
