@@ -912,3 +912,53 @@ def stats_countmin_heavy_hitters(
         .orderBy(F.col("cm_estimate").desc(), "user_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------
+# Mergeable sketches: per-shard HLL partials unioned into one global
+# estimate — THE property that makes sketches matter at 100 TB: each
+# partition/day/executor builds its own fixed-size sketch once, and
+# any rollup (day → month, shard → global) is a cheap union of
+# partials with NO rescan of raw data, unlike exact COUNT DISTINCT
+# whose partials are unbounded key sets.  Accuracy-gate oracle: the
+# merged estimate must land within the configured error of the exact
+# answer, per event type.
+# --------------------------------------------------------------------
+@query(
+    "stats_hll_merge",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_exact,
+           CAST(8 AS BIGINT) AS n_shards,
+           TRUE AS merged_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stats_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        (F.col("event_id") % 8).alias("shard"),
+    )
+    partials = ev.groupBy("event_type", "shard").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch")
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg("sketch")
+        ).alias("n_est"),
+        F.count(F.lit(1)).alias("n_shards"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        "n_shards",
+        (
+            F.abs(F.col("n_est") - F.col("n_exact"))
+            <= 0.02 * F.col("n_exact")
+        ).alias("merged_ok"),
+    )
