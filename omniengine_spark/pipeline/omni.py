@@ -534,7 +534,11 @@ def _build_delta_array() -> F.Column:
     return expanded
 
 
-_DELTA_ARRAY_CACHE: F.Column | None = None
+# Keyed by SparkContext applicationId: a Column is a py4j handle into
+# the JVM, so a cached one outliving its gateway (session cycled in
+# the same Python process) would raise opaque py4j errors.  Same
+# invalidation rule as catalog._ensure_package_shipped.
+_DELTA_ARRAY_CACHE: dict[str, F.Column] = {}
 
 
 def expand_deltas(txs: DataFrame) -> DataFrame:
@@ -551,10 +555,11 @@ def expand_deltas(txs: DataFrame) -> DataFrame:
     still resolves — null-only columns are constant-folded by
     Catalyst, they cost nothing at scale.
     """
-    global _DELTA_ARRAY_CACHE
-    if _DELTA_ARRAY_CACHE is None:
-        _DELTA_ARRAY_CACHE = _build_delta_array()
-    expanded = _DELTA_ARRAY_CACHE
+    app_id = txs.sparkSession.sparkContext.applicationId
+    if app_id not in _DELTA_ARRAY_CACHE:
+        _DELTA_ARRAY_CACHE.clear()  # drop handles into dead gateways
+        _DELTA_ARRAY_CACHE[app_id] = _build_delta_array()
+    expanded = _DELTA_ARRAY_CACHE[app_id]
 
     missing = [
         field

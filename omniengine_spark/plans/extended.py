@@ -929,7 +929,7 @@ def stats_countmin_heavy_hitters(
     oracle="""
     SELECT event_type,
            COUNT(DISTINCT user_id) AS n_exact,
-           CAST(8 AS BIGINT) AS n_shards,
+           COUNT(DISTINCT event_id % 8) AS n_shards,
            TRUE AS merged_ok
     FROM events
     GROUP BY event_type

@@ -17,6 +17,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 _SCRATCH = Path(__file__).resolve().parents[2] / ".scratch"
+_PROCESS_START = time.time()
 
 
 def scratch_dir(label: str) -> str:
@@ -24,11 +25,14 @@ def scratch_dir(label: str) -> str:
 
     Sink plans cannot remove their own output (the returned DataFrame
     reads it lazily, after the plan function returns), so each call
-    also prunes siblings older than 2 h — bounds accumulation across
-    repeated gate/bench runs without racing a live query.
+    also prunes siblings — bounds accumulation across repeated
+    gate/bench runs.  Pruning is capped at this process's start time:
+    a dir created after we started may still back a live DataFrame in
+    this process (or a concurrent long run), so only dirs that are
+    BOTH >2 h old AND older than this process are removed.
     """
     _SCRATCH.mkdir(exist_ok=True)
-    cutoff = time.time() - 7200
+    cutoff = min(time.time() - 7200, _PROCESS_START)
     for old in _SCRATCH.iterdir():
         try:
             if old.stat().st_mtime < cutoff:
@@ -96,9 +100,13 @@ def compact_partitions(
     batch per partition; at 100 TB that is millions of tiny files and
     the scan's bottleneck becomes file-opening overhead, not bytes.
     Compaction = read → repartition by (partition, size-derived file
-    count) → dynamic overwrite; contents are byte-identical (same
-    rows), only the file layout changes, so it is safe to run online
-    between incremental batches.
+    count) → write to a sibling → rename swap.  Contents are
+    byte-identical (same rows), only the file layout changes.  The
+    swap keeps the original intact until the compacted copy is in
+    place (rename aside, rename in, then delete), so a crash at any
+    point leaves a complete copy on disk; run it between incremental
+    batches — a reader holding a cached file listing across the swap
+    window must re-list.
 
     Returns {"files_before": n, "files_after": m} for observability.
     """
@@ -115,8 +123,16 @@ def compact_partitions(
         .partitionBy(*partition_cols)
         .parquet(path + "__compact")
     )
-    # atomic-ish swap: the compacted copy replaces the original
-    shutil.rmtree(path, ignore_errors=True)
-    Path(path + "__compact").rename(path)
+    # crash-safe swap: move the original aside first so a complete
+    # copy exists on disk at every instant, then delete the old one
+    old_path = Path(path + "__old")
+    shutil.rmtree(old_path, ignore_errors=True)
+    Path(path).rename(old_path)
+    try:
+        Path(path + "__compact").rename(path)
+    except OSError:
+        old_path.rename(path)  # roll back — original restored
+        raise
+    shutil.rmtree(old_path, ignore_errors=True)
     after = sum(1 for p in Path(path).rglob("*.parquet"))
     return {"files_before": before, "files_after": after}
