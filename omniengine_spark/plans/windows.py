@@ -246,49 +246,40 @@ def w9_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w10_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (view → click after it → purchase after that):
-    the classic sequence-detection rollup, computed as ONE pass with
-    conditional ordered aggregates per user — min(view), then
-    min(click > that), then min(purchase > that) — instead of the
-    three self-joins the SQL restatement uses.  No reference analog
-    (serving-layer analytics the engine should offer); one shuffle on
-    user_id, three counters after."""
+    sequence detection as THREE conditional-min aggregations chained
+    by equi-joins on user_id — min(view); join back, min(click >
+    t_view); join back, min(purchase > t_click).  No reference analog
+    (serving-layer analytics the engine should offer).
+
+    Deliberately NOT collect_list of per-user event arrays: a hot key
+    (bot traffic) would put an unbounded array into one aggregation
+    buffer — the classic skew OOM at 100×.  Here every agg buffer
+    holds exactly one timestamp regardless of per-user event count
+    (min has a map-side partial), and the three shuffles share the
+    user_id key.  Bounded-state property pinned by
+    tests/test_skew.py::test_funnel_hot_user_bounded."""
     ev = load_table(spark, sf_dir, "events")
-    per_user = (
-        ev.groupBy("user_id")
-        .agg(
-            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
-                "t_view"
-            ),
-            F.sort_array(
-                F.collect_list(
-                    F.when(
-                        F.col("event_type") == "click", F.col("ts")
-                    )
-                )
-            ).alias("clicks"),
-            F.sort_array(
-                F.collect_list(
-                    F.when(
-                        F.col("event_type") == "purchase", F.col("ts")
-                    )
-                )
-            ).alias("purchases"),
-        )
-        .filter(F.col("t_view").isNotNull())
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
     )
-    t_click = F.array_min(
-        F.filter(F.col("clicks"), lambda t: t > F.col("t_view"))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
     )
-    staged = per_user.select(
-        "user_id",
-        "t_view",
-        t_click.alias("t_click"),
-        F.array_min(
-            F.filter(
-                F.col("purchases"),
-                lambda t: t > t_click,
-            )
-        ).alias("t_purchase"),
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    staged = v.join(c.select("user_id", "t_click"), "user_id", "left").join(
+        p.select("user_id", "t_purchase"), "user_id", "left"
     )
     counts = staged.agg(
         F.count(F.lit(1)).alias("viewed"),

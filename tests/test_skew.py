@@ -77,3 +77,41 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(
         map(tuple, plain.select("event_id", "segment").collect())
     ) == sorted(map(tuple, salted.select("event_id", "segment").collect()))
+
+
+def test_funnel_hot_user_bounded(spark, tmp_path):
+    """w10's funnel must hold no per-user event arrays: a bot user
+    with 50k clicks must flow through constant-size agg buffers.
+    Checks (1) no collect_list in the optimized plan, (2) correct
+    stage counts on a hot-user fixture."""
+    from omniengine_spark.plans.windows import w10_funnel_stages
+
+    base = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    hot_clicks = (
+        spark.range(50_000)
+        .select(
+            F.lit(0).alias("user_id"),
+            F.lit("click").alias("event_type"),
+            (base + F.make_interval(secs=F.col("id") + 10)).alias("ts"),
+        )
+    )
+    rows = [
+        (0, "view", "2026-01-01 00:00:05"),
+        (0, "purchase", "2026-01-01 01:00:00"),
+        (1, "view", "2026-01-01 00:00:00"),
+        (1, "click", "2026-01-01 00:10:00"),
+        (2, "view", "2026-01-01 00:00:00"),
+        (3, "click", "2026-01-01 00:00:00"),  # click w/o view: no funnel
+    ]
+    small = spark.createDataFrame(
+        rows, ["user_id", "event_type", "ts"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ev = hot_clicks.unionByName(small)
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = w10_funnel_stages(spark, str(tmp_path))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan
+    got = {r["stage"]: r["n_users"] for r in out.collect()}
+    # users 0,1,2 viewed; 0,1 clicked after view; only 0 purchased
+    assert got == {"viewed": 3, "clicked": 2, "purchased": 1}
