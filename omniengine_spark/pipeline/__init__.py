@@ -8,6 +8,7 @@ from omniengine_spark.pipeline.omni import (
     build_full_balances,
     expand_btc_deltas,
     expand_deltas,
+    genesis_deltas,
     stamp_serials,
     stamp_serials_distributed,
     with_after_balances,
@@ -20,6 +21,7 @@ __all__ = [
     "build_full_balances",
     "expand_btc_deltas",
     "expand_deltas",
+    "genesis_deltas",
     "stamp_serials",
     "stamp_serials_distributed",
     "with_after_balances",

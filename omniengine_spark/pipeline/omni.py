@@ -713,6 +713,37 @@ def expand_btc_deltas(btc_txs: DataFrame) -> DataFrame:
     return credits.unionByName(debits)
 
 
+def genesis_deltas(snapshot: DataFrame) -> DataFrame:
+    """Convert a genesis snapshot (address, propertyid, available,
+    reserved, accepted — base units) into fold-compatible delta rows
+    (reference ``database/balances.csv:1-679`` seeded by
+    ``tools/resetBalances.py:1-5`` before any block replays).
+
+    Serial is ``-1`` — strictly below every stamped tx serial (the
+    two-level stamper starts at 1), so order-dependent consumers
+    (``full_balance_replay``, ``with_after_balances``) see the
+    snapshot as the opening balance, while the plain groupBy fold is
+    order-insensitive anyway.  One narrow projection, no shuffle.
+    """
+    zero = F.lit(0).cast(_DEC)
+    return snapshot.select(
+        F.lit("genesis").alias("txid"),
+        F.lit(0).cast("long").alias("block"),
+        F.lit(-1).cast("long").alias("serial"),
+        F.col("address"),
+        F.col("propertyid").cast("long").alias("propertyid"),
+        F.col("available").cast(_DEC).alias("delta_base_units"),
+        F.coalesce(F.col("reserved").cast(_DEC), zero).alias(
+            "delta_reserved"
+        ),
+        F.coalesce(F.col("accepted").cast(_DEC), zero).alias(
+            "delta_accepted"
+        ),
+        F.lit("delta").alias("kind"),
+        F.lit("genesis").alias("role"),
+    )
+
+
 def build_balances(deltas: DataFrame) -> DataFrame:
     """Materialized running state: fold of all deltas per
     (address, propertyid) — the whole of ``updateBalance`` as one
@@ -724,9 +755,16 @@ def build_balances(deltas: DataFrame) -> DataFrame:
     )
 
 
-def build_full_balances(deltas: DataFrame) -> DataFrame:
+def build_full_balances(
+    deltas: DataFrame, genesis: DataFrame | None = None
+) -> DataFrame:
     """Materialized AddressBalances with all four reference columns
     (available, reserved, accepted, frozen — ``sql.py:1320-1418``).
+
+    ``genesis`` (optional): a snapshot frame (address, propertyid,
+    available, reserved, accepted) unioned under the fold as serial
+    ``-1`` deltas, so a full-history rebuild starts from the seeded
+    opening state (``database/balances.csv``), not zero.
 
     The frozen-funds rule (``sql.py:1408-1414``) is order-dependent,
     but only for keys that ever see a freeze/unfreeze marker.  Split
@@ -737,6 +775,11 @@ def build_full_balances(deltas: DataFrame) -> DataFrame:
     the wide side is never reshuffled twice.
     """
     from omniengine_spark.operators.replay import full_balance_replay
+
+    if genesis is not None:
+        deltas = genesis_deltas(genesis).select(
+            *deltas.columns
+        ).unionByName(deltas)
 
     frozen_keys = (
         deltas.filter(F.col("kind") != "delta")

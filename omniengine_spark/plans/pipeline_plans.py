@@ -116,3 +116,64 @@ def omni_balance_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("balance").cast("long").alias("balance"),
         "n_deltas",
     )
+
+
+@query(
+    "omni_genesis_fold",
+    oracle="""
+    WITH tx AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'signup' THEN 50 ELSE 0 END AS t,
+             'u' || CAST(user_id AS VARCHAR) AS sender,
+             'u' || CAST(user_id + 1 AS VARCHAR) AS ref,
+             user_id % 5 AS propertyid,
+             CASE WHEN user_id % 2 = 0
+                  THEN CAST(CAST(value AS DECIMAL(38,8)) * 100000000
+                            AS BIGINT)
+                  ELSE CAST(FLOOR(CAST(value AS DECIMAL(38,8)))
+                            AS BIGINT) END AS base_units
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ), deltas AS (
+      SELECT sender AS address, propertyid, base_units AS delta
+      FROM tx WHERE t = 50
+      UNION ALL
+      SELECT sender AS address, propertyid, -base_units AS delta
+      FROM tx WHERE t = 0
+      UNION ALL
+      SELECT ref AS address, propertyid, base_units AS delta
+      FROM tx WHERE t = 0
+      UNION ALL
+      SELECT 'u' || CAST(c_custkey AS VARCHAR) AS address,
+             c_custkey % 5 AS propertyid,
+             CAST(CAST(c_acctbal AS DECIMAL(15,2)) * 100 AS BIGINT)
+               AS delta
+      FROM customer
+    )
+    SELECT address, propertyid,
+           CAST(SUM(delta) AS BIGINT) AS balance,
+           COUNT(*) AS n_deltas
+    FROM deltas
+    GROUP BY address, propertyid
+    """,
+)
+def omni_genesis_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-history rebuild seeded from a genesis snapshot (reference
+    ``database/balances.csv:1-679`` via ``tools/resetBalances.py``):
+    the snapshot is CSV-ingested (``sources.genesis``), converted to
+    serial -1 deltas, and unioned under the SAME fold as the tx
+    stream — the balance pipeline no longer folds from zero.  One
+    shuffle (the fold's groupBy); the genesis union is shuffle-free.
+    """
+    from omniengine_spark.pipeline import genesis_deltas
+    from omniengine_spark.sources.genesis import synthetic_genesis
+
+    txs = _tx_stream(spark, sf_dir)
+    deltas = expand_deltas(stamp_serials_distributed(txs))
+    gen = genesis_deltas(synthetic_genesis(spark, sf_dir))
+    out = build_balances(gen.select(*deltas.columns).unionByName(deltas))
+    return out.select(
+        "address",
+        "propertyid",
+        F.col("balance").cast("long").alias("balance"),
+        "n_deltas",
+    )

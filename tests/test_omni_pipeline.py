@@ -611,3 +611,91 @@ def test_full_after_balances_telescope(spark):
         for r in build_full_balances(deltas).collect()
     }
     assert run == final
+
+
+def test_genesis_csv_ingest(spark, tmp_path):
+    """Reference-format genesis CSV (database/balances.csv header)
+    reads with the declared schema; blank reserved/accepted/serial
+    fields coalesce to 0."""
+    from omniengine_spark.sources.genesis import read_genesis_csv
+
+    csv = tmp_path / "genesis.csv"
+    csv.write_text(
+        "address,protocol,propertyid,ecosystem,balanceavailable,"
+        "balancereserved,balanceaccepted,lasttxdbserialnum\n"
+        "gA,Omni,1,Production,100,,,\n"
+        "gB,Omni,1,Production,250,7,3,42\n"
+        "gA,Omni,2,Production,5,,,\n"
+    )
+    got = {
+        (r["address"], r["propertyid"]): (
+            r["available"], r["reserved"], r["accepted"]
+        )
+        for r in read_genesis_csv(spark, str(csv)).collect()
+    }
+    assert got == {
+        ("gA", 1): (100, 0, 0),
+        ("gB", 1): (250, 7, 3),
+        ("gA", 2): (5, 0, 0),
+    }
+
+
+def test_genesis_fold_golden(spark):
+    """build_full_balances(genesis=...) folds from the snapshot, not
+    zero: seeded balances appear as opening state for both the plain
+    fold and the ordered (freeze-marker) replay path."""
+    from omniengine_spark.pipeline import build_full_balances
+
+    genesis = spark.createDataFrame(
+        [("alice", 31, 1000, 0, 0), ("dave", 99, 77, 5, 0)],
+        ["address", "propertyid", "available", "reserved", "accepted"],
+    )
+    rows = build_full_balances(_pipeline(spark), genesis=genesis).collect()
+    avail = {
+        (r["address"], r["propertyid"]): r["available"] for r in rows
+    }
+    # alice/31 takes part in the tx fixture: opening 1000 + deltas
+    assert avail[("alice", 31)] == 1000 + int(EXPECTED[("alice", 31)])
+    # dave/99 is genesis-only: passes through the fold untouched
+    dave = next(r for r in rows if r["address"] == "dave")
+    assert (dave["available"], dave["reserved"]) == (77, 5)
+    # every non-genesis key is unchanged vs the unseeded fold
+    assert avail[("bob", 32)] == int(EXPECTED[("bob", 32)])
+
+
+def test_genesis_opening_balance_in_replay(spark):
+    """Serial -1 sorts below every stamped serial: the ordered replay
+    treats the snapshot as the opening balance, so a freeze that
+    happens before any credit still freezes the genesis amount."""
+    from omniengine_spark.operators.replay import full_balance_replay
+    from omniengine_spark.pipeline import genesis_deltas
+
+    genesis = spark.createDataFrame(
+        [("frank", 31, 500, 0, 0)],
+        ["address", "propertyid", "available", "reserved", "accepted"],
+    )
+    gen = genesis_deltas(genesis).select(
+        "address", "propertyid", "serial", "kind",
+        "delta_base_units", "delta_reserved", "delta_accepted",
+    )
+    events = spark.createDataFrame(
+        [("frank", 31, 1, "freeze", 0, 0, 0),
+         ("frank", 31, 2, "delta", 40, 0, 0)],
+        ["address", "propertyid", "serial", "kind",
+         "delta_base_units", "delta_reserved", "delta_accepted"],
+    )
+    out = full_balance_replay(
+        gen.unionByName(
+            events.select(*gen.columns)
+        ).selectExpr(
+            "address", "propertyid", "serial", "kind",
+            "cast(delta_base_units as long) delta_base_units",
+            "cast(delta_reserved as long) delta_reserved",
+            "cast(delta_accepted as long) delta_accepted",
+        )
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # genesis 500 was frozen by the marker; the later credit of 40
+    # lands frozen too (reference diversion rule sql.py:1408-1414)
+    assert (r["available"], r["frozen"]) == (0, 540)
