@@ -177,3 +177,79 @@ def omni_genesis_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("balance").cast("long").alias("balance"),
         "n_deltas",
     )
+
+
+@query(
+    "x7b_consensus_hash",
+    oracle="""
+    WITH tx AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'signup' THEN 50 ELSE 0 END AS t,
+             'u' || CAST(user_id AS VARCHAR) AS sender,
+             'u' || CAST(user_id + 1 AS VARCHAR) AS ref,
+             user_id % 5 AS propertyid,
+             CAST(epoch(ts) AS BIGINT) // 86400 AS block,
+             CASE WHEN user_id % 2 = 0
+                  THEN CAST(CAST(value AS DECIMAL(38,8)) * 100000000
+                            AS BIGINT)
+                  ELSE CAST(FLOOR(CAST(value AS DECIMAL(38,8)))
+                            AS BIGINT) END AS base_units
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ), deltas AS (
+      SELECT sender AS address, propertyid, block, base_units AS delta
+      FROM tx WHERE t = 50
+      UNION ALL
+      SELECT sender, propertyid, block, -base_units FROM tx WHERE t = 0
+      UNION ALL
+      SELECT ref, propertyid, block, base_units FROM tx WHERE t = 0
+    ), per AS (
+      SELECT address, propertyid, block, SUM(delta) AS d
+      FROM deltas GROUP BY address, propertyid, block
+    ), bal AS (
+      SELECT address, propertyid, block,
+             CAST(SUM(d) OVER (PARTITION BY address, propertyid
+                               ORDER BY block) AS BIGINT) AS b
+      FROM per
+    ), st AS (
+      SELECT block, address, propertyid, b,
+             LAG(b) OVER (PARTITION BY address, propertyid
+                          ORDER BY block) AS prev_b
+      FROM bal
+    ), contrib AS (
+      SELECT block,
+             CAST(('0x' || substr(md5(address || ':' ||
+                     CAST(propertyid AS VARCHAR) || ':' ||
+                     CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)
+             - COALESCE(
+                 CAST(('0x' || substr(md5(address || ':' ||
+                     CAST(propertyid AS VARCHAR) || ':' ||
+                     CAST(prev_b AS VARCHAR)), 1, 15)) AS BIGINT),
+                 0) AS dh
+      FROM st
+    ), perblk AS (
+      SELECT block, CAST(SUM(dh) AS DECIMAL(38,0)) AS dh
+      FROM contrib GROUP BY block
+    )
+    SELECT block,
+           CAST(((SUM(dh) OVER (ORDER BY block)
+                  % 1000000000000000000)
+                 + 1000000000000000000) % 1000000000000000000
+                AS BIGINT) AS consensus_hash
+    FROM perblk
+    """,
+)
+def x7b_consensus_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block consensus fingerprint (reference ``sql.py:221-229``
+    updateConsensusHash — the cheap every-block state hash, distinct
+    from x7's full-state diff).  Difference-trick formulation: see
+    ``operators.reconcile.per_block_consensus``."""
+    from omniengine_spark.operators.reconcile import per_block_consensus
+
+    txs = _tx_stream(spark, sf_dir)
+    deltas = expand_deltas(stamp_serials_distributed(txs)).select(
+        "address",
+        "propertyid",
+        "block",
+        F.col("delta_base_units").alias("delta"),
+    )
+    return per_block_consensus(deltas)

@@ -133,3 +133,36 @@ def test_compaction_preserves_content_and_shrinks_files(spark):
     assert stats["files_after"] < stats["files_before"]
     assert _fingerprint(spark.read.parquet(path)) == fp_before
     cleanup(path)
+
+
+def test_consensus_hash_recompute_stable(spark):
+    """X7b: the per-block fingerprint is a pure function of the delta
+    stream — a full recompute (the reorg story) reproduces it exactly,
+    and tampering with one historical delta changes every fingerprint
+    from that block on (the property consensus checking relies on,
+    reference sql.py:221-229)."""
+    from omniengine_spark.operators.reconcile import per_block_consensus
+
+    rows = [
+        ("a", 1, 10, 100), ("b", 1, 10, 50),
+        ("a", 1, 11, -30), ("c", 2, 12, 7),
+        ("b", 1, 13, 25), ("a", 1, 13, 5),
+    ]
+    cols = ["address", "propertyid", "block", "delta"]
+    d1 = spark.createDataFrame(rows, cols)
+    # same logical content, different arrival order/partitioning
+    d2 = spark.createDataFrame(list(reversed(rows)), cols).repartition(7)
+    fp1 = {r["block"]: r["consensus_hash"]
+           for r in per_block_consensus(d1).collect()}
+    fp2 = {r["block"]: r["consensus_hash"]
+           for r in per_block_consensus(d2).collect()}
+    assert fp1 == fp2 and len(fp1) == 4
+
+    # tamper: drop one block-11 delta → hashes diverge at 11+, not 10
+    d3 = spark.createDataFrame(
+        [r for r in rows if r[2] != 11], cols
+    )
+    fp3 = {r["block"]: r["consensus_hash"]
+           for r in per_block_consensus(d3).collect()}
+    assert fp3[10] == fp1[10]
+    assert all(fp3[b] != fp1[b] for b in (12, 13))
