@@ -63,3 +63,66 @@ def s16_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+@query(
+    "s17_schema_migration",
+    oracle="""
+    SELECT priority_class,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+               AS priority_class,
+             o_totalprice
+      FROM orders
+    )
+    GROUP BY priority_class
+    """,
+)
+def s17_schema_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned schema migration (reference ``upgrade.py:17-36``,
+    ``patches/omniDB.v*.patch``): seed a v0 warehouse from orders,
+    apply v1 (add backfilled ``prio_class``, the add-column-default
+    patch shape) and v2 (rename to ``priority_class``, the
+    txsubmittime→txrecvtime patch shape), then aggregate the migrated
+    table.  The oracle recomputes the same result straight from the
+    original orders — equality proves the two rewrites were lossless
+    and the backfill expression matched."""
+    from omniengine_spark.sources.migrate import (
+        Migration,
+        add_column,
+        migrate,
+        rename_column,
+    )
+    from omniengine_spark.sources.sinks import scratch_dir
+
+    path = scratch_dir("migrate-wh")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    orders.write.mode("overwrite").parquet(path)
+    migrations = [
+        Migration(
+            1,
+            "add prio_class backfilled from o_orderpriority",
+            add_column(
+                "prio_class",
+                F.substring("o_orderpriority", 1, 1).cast("long"),
+            ),
+        ),
+        Migration(
+            2,
+            "rename prio_class -> priority_class",
+            rename_column("prio_class", "priority_class"),
+        ),
+    ]
+    migrate(spark, path, migrations)
+    wh = spark.read.parquet(path)
+    return wh.groupBy("priority_class").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )

@@ -166,3 +166,56 @@ def test_consensus_hash_recompute_stable(spark):
            for r in per_block_consensus(d3).collect()}
     assert fp3[10] == fp1[10]
     assert all(fp3[b] != fp1[b] for b in (12, 13))
+
+
+def test_schema_migration_roundtrip(spark, tmp_path):
+    """Migration runner: ordered apply, version sidecar, idempotent
+    re-run, non-contiguous patch rejected (upgrade.py's patch-file
+    discipline on a parquet warehouse)."""
+    from omniengine_spark.sources.migrate import (
+        Migration,
+        add_column,
+        migrate,
+        migration_history,
+        rename_column,
+        schema_version,
+    )
+
+    path = str(tmp_path / "wh")
+    spark.createDataFrame(
+        [(1, "HIGH", 10.0), (2, "LOW", 20.0)],
+        ["k", "prio", "amt"],
+    ).write.parquet(path)
+    assert schema_version(path) == 0
+
+    migs = [
+        Migration(1, "add cents", add_column(
+            "cents", F.round(F.col("amt") * 100).cast("long"))),
+        Migration(2, "rename prio", rename_column("prio", "priority")),
+    ]
+    assert migrate(spark, path, migs) == 2
+    assert schema_version(path) == 2
+    assert [h["version"] for h in migration_history(path)] == [1, 2]
+    got = {r["k"]: (r["priority"], r["cents"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("HIGH", 1000), 2: ("LOW", 2000)}
+
+    # idempotent: nothing pending, content untouched
+    assert migrate(spark, path, migs) == 2
+    assert {r["k"] for r in spark.read.parquet(path).collect()} == {1, 2}
+
+    # partial upgrade honors to_version; resuming applies the rest
+    path2 = str(tmp_path / "wh2")
+    spark.createDataFrame([(1, "X", 1.0)], ["k", "prio", "amt"]).write.parquet(path2)
+    assert migrate(spark, path2, migs, to_version=1) == 1
+    assert "cents" in spark.read.parquet(path2).columns
+    assert "priority" not in spark.read.parquet(path2).columns
+    assert migrate(spark, path2, migs) == 2
+    assert "priority" in spark.read.parquet(path2).columns
+
+    # a gap in versions is a hard error, not a silent skip
+    import pytest as _pytest
+    path3 = str(tmp_path / "wh3")
+    spark.createDataFrame([(1,)], ["k"]).write.parquet(path3)
+    with _pytest.raises(ValueError, match="non-contiguous"):
+        migrate(spark, path3, [Migration(2, "skip", add_column("z", F.lit(0)))])
