@@ -6,12 +6,14 @@ feature extraction are Arrow-batched ``mapInPandas`` stages with an
 explicit output schema, and everything downstream (dedup, similarity,
 filtering) operates on the extracted typed columns.
 
-Real codecs (PIL / torchaudio / ffmpeg) are NOT available in this
-environment, so the decode kernel is STUBBED: ``_decode_backend``
-raises ``NotImplementedError`` for real media and the deterministic
-fallback derives metadata arithmetically from the payload bytes.  The
-Spark-side plumbing — schema, batching, partitioning, UDF signatures —
-is real and is what these operators exercise.
+Two layers:
+- the harness layer (text-derived payloads) keeps ``_decode_backend``
+  as a deterministic stub so its metadata plans stay arithmetic;
+- the REAL-bytes layer at the bottom of this module builds and
+  decodes genuine containers — spec-valid PNG (struct + zlib, CRC'd)
+  and RIFF/WAVE (stdlib ``wave``) — with PIL picked up automatically
+  when importable.  ``probe_media`` / ``attach_real_payload`` have no
+  stub in their path.
 """
 
 from __future__ import annotations
@@ -231,3 +233,196 @@ def resize_media(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         kernel, schema=schema
     )
+
+
+# --------------------------------------------------------------------
+# Real-bytes layer: genuine containers, genuine decode.
+#
+# This container has no PIL/soundfile/pyav, but real codec work is
+# still possible with the stdlib: PNG is struct + zlib (CRC-verified
+# IHDR — the same fields PIL reads for .size), and WAV is the stdlib
+# ``wave`` module.  PIL is used when importable (guarded), so the
+# same operators upgrade in place on a machine that has it.
+# --------------------------------------------------------------------
+import io
+import struct
+import wave as _wave
+import zlib
+
+try:  # optional real image codec — used when present
+    from PIL import Image as _PILImage  # type: ignore
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def make_png(width: int, height: int) -> bytes:
+    """A real, spec-valid 8-bit grayscale PNG (magic, CRC'd IHDR,
+    zlib-compressed scanlines, IEND) with a deterministic pixel
+    pattern — viewable by any image tool."""
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00"
+        + bytes(((x * 7 + y * 13) % 256) for x in range(width))
+        for y in range(height)
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def parse_png(payload: bytes) -> tuple[int, int]:
+    """Real PNG header decode: magic + CRC-verified IHDR → (w, h).
+    Uses PIL when available (full decode), stdlib parse otherwise."""
+    if _HAS_PIL:
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            return im.size
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    (ln,) = struct.unpack(">I", payload[8:12])
+    body = payload[12:16 + ln]
+    (crc,) = struct.unpack(">I", payload[16 + ln:20 + ln])
+    if zlib.crc32(body) & 0xFFFFFFFF != crc:
+        raise ValueError("PNG IHDR CRC mismatch")
+    w, h = struct.unpack(">II", body[4:12])
+    return int(w), int(h)
+
+
+def make_wav(rate: int, channels: int, n_frames: int) -> bytes:
+    """A real RIFF/WAVE file (stdlib ``wave`` writer), 16-bit PCM,
+    deterministic sample pattern."""
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            bytes((i * 31) % 256 for i in range(n_frames * channels * 2))
+        )
+    return buf.getvalue()
+
+
+def parse_wav(payload: bytes) -> tuple[int, int, int]:
+    """Real WAV decode via the stdlib reader → (rate, channels,
+    frames)."""
+    with _wave.open(io.BytesIO(payload), "rb") as w:
+        return w.getframerate(), w.getnchannels(), w.getnframes()
+
+
+_N_VARIANTS = 40  # distinct payloads; docs collide at doc_id % 40
+
+
+def _variant_params(v: int) -> dict:
+    """Deterministic media parameters for variant ``v`` — the same
+    arithmetic the plan oracles replay."""
+    if v % 2 == 0:
+        return {
+            "container": "png",
+            "width": (v % 13) + 1,
+            "height": ((v * 3) % 17) + 1,
+        }
+    return {
+        "container": "wav",
+        "sample_rate": 8000 + (v % 4) * 4000,
+        "n_channels": (v % 2) + 1,
+        "n_frames": 50 + v * 3,
+    }
+
+
+def attach_real_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) where payload is REAL media bytes — a valid
+    PNG or WAV built from variant ``doc_id % 40`` parameters.  Docs
+    sharing a variant share byte-identical payloads (the fixture for
+    content-addressed dedup); the encode runs Arrow-batched on
+    executors, with the 40 variants memoized per batch."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, bytes] = {}
+
+        def payload_for(v: int) -> bytes:
+            if v not in cache:
+                p = _variant_params(v)
+                cache[v] = (
+                    make_png(p["width"], p["height"])
+                    if p["container"] == "png"
+                    else make_wav(
+                        p["sample_rate"], p["n_channels"], p["n_frames"]
+                    )
+                )
+            return cache[v]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "payload": [
+                        payload_for(int(d) % _N_VARIANTS)
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(encode, schema=schema)
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Real container probe: dispatch on magic bytes, decode PNG
+    (struct/zlib or PIL) and WAV (stdlib wave) headers into typed
+    metadata.  Unknown containers raise — no silent fallback on this
+    path; 0 fills the fields the other modality lacks (keeps every
+    column non-null BIGINT, which the gate's dtype-strict compare
+    needs)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("container", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("n_channels", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+        ]
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:8] == _PNG_MAGIC:
+                    w, h = parse_png(b)
+                    rows.append((doc_id, "png", len(b), w, h, 0, 0, 0))
+                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    rate, ch, fr = parse_wav(b)
+                    rows.append(
+                        (doc_id, "wav", len(b), 0, 0, rate, ch, fr)
+                    )
+                else:
+                    raise NotImplementedError(
+                        "unrecognized media container"
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return media.mapInPandas(probe, schema=schema)

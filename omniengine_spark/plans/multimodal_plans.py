@@ -1,9 +1,11 @@
 """Multimodal plans: binary payload decode / frame sampling / feature
 extraction over ``documents`` (operators in operators/multimodal.py).
 
-The decode kernel is a deterministic stub (no codecs in this
-environment), which makes the metadata plans fully oracle-checkable:
-the oracle reproduces the same arithmetic on octet lengths.
+The ``mm_decode_meta``/``mm_resize`` family uses the deterministic
+text-bytes backend (oracles reproduce the arithmetic on octet
+lengths); ``mm_probe_real_bytes`` and ``mm_binary_dedup`` run on REAL
+media containers (valid PNG/WAV) built and decoded with genuine
+codec code — no stub in that path.
 """
 
 from __future__ import annotations
@@ -107,3 +109,73 @@ def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.resize_media(_media(spark, sf_dir))
+
+
+@query(
+    "mm_probe_real_bytes",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN v % 2 = 0 THEN 'png' ELSE 'wav' END AS container,
+           CASE WHEN v % 2 = 0 THEN (v % 13) + 1 ELSE 0 END AS width,
+           CASE WHEN v % 2 = 0 THEN ((v * 3) % 17) + 1 ELSE 0 END
+             AS height,
+           CASE WHEN v % 2 = 1 THEN 8000 + (v % 4) * 4000 ELSE 0 END
+             AS sample_rate,
+           CASE WHEN v % 2 = 1 THEN (v % 2) + 1 ELSE 0 END
+             AS n_channels,
+           CASE WHEN v % 2 = 1 THEN 50 + v * 3 ELSE 0 END AS n_frames
+    FROM (SELECT doc_id, doc_id % 40 AS v FROM documents)
+    """,
+)
+def mm_probe_real_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media bytes, really decoded: each doc gets a spec-valid
+    PNG (struct+zlib, CRC'd) or RIFF/WAVE file (stdlib wave) built
+    from arithmetic parameters, and ``probe_media`` decodes the
+    actual containers back.  The oracle predicts the parameters; a
+    match proves the encode→container→decode loop is lossless — this
+    is the multimodal path with no stub in it (PIL picked up
+    automatically when importable, operators/multimodal.py).
+    ``n_bytes`` is excluded: compressed size is codec business, not
+    oracle arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = M.probe_media(M.attach_real_payload(docs))
+    return out.select(
+        "doc_id",
+        "container",
+        "width",
+        "height",
+        "sample_rate",
+        "n_channels",
+        "n_frames",
+    )
+
+
+@query(
+    "mm_binary_dedup",
+    oracle="""
+    SELECT MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM (SELECT doc_id, doc_id % 40 AS v FROM documents)
+    GROUP BY v
+    """,
+)
+def mm_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed binary dedup over REAL bytes: md5 digest of
+    each doc's actual media payload (valid PNG/WAV) is the content
+    address; grouping by digest finds byte-identical blobs.  The
+    oracle groups by the variant arithmetic instead — equality proves
+    (a) the encoder is deterministic (same params ⇒ same bytes) and
+    (b) 40 distinct payloads produce 40 distinct digests.  At 100 TB
+    this is the first pass of any media pipeline: one narrow shuffle
+    on a 16-byte digest, payload bytes never shuffled (digest computed
+    map-side)."""
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_digest = M.attach_real_payload(docs).select(
+        "doc_id", F.md5("payload").alias("digest")
+    )
+    return with_digest.groupBy("digest").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("canonical_doc_id", "n_copies")
