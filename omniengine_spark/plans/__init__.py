@@ -25,5 +25,6 @@ from omniengine_spark.plans import extended  # noqa: E402,F401
 from omniengine_spark.plans import docpipe  # noqa: E402,F401
 from omniengine_spark.plans import coverage2_plans  # noqa: E402,F401
 from omniengine_spark.plans import quality  # noqa: E402,F401
+from omniengine_spark.plans import serving  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -126,3 +126,18 @@ def test_dynamic_partition_pruning_on_warehouse_join(spark):
         ), plan[:2000]
     finally:
         cleanup(path)
+
+
+def test_serving_filter_pushes_below_fold(spark):
+    """serve_address_portfolio: the address predicate (a fold group
+    key) must sit below the Aggregate in the optimized plan — the
+    cluster folds one address's deltas, not the whole state — and the
+    rate dim join must be broadcast."""
+    from omniengine_spark.plans.serving import serve_address_portfolio
+
+    df = serve_address_portfolio(spark, SF_SMOKE)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    agg_pos = opt.find("Aggregate")
+    assert agg_pos != -1
+    assert opt.rfind("u42") > agg_pos, "address filter not pushed below fold"
+    assert "BroadcastHashJoin" in _plan(spark, "serve_address_portfolio")
