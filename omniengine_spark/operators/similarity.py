@@ -628,10 +628,15 @@ def lsh_ann_topk(
             )
         ).alias("tb"),
     ).select("vec_id", "tb.t", "tb.bucket")
+    # candidates as UNORDERED pairs (a < b): cosine is symmetric —
+    # dot(a,b) is the same products in the same index order as
+    # dot(b,a) and na·nb == nb·na bitwise — so each pair is scored
+    # once and mirrored afterwards.  Halves the dominant cost (the
+    # per-pair 64-element fold) and halves the distinct's shuffle.
     cand = (
         keyed.alias("a")
         .join(keyed.alias("b"), ["t", "bucket"])
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("query_id"),
             F.col("b.vec_id").alias("nbr_id"),
@@ -672,11 +677,18 @@ def lsh_ann_topk(
             ).alias("score"),
         )
     )
+    both = scored.unionByName(
+        scored.select(
+            F.col("nbr_id").alias("query_id"),
+            F.col("query_id").alias("nbr_id"),
+            "score",
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("nbr_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        both.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "rank", "score")
     )
