@@ -649,6 +649,51 @@ def a15_address_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a15b_address_stats_preagg",
+    oracle=f"""
+    WITH tx AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_type = 'signup' THEN 50 ELSE 0 END AS t,
+             {_SQL_DAY} AS d,
+             ROW_NUMBER() OVER (ORDER BY {_SQL_DAY}, event_id) AS serial
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ), touch AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS address,
+             event_id, serial, d
+      FROM tx
+      UNION ALL
+      SELECT 'u' || CAST(user_id + 1 AS VARCHAR), event_id, serial, d
+      FROM tx WHERE t = 0
+    )
+    SELECT address,
+           COUNT(*) AS tx_count,
+           CAST(MAX(serial) AS BIGINT) AS last_serial,
+           CAST(MAX(d) AS BIGINT) AS last_block
+    FROM touch GROUP BY address
+    """,
+)
+def a15b_address_stats_preagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a15's 100× form: ``count_distinct(txid)`` carries an unbounded
+    per-address key set through the aggregation; pre-aggregating on
+    (address, txid) first makes every partial buffer a fixed-size
+    (count, max, max) triple at BOTH levels — same exact answer, same
+    oracle, bounded state.  The extra shuffle is on the finer key, so
+    map-side combine absorbs the txid fan-out before it moves."""
+    from omniengine_spark.plans.pipeline_plans import _tx_stream
+
+    txs = stamp_serials_distributed(_tx_stream(spark, sf_dir))
+    deltas = expand_deltas(txs)
+    per_tx = deltas.groupBy("address", "txid").agg(
+        F.max("serial").alias("s"), F.max("block").alias("b")
+    )
+    return per_tx.groupBy("address").agg(
+        F.count(F.lit(1)).alias("tx_count"),
+        F.max("s").alias("last_serial"),
+        F.max("b").alias("last_block"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A16 — STO fee burn (sql.py:1806-1821): the fee is debited from the
 # sender in the ecosystem's fee property (1 production / 2 test) with
