@@ -46,8 +46,9 @@ def main() -> None:
     # the first pipeline query isn't charged for it.
     from omniengine_spark.pipeline import omni as _omni
 
-    if _omni._DELTA_ARRAY_CACHE is None:
-        _omni._DELTA_ARRAY_CACHE = _omni._build_delta_array()
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _omni._DELTA_ARRAY_CACHE:
+        _omni._DELTA_ARRAY_CACHE[app_id] = _omni._build_delta_array()
 
 
     from pyspark.sql import functions as F
