@@ -68,6 +68,29 @@ def main() -> None:
             f"| {counts['python']} | {counts['topk']} |"
         )
 
+    soak = _REPO / "tools" / "scale_soak.json"
+    if soak.exists():
+        import json
+
+        rows = json.loads(soak.read_text())
+        lines += [
+            "",
+            "## Scaling exponents (tools/scale_soak.py)",
+            "",
+            "e = log(t_sf0.1 / t_sf0.01) / log(10) on the bench-dominant",
+            "plans, warmed session, best-of-2.  e ≈ 1 linear, e > 1",
+            "super-linear (scale hazard).  Fixed session overhead pulls",
+            "small-sf exponents below their asymptote.",
+            "",
+            "| plan | t@sf0.01 | t@sf0.1 | exponent |",
+            "|---|---|---|---|",
+        ]
+        for r in rows:
+            lines.append(
+                f"| {r['plan']} | {r['t_sf001']}s | {r['t_sf01']}s "
+                f"| {r['exponent']:+.2f} |"
+            )
+
     (_REPO / "PLANS.md").write_text("\n".join(lines) + "\n")
     print(f"wrote PLANS.md ({len(QUERIES)} plans)")
     spark.stop()
