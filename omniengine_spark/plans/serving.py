@@ -127,3 +127,130 @@ def serve_address_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_available_cents"
         ),
     )
+
+
+@query(
+    "serve_address_tx_history",
+    oracle="""
+    WITH tx AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_type = 'signup' THEN 50 ELSE 0 END AS t,
+             CAST(epoch(ts) AS BIGINT) // 86400 AS d,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(epoch(ts) AS BIGINT) // 86400, event_id)
+               AS serial
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ), touch AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS address,
+             'e' || CAST(event_id AS VARCHAR) AS txid,
+             d AS block, serial, t AS type_int,
+             CASE WHEN t = 50 THEN 'issuer' ELSE 'sender' END AS role
+      FROM tx
+      UNION ALL
+      SELECT 'u' || CAST(user_id + 1 AS VARCHAR),
+             'e' || CAST(event_id AS VARCHAR),
+             d, serial, t, 'recipient'
+      FROM tx WHERE t = 0
+    )
+    SELECT txid, block, serial, CAST(type_int AS INT) AS type_int, role
+    FROM touch WHERE address = 'u42'
+    ORDER BY serial, role LIMIT 100
+    """,
+)
+def serve_address_tx_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Get Transactions for an Address"
+    (``database/SQLstatements.md:107-124``): the address's
+    AddressesInTxs rows joined back to Transactions, newest-page
+    semantics via order+limit.  The address predicate lands on the
+    delta rows before the join, and order-by-limit compiles to
+    TakeOrderedAndProject — a serving page never sorts the history."""
+    txs = stamp_serials_distributed(_tx_stream(spark, sf_dir))
+    deltas = expand_deltas(txs)
+    touched = (
+        deltas.filter(F.col("address") == SERVE_ADDRESS)
+        .select("txid", "role")
+        .distinct()
+    )
+    detail = txs.select("txid", "block", "serial", "type_int")
+    return (
+        detail.join(F.broadcast(touched), "txid")
+        .select("txid", "block", "serial", "type_int", "role")
+        .orderBy("serial", "role")
+        .limit(100)
+    )
+
+
+_WALLET_ADDRS = ["u30", "u31", "u32"]  # AddressesInWallets for 'w10'
+
+
+@query(
+    "serve_wallet_balances",
+    oracle="""
+    WITH tx AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'signup' THEN 50 ELSE 0 END AS t,
+             'u' || CAST(user_id AS VARCHAR) AS sender,
+             'u' || CAST(user_id + 1 AS VARCHAR) AS ref,
+             user_id % 5 AS propertyid,
+             CASE WHEN user_id % 2 = 0
+                  THEN CAST(CAST(value AS DECIMAL(38,8)) * 100000000
+                            AS BIGINT)
+                  ELSE CAST(FLOOR(CAST(value AS DECIMAL(38,8)))
+                            AS BIGINT) END AS base_units
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ), deltas AS (
+      SELECT sender AS address, propertyid, base_units AS delta
+      FROM tx WHERE t = 50
+      UNION ALL
+      SELECT sender, propertyid, -base_units FROM tx WHERE t = 0
+      UNION ALL
+      SELECT ref, propertyid, base_units FROM tx WHERE t = 0
+      UNION ALL
+      SELECT 'u' || CAST(c_custkey AS VARCHAR),
+             c_custkey % 5,
+             CAST(CAST(c_acctbal AS DECIMAL(15,2)) * 100 AS BIGINT)
+      FROM customer
+    ), bal AS (
+      SELECT address, propertyid,
+             CAST(SUM(delta) AS BIGINT) AS available
+      FROM deltas WHERE address IN ('u30', 'u31', 'u32')
+      GROUP BY address, propertyid
+    ), rates AS (
+      SELECT propertyid, rate_cents FROM (
+        SELECT o_orderkey % 5 AS propertyid,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS rate_cents,
+               ROW_NUMBER() OVER (
+                 PARTITION BY o_orderkey % 5
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders)
+      WHERE rn = 1
+    )
+    SELECT b.address, b.propertyid, b.available,
+           r.rate_cents,
+           b.available * r.rate_cents AS value_available_cents
+    FROM bal b JOIN rates r ON r.propertyid = b.propertyid
+    """,
+)
+def serve_wallet_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Addresses and Balances & Values in a Wallet"
+    (``database/SQLstatements.md:15-43``): the wallet's address set
+    (AddressesInWallets) restricts the genesis-seeded fold — an
+    IN-list on the fold's group key, pushed below the aggregation
+    exactly like the single-address lookup — then the broadcast rate
+    dim prices every holding."""
+    txs = _tx_stream(spark, sf_dir)
+    deltas = expand_deltas(stamp_serials_distributed(txs))
+    gen = genesis_deltas(synthetic_genesis(spark, sf_dir))
+    folded = build_balances(
+        gen.select(*deltas.columns).unionByName(deltas)
+    ).filter(F.col("address").isin(_WALLET_ADDRS))
+    rates = latest_rates(spark, sf_dir)
+    return folded.join(F.broadcast(rates), "propertyid").select(
+        "address",
+        "propertyid",
+        F.col("balance").cast("long").alias("available"),
+        "rate_cents",
+        (F.col("balance").cast("long") * F.col("rate_cents")).alias(
+            "value_available_cents"
+        ),
+    )
