@@ -229,3 +229,72 @@ def sql_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             rev="CAST(SUM(volume) AS DOUBLE)",
         )
     )
+
+
+# Q4 shape, adapted to the available lineitem columns (the generator
+# has no commitdate/receiptdate): an order is "late-shipped" when some
+# line shipped after the order date + 60 days.  Same plan skeleton as
+# TPC-H Q4: date-window scan of orders, EXISTS semi-join to lineitem,
+# tiny grouped count.
+_Q4 = """
+SELECT
+  o_orderpriority,
+  COUNT(*) AS order_count
+FROM {orders} o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM {li} l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "sql_q4_late_orders",
+    oracle=_Q4.format(orders="orders", li="lineitem"),
+)
+def sql_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi hash join on
+    l_orderkey with the date residual evaluated at the join — no
+    distinct/aggregate subquery materialization."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "v_lineitem"
+    )
+    return spark.sql(_Q4.format(orders="v_orders", li="v_lineitem"))
+
+
+# Q12 shape, adapted (no l_shipmode column): group by l_linestatus,
+# CASE-sum the high- vs low-priority orders of the joined fact — the
+# conditional-bucket aggregation Q12 exercises.
+_Q12 = """
+SELECT
+  l.l_linestatus,
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM {orders} o
+JOIN {li} l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_linestatus
+"""
+
+
+@query(
+    "sql_q12_priority_buckets",
+    oracle=_Q12.format(orders="orders", li="lineitem"),
+)
+def sql_q12_priority_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact⋈fact equi-join with the filter pushed to
+    the lineitem scan and both CASE-sums computed in one partial
+    aggregate."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "v_lineitem"
+    )
+    return spark.sql(_Q12.format(orders="v_orders", li="v_lineitem"))
