@@ -353,3 +353,40 @@ def a20_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+@query(
+    "w11_balance_deciles",
+    oracle="""
+    SELECT c_custkey,
+           n_name,
+           NTILE(10) OVER w AS decile,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WINDOW w AS (PARTITION BY n_name
+                 ORDER BY c.c_acctbal DESC, c.c_custkey)
+    """,
+)
+def w11_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics per partition: ntile deciles and
+    percent_rank of customer balances within each nation — one window
+    (one shuffle on the nation key, one sort within partitions) feeds
+    both functions.  pct_rank is rounded on both engines: the
+    (rank-1)/(n-1) division is the only float in the plan."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(
+            "c_custkey",
+            "n_name",
+            F.ntile(10).over(w).cast("long").alias("decile"),
+            F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        )
+    )
