@@ -254,3 +254,60 @@ def serve_wallet_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_available_cents"
         ),
     )
+
+
+@query(
+    "serve_property_holders",
+    oracle="""
+    WITH tx AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'signup' THEN 50 ELSE 0 END AS t,
+             'u' || CAST(user_id AS VARCHAR) AS sender,
+             'u' || CAST(user_id + 1 AS VARCHAR) AS ref,
+             user_id % 5 AS propertyid,
+             CASE WHEN user_id % 2 = 0
+                  THEN CAST(CAST(value AS DECIMAL(38,8)) * 100000000
+                            AS BIGINT)
+                  ELSE CAST(FLOOR(CAST(value AS DECIMAL(38,8)))
+                            AS BIGINT) END AS base_units
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ), deltas AS (
+      SELECT sender AS address, propertyid, base_units AS delta
+      FROM tx WHERE t = 50
+      UNION ALL
+      SELECT sender, propertyid, -base_units FROM tx WHERE t = 0
+      UNION ALL
+      SELECT ref, propertyid, base_units FROM tx WHERE t = 0
+      UNION ALL
+      SELECT 'u' || CAST(c_custkey AS VARCHAR),
+             c_custkey % 5,
+             CAST(CAST(c_acctbal AS DECIMAL(15,2)) * 100 AS BIGINT)
+      FROM customer
+    )
+    SELECT address,
+           CAST(SUM(delta) AS BIGINT) AS available
+    FROM deltas WHERE propertyid = 2
+    GROUP BY address
+    ORDER BY available DESC, address LIMIT 25
+    """,
+)
+def serve_property_holders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich list — "Get Balances for Property" (reference
+    ``sql.py:1134-1203`` getallbalancesforid): every holder of one
+    property ranked by balance, top page.  The propertyid predicate
+    pushes below the fold like the address lookups, and the page is
+    TakeOrderedAndProject — per-partition top-25 then a 25-row merge,
+    never a global sort of all holders."""
+    txs = _tx_stream(spark, sf_dir)
+    deltas = expand_deltas(stamp_serials_distributed(txs))
+    gen = genesis_deltas(synthetic_genesis(spark, sf_dir))
+    folded = build_balances(
+        gen.select(*deltas.columns).unionByName(deltas)
+    ).filter(F.col("propertyid") == 2)
+    return (
+        folded.select(
+            "address", F.col("balance").cast("long").alias("available")
+        )
+        .orderBy(F.desc("available"), F.asc("address"))
+        .limit(25)
+    )

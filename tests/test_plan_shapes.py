@@ -141,3 +141,11 @@ def test_serving_filter_pushes_below_fold(spark):
     assert agg_pos != -1
     assert opt.rfind("u42") > agg_pos, "address filter not pushed below fold"
     assert "BroadcastHashJoin" in _plan(spark, "serve_address_portfolio")
+
+
+def test_serving_pages_use_top_k(spark):
+    """Both serving pages (tx history, rich list) must compile to
+    TakeOrderedAndProject, never a global sort."""
+    for name in ("serve_address_tx_history", "serve_property_holders"):
+        p = _plan(spark, name)
+        assert "TakeOrderedAndProject" in p, name
