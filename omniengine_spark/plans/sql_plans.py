@@ -298,3 +298,488 @@ def sql_q12_priority_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_lineitem"
     )
     return spark.sql(_Q12.format(orders="v_orders", li="v_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Round-4 widening: the remaining canonical TPC-H shapes expressible on
+# the generator's schema (no partsupp table, no commit/receipt dates,
+# no phone/container columns — adapted shapes note the substitution).
+# ---------------------------------------------------------------------------
+
+
+_Q6 = """
+SELECT
+  {rev} AS revenue,
+  COUNT(*) AS n_items
+FROM {li} l
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_discount BETWEEN 0.03 AND 0.07
+  AND l.l_quantity < 24
+"""
+
+_DISC_REV_SUM = (
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,4)) "
+    "* CAST(l_discount AS DECIMAL(5,4)))"
+)
+
+
+@query(
+    "sql_q6_forecast_revenue",
+    oracle=_Q6.format(
+        li="lineitem",
+        rev=f"CAST(CAST({_DISC_REV_SUM} AS VARCHAR) AS DOUBLE)",
+    ),
+)
+def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pure-scan aggregate — every predicate is
+    pushed into the parquet scan (shipdate min/max stats prune row
+    groups) and the whole query is one partial+final agg with no
+    shuffle key at all.  The simplest possible plan; anything more
+    (a sort, an exchange beyond the single-row gather) is a bug."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "v_lineitem"
+    )
+    return spark.sql(
+        _Q6.format(li="v_lineitem", rev=f"CAST({_DISC_REV_SUM} AS DOUBLE)")
+    )
+
+
+_Q8 = """
+WITH volumes AS (
+  SELECT
+    CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+    CAST(l.l_extendedprice AS DECIMAL(18,4))
+      * (CAST(1 AS DECIMAL(5,4)) - CAST(l.l_discount AS DECIMAL(5,4)))
+      AS volume,
+    sn.n_name AS supp_nation
+  FROM {part} p
+  JOIN {li} l ON p.p_partkey = l.l_partkey
+  JOIN {supp} s ON s.s_suppkey = l.l_suppkey
+  JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+  JOIN {cust} c ON c.c_custkey = o.o_custkey
+  JOIN {nat} cn ON c.c_nationkey = cn.n_nationkey
+  JOIN {nat} sn ON s.s_nationkey = sn.n_nationkey
+  JOIN {reg} r ON cn.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+    AND p.p_type = 'PROMO'
+    AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                          AND TIMESTAMP '1997-12-31 00:00:00'
+)
+SELECT
+  o_year,
+  {share} AS mkt_share,
+  COUNT(*) AS n_items
+FROM volumes
+GROUP BY o_year
+"""
+
+_Q8_NUM = "SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END)"
+_Q8_DEN = "SUM(volume)"
+
+
+@query(
+    "sql_q8_market_share",
+    oracle=_Q8.format(
+        part="part",
+        li="lineitem",
+        supp="supplier",
+        orders="orders",
+        cust="customer",
+        nat="nation",
+        reg="region",
+        share=(
+            f"CAST(CAST({_Q8_NUM} AS VARCHAR) AS DOUBLE)"
+            f" / CAST(CAST({_Q8_DEN} AS VARCHAR) AS DOUBLE)"
+        ),
+    ),
+)
+def sql_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share): eight-way join where nation is
+    joined twice under different roles and the measure is a ratio of
+    two conditional sums computed in ONE aggregation pass — the
+    two-scan formulation the reference would write (separate numerator
+    and denominator statements, ``sql.py:266-276`` style) collapses to
+    a single grouped CASE-sum.  All five dims broadcast; the only
+    shuffles are the three fact-side joins.  Both sums stay DECIMAL
+    (exact) until the final ratio, so the double division is the same
+    correctly-rounded IEEE op in both engines."""
+    for name in (
+        "part", "lineitem", "supplier", "orders", "customer", "nation",
+        "region",
+    ):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"v_{name}")
+    return spark.sql(
+        _Q8.format(
+            part="v_part",
+            li="v_lineitem",
+            supp="v_supplier",
+            orders="v_orders",
+            cust="v_customer",
+            nat="v_nation",
+            reg="v_region",
+            share=(
+                f"CAST({_Q8_NUM} AS DOUBLE) / CAST({_Q8_DEN} AS DOUBLE)"
+            ),
+        )
+    )
+
+
+# Q9 shape, adapted: the generator has no partsupp/ps_supplycost, so
+# profit = line revenue − retail cost of the quantity shipped
+# (p_retailprice standing in for ps_supplycost).  The plan skeleton is
+# Q9's: LIKE-filtered part, five-way join, extract-year, group by
+# (nation, year).
+_Q9 = """
+SELECT
+  nation,
+  o_year,
+  {profit} AS sum_profit,
+  COUNT(*) AS n_items
+FROM (
+  SELECT
+    sn.n_name AS nation,
+    CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+    CAST(l.l_extendedprice AS DECIMAL(18,4))
+      * (CAST(1 AS DECIMAL(5,4)) - CAST(l.l_discount AS DECIMAL(5,4)))
+    - CAST(p.p_retailprice AS DECIMAL(18,4))
+      * CAST(l.l_quantity AS DECIMAL(18,4)) AS amount
+  FROM {part} p
+  JOIN {li} l ON p.p_partkey = l.l_partkey
+  JOIN {supp} s ON s.s_suppkey = l.l_suppkey
+  JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+  JOIN {nat} sn ON s.s_nationkey = sn.n_nationkey
+  WHERE p.p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@query(
+    "sql_q9_product_profit",
+    oracle=_Q9.format(
+        part="part",
+        li="lineitem",
+        supp="supplier",
+        orders="orders",
+        nat="nation",
+        profit="CAST(CAST(SUM(amount) AS VARCHAR) AS DOUBLE)",
+    ),
+)
+def sql_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): LIKE-filtered part dim
+    (broadcast, filter applied before the join so only matching
+    partkeys enter the build side), two more broadcast dims, and a
+    signed DECIMAL measure — revenue minus cost — summed exactly.
+    Mixed-sign sums are where floating-point drifts; DECIMAL keeps the
+    fold associative and engine-independent."""
+    for name in ("part", "lineitem", "supplier", "orders", "nation"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"v_{name}")
+    return spark.sql(
+        _Q9.format(
+            part="v_part",
+            li="v_lineitem",
+            supp="v_supplier",
+            orders="v_orders",
+            nat="v_nation",
+            profit="CAST(SUM(amount) AS DOUBLE)",
+        )
+    )
+
+
+# Q13 shape, adapted: the comment-pattern exclusion becomes a priority
+# exclusion (orders has no o_comment).
+_Q13 = """
+SELECT
+  c_count,
+  COUNT(*) AS custdist
+FROM (
+  SELECT
+    c.c_custkey AS c_custkey,
+    COUNT(o.o_orderkey) AS c_count
+  FROM {cust} c
+  LEFT JOIN {orders} o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@query(
+    "sql_q13_order_count_distribution",
+    oracle=_Q13.format(cust="customer", orders="orders"),
+)
+def sql_q13_order_count_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with a predicate on the
+    *preserved-null* side pushed into the join (not a post-filter,
+    which would change the semantics), double aggregation — per-key
+    count then count-of-counts.  The second groupBy keys on ~dozens of
+    values, so AQE coalesces its shuffle to almost nothing."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(_Q13.format(cust="v_customer", orders="v_orders"))
+
+
+_Q15 = """
+WITH revenue AS (
+  SELECT
+    l_suppkey AS supplier_no,
+    {rev_sum} AS total_revenue
+  FROM {li}
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT
+  s.s_suppkey,
+  s.s_name,
+  {rev_out} AS total_revenue
+FROM {supp} s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query(
+    "sql_q15_top_supplier",
+    oracle=_Q15.format(
+        li="lineitem",
+        supp="supplier",
+        rev_sum=_REV_SUM,
+        rev_out="CAST(CAST(r.total_revenue AS VARCHAR) AS DOUBLE)",
+    ),
+)
+def sql_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): a named subresult referenced twice —
+    once as the join input, once under MAX in an uncorrelated scalar
+    subquery.  total_revenue stays DECIMAL through the MAX comparison
+    (exact equality is only sane in fixed-point; a double `=` here
+    would be engine-dependent) and becomes DOUBLE at output only."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "v_lineitem"
+    )
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "v_supplier"
+    )
+    return spark.sql(
+        _Q15.format(
+            li="v_lineitem",
+            supp="v_supplier",
+            rev_sum=_REV_SUM,
+            rev_out="CAST(r.total_revenue AS DOUBLE)",
+        )
+    )
+
+
+# Q17 shape, adapted (no p_container): brand+type select the part
+# slice.  l_quantity is integral, so 0.2*AVG is the same double in
+# both engines (exact integer sum / exact count, one IEEE divide).
+_Q17 = """
+SELECT
+  {rev} AS avg_yearly,
+  COUNT(*) AS n_items
+FROM {li} l
+JOIN {part} p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND p.p_type = 'PROMO'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity)
+    FROM {li} l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+@query(
+    "sql_q17_small_quantity_revenue",
+    oracle=_Q17.format(
+        li="lineitem",
+        part="part",
+        rev=(
+            "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) "
+            "AS VARCHAR) AS DOUBLE) / 7.0"
+        ),
+    ),
+)
+def sql_q17_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery (per-part 20%-
+    of-average quantity threshold) — Catalyst decorrelates it to an
+    aggregate-then-join on l_partkey, so lineitem is scanned twice but
+    never nested-loop'd.  The filtered part dim broadcasts into both
+    sides."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "v_lineitem"
+    )
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    return spark.sql(
+        _Q17.format(
+            li="v_lineitem",
+            part="v_part",
+            rev=(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) "
+                "AS DOUBLE) / 7.0"
+            ),
+        )
+    )
+
+
+# Q19 shape, adapted (no p_container / l_shipmode / l_shipinstruct):
+# three brand×size×quantity conjunctions OR'd together.
+_Q19 = """
+SELECT
+  {rev} AS revenue,
+  COUNT(*) AS n_items
+FROM {li} l
+JOIN {part} p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query(
+    "sql_q19_disjunctive_revenue",
+    oracle=_Q19.format(
+        li="lineitem",
+        part="part",
+        rev=f"CAST(CAST({_REV_SUM} AS VARCHAR) AS DOUBLE)",
+    ),
+)
+def sql_q19_disjunctive_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q19 shape: a disjunction of conjunctions spanning BOTH
+    join sides.  The optimizer must (a) keep the OR as a join residual
+    rather than a cartesian filter and (b) derive the per-side
+    implied filters (p_brand IN (...), p_size <= 15, l_quantity <= 30)
+    pushed below the join — constraint propagation the reference's
+    hand-written SQL never needed because Postgres did it for free."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "v_lineitem"
+    )
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    return spark.sql(
+        _Q19.format(
+            li="v_lineitem",
+            part="v_part",
+            rev=f"CAST({_REV_SUM} AS DOUBLE)",
+        )
+    )
+
+
+# Q21 shape, adapted (no commit/receipt dates): within finished
+# multi-supplier orders, find the supplier who is the ONLY one whose
+# line was returned — same EXISTS + NOT-EXISTS double-correlated
+# skeleton as the original "suppliers who kept orders waiting".
+_Q21 = """
+SELECT
+  s.s_name,
+  COUNT(*) AS numwait
+FROM {supp} s
+JOIN {li} l1 ON s.s_suppkey = l1.l_suppkey
+JOIN {orders} o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM {li} l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM {li} l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@query(
+    "sql_q21_sole_blame_supplier",
+    oracle=_Q21.format(supp="supplier", li="lineitem", orders="orders"),
+)
+def sql_q21_sole_blame_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q21 shape: the hardest subquery pattern in the suite —
+    one EXISTS and one NOT EXISTS, both correlated on l_orderkey with
+    an inequality on l_suppkey.  Catalyst turns them into a left-semi
+    and a left-anti join against the same lineitem scan; the supplier
+    dim broadcasts; top-20 is TakeOrderedAndProject."""
+    for name in ("supplier", "lineitem", "orders"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"v_{name}")
+    return spark.sql(
+        _Q21.format(supp="v_supplier", li="v_lineitem", orders="v_orders")
+    )
+
+
+# Q22 shape, adapted (no c_phone): country code = c_nationkey % 5.
+# The above-average threshold is evaluated in exact arithmetic:
+# bal*N > total  instead of  bal > total/N  (same predicate, no
+# engine-dependent division).
+_Q22 = """
+WITH positive AS (
+  SELECT
+    CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+    c_custkey,
+    CAST(c_acctbal AS DECIMAL(18,4)) AS bal
+  FROM {cust}
+  WHERE c_acctbal > 0
+)
+SELECT
+  cntrycode,
+  COUNT(*) AS numcust,
+  {bal} AS totacctbal
+FROM positive p
+WHERE p.bal * (SELECT COUNT(*) FROM positive)
+      > (SELECT SUM(bal) FROM positive)
+  AND NOT EXISTS (
+    SELECT 1 FROM {orders} o
+    WHERE o.o_custkey = p.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY cntrycode
+"""
+
+
+@query(
+    "sql_q22_dormant_accounts",
+    oracle=_Q22.format(
+        cust="customer",
+        orders="orders",
+        bal="CAST(CAST(SUM(bal) AS VARCHAR) AS DOUBLE)",
+    ),
+)
+def sql_q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): two uncorrelated
+    scalar subqueries over the same CTE (count and sum — computed in
+    one reused aggregate), a NOT EXISTS anti-join to orders, and a
+    grouped rollup.  The above-average comparison is cross-multiplied
+    into DECIMAL so no division result is ever compared — the exact
+    trick the double-entry ledger uses for pro-rata cutoffs
+    (``sql.py:1806-1821``)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        _Q22.format(
+            cust="v_customer",
+            orders="v_orders",
+            bal="CAST(SUM(bal) AS DOUBLE)",
+        )
+    )
