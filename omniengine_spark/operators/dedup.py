@@ -314,6 +314,14 @@ def connected_components(
     moving after that — the long-chain regime — pointer jumping
     (adopt your label's label) kicks in, making remaining progress
     O(log diameter) per round instead of O(1) hops.
+
+    Only nodes that appear in the pair graph iterate: an isolated node
+    can never receive a neighbor label, so its cluster is itself by
+    construction and it joins back in one final left join.  Near-dup
+    graphs are sparse — touched nodes ≈ 2·|pairs| ≪ |corpus| — so
+    every propagation round works on the small frame (which Spark then
+    broadcasts into the edge join) instead of re-shuffling the whole
+    corpus per round.
     """
     edges = (
         pairs.select(
@@ -329,8 +337,13 @@ def connected_components(
         # must not re-execute on every propagation round
         .localCheckpoint()
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    # both edge directions are present, so src alone covers every
+    # endpoint of the graph
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
     )
     numeric_ids = isinstance(
         labels.schema["label"].dataType,
@@ -385,8 +398,14 @@ def connected_components(
         labels = new_labels
         if converged:
             break
-    return labels.select(
-        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    # isolated nodes (no pair) are their own cluster; the converged
+    # labels frame is usually tiny (AQE broadcasts it), but a very
+    # dirty corpus can have touched ≈ corpus, so no forced hint
+    return nodes.select(F.col(id_col).alias("node")).join(
+        labels, "node", "left"
+    ).select(
+        F.col("node").alias(id_col),
+        F.coalesce("label", "node").alias("cluster_id"),
     )
 
 
