@@ -149,3 +149,47 @@ def test_serving_pages_use_top_k(spark):
     for name in ("serve_address_tx_history", "serve_property_holders"):
         p = _plan(spark, name)
         assert "TakeOrderedAndProject" in p, name
+
+
+def test_q6_is_scan_plus_scalar_agg(spark):
+    """Q6: predicates pushed to the scan, no join, no wide exchange —
+    just partial+final aggregate over a pruned parquet read."""
+    plan = _plan(spark, "sql_q6_forecast_revenue")
+    assert "Join" not in plan
+    # PushedFilters is truncated in toString — assert on the prefix
+    assert "GreaterThanOrEqual(l_shipda" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q21_subqueries_become_semi_and_anti_joins(spark):
+    """Q21: the correlated EXISTS / NOT EXISTS must decorrelate to
+    hash semi/anti joins — a nested-loop here is quadratic in
+    lineitem."""
+    plan = _plan(spark, "sql_q21_sole_blame_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_disjunction_derives_per_side_filters(spark):
+    """Q19: the cross-side OR must stay a single equi-join with a
+    residual — never a cartesian — and the implied IN(p_brand...)
+    filter must reach the part scan."""
+    plan = _plan(spark, "sql_q19_disjunctive_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # per-side implied filters: the brand/size disjunction reaches the
+    # part scan, the quantity bounds reach the lineitem scan
+    assert "Or(Or(And(EqualTo(p_brand" in plan
+    assert "GreaterThanOrEqual(l_quantity" in plan
+
+
+def test_q17_decorrelates_to_aggregate_join(spark):
+    """Q17: the per-part average subquery becomes aggregate-then-join
+    on l_partkey (lineitem scanned twice, never nested-looped)."""
+    plan = _plan(spark, "sql_q17_small_quantity_revenue")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_avg" in plan or "avg(" in plan
