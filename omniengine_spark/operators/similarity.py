@@ -851,3 +851,94 @@ def pq_seeded_topk(
         .filter(F.col("rank") <= knn)
         .select("query_id", "nbr_id", "rank", "score")
     )
+
+
+def semantic_prune(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: bucket embeddings by nearest
+    centroid, compare pairs ONLY within a bucket, drop every vector
+    that has a lower-id cluster-mate above the cosine threshold.
+
+    This is the scale path for embedding near-dup (Abbas et al. 2023,
+    "SemDeDup"): the blocked all-pairs gemm (``cosine_pair_join``)
+    costs O(N²/B); clustering first makes it Σ|cluster|² — with
+    n_clusters grown ∝ N (fixed expected list size) that's O(N·c̄).
+    The quantizer is the portable md5-seeded one
+    (``ivf_ann_topk_portable``), so the whole prune — assignment,
+    in-cluster pairs, keep/drop — is exactly reproducible by a SQL
+    oracle.
+
+    Plan shape: one broadcast cross join against k centroids + argmax
+    window for assignment, one (cluster)-keyed shuffle for the
+    self-join, one anti-join-style left join for the verdict.  Output:
+    (id, cluster, is_kept).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    seeds = (
+        vectors.select(
+            F.col(id_col).alias("cluster"),
+            F.col(vec_col).alias("cvec"),
+            h.alias("h"),
+        )
+        .orderBy("h", "cluster")
+        .limit(n_clusters)
+        .select("cluster", "cvec", _norm(F.col("cvec")).alias("cnrm"))
+    )
+    wa = Window.partitionBy("vid").orderBy(
+        F.col("csim").desc(), F.col("cluster").asc()
+    )
+    assigned = (
+        vectors.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("nrm"),
+        )
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            "vid",
+            "vec",
+            "nrm",
+            "cluster",
+            (
+                _dot(F.col("vec"), F.col("cvec"))
+                / (F.col("nrm") * F.col("cnrm"))
+            ).alias("csim"),
+        )
+        .withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") == 1)
+        .select("vid", "vec", "nrm", "cluster")
+    )
+    lo = assigned.select(
+        F.col("cluster").alias("b_cluster"),
+        F.col("vid").alias("b_vid"),
+        F.col("vec").alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    droppers = (
+        assigned.join(
+            lo,
+            (F.col("cluster") == F.col("b_cluster"))
+            & (F.col("b_vid") < F.col("vid")),
+        )
+        .filter(
+            _dot(F.col("vec"), F.col("b_vec"))
+            / (F.col("nrm") * F.col("b_nrm"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("vid").alias("drop_vid"))
+        .distinct()
+    )
+    return assigned.join(
+        droppers, assigned["vid"] == droppers["drop_vid"], "left"
+    ).select(
+        F.col("vid").alias(id_col),
+        F.col("cluster"),
+        F.col("drop_vid").isNull().alias("is_kept"),
+    )

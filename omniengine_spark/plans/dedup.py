@@ -184,3 +184,64 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=64, band_rows=2, threshold=Fraction(4, 5),
     )
     return D.connected_components(docs, pairs, "doc_id")
+
+
+_SEM_K = 16
+_SEM_TAU = 0.4
+_SEM_MD5_LONG = (
+    "CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) "
+    "AS UBIGINT) AS BIGINT)"
+)
+
+
+@query(
+    "dedup_semantic_prune",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), nm AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), hh AS (
+      SELECT vec_id, v, {_SEM_MD5_LONG} AS h FROM e
+    ), seeds AS (
+      SELECT vec_id AS cluster, v AS cv,
+             sqrt(list_dot_product(v, v)) AS cnrm
+      FROM hh ORDER BY h, cluster LIMIT {_SEM_K}
+    ), asg AS (
+      SELECT vec_id, v, nrm, cluster FROM (
+        SELECT n.vec_id, n.v, n.nrm, s.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.v, s.cv) / (n.nrm * s.cnrm)
+                            DESC,
+                          s.cluster ASC) AS arank
+        FROM nm n CROSS JOIN seeds s
+      ) WHERE arank = 1
+    )
+    SELECT a.vec_id,
+           a.cluster,
+           NOT EXISTS (
+             SELECT 1 FROM asg b
+             WHERE b.cluster = a.cluster
+               AND b.vec_id < a.vec_id
+               AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+                     >= {_SEM_TAU}
+           ) AS is_kept
+    FROM asg a
+    """,
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup: md5-seeded centroid buckets,
+    in-cluster cosine pairs only, drop the higher id of any pair above
+    the threshold.  The scale answer to ``dedup_embedding_cosine``'s
+    all-pairs gemm — Σ|cluster|² work instead of N²/B — with the same
+    exact-oracle discipline as the ANN ladder (the quantizer is
+    deterministic, so DuckDB reproduces the identical keep/drop set).
+    """
+    from omniengine_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_prune(
+        emb, "vec_id", "embedding",
+        n_clusters=_SEM_K, threshold=_SEM_TAU,
+    )

@@ -194,3 +194,68 @@ def docpipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
     )
+
+
+_MIX_BASE = 0.5  # keep fraction for the largest group
+
+
+@query(
+    "docpipe_temperature_mix",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang
+    ), m AS (
+      SELECT MAX(n_l) AS n_max FROM c
+    ), r AS (
+      SELECT lang,
+             LEAST(1.0, {_MIX_BASE} * sqrt(CAST(n_max AS DOUBLE))
+                          / sqrt(CAST(n_l AS DOUBLE))) AS keep_rate
+      FROM c CROSS JOIN m
+    )
+    SELECT d.doc_id, d.lang, d.source, r.keep_rate
+    FROM documents d JOIN r USING (lang)
+    WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+               AS UBIGINT) AS BIGINT) / 4503599627370496.0 < r.keep_rate
+    """,
+)
+def docpipe_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted data mixing (the α=0.5 rule every
+    multilingual-corpus recipe uses): each language keeps docs at a
+    rate ∝ n^(-1/2) relative to the largest language, capped at 1 —
+    low-resource languages are upsampled relative to the head.
+
+    The keep decision is a deterministic per-doc md5 coin (first 13
+    hex chars / 2^52), so the sample is reproducible, shard-stable
+    under repartitioning, and exactly reproduced by the oracle.  The
+    rate formula is sqrt/division/multiply on exact integers — three
+    correctly-rounded IEEE ops, bit-identical across engines, with no
+    float SUM whose accumulation order could drift.
+
+    Scale: one tiny groupBy for the rates (broadcast back), then a
+    map-side filter — the corpus is scanned once and never shuffled.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    n_max = counts.agg(F.max("n_l").alias("n_max"))
+    rates = counts.crossJoin(F.broadcast(n_max)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            F.lit(_MIX_BASE)
+            * F.sqrt(F.col("n_max").cast("double"))
+            / F.sqrt(F.col("n_l").cast("double")),
+        ).alias("keep_rate"),
+    )
+    frac = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(2**52))
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(frac < F.col("keep_rate"))
+        .select("doc_id", "lang", "source", "keep_rate")
+    )
