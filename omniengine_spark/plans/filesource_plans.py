@@ -126,3 +126,33 @@ def s17_schema_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_cents"),
     )
+
+
+@query(
+    "s18_zorder_pointscan",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE user_id = 42
+    """,
+)
+def s18_zorder_pointscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout (operators/layout.py): rewrite events clustered
+    along the Morton curve of (user_id, event_id), then serve a
+    point-lookup on user_id from the clustered copy.
+
+    The content is layout-invariant (the oracle reads the raw table),
+    but the plan is the lakehouse replacement for the reference's
+    nine btree indexes (``omni_db_schema.psql:101-117``): after the
+    rewrite, the user_id filter prunes most FILES via parquet min/max
+    stats — tests/test_layout.py proves the footer bounding boxes are
+    tight on both dimensions, which no single-column sort achieves."""
+    from omniengine_spark.operators.layout import write_zordered
+    from omniengine_spark.sources.sinks import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = scratch_dir("zorder")
+    write_zordered(ev, path, "user_id", "event_id", n_files=16)
+    return spark.read.parquet(path).filter(F.col("user_id") == 42)
