@@ -186,7 +186,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(docs, pairs, "doc_id")
 
 
-_SEM_K = 16
+_SEM_K = 32
 _SEM_TAU = 0.4
 _SEM_MD5_LONG = (
     "CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) "

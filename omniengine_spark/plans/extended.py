@@ -962,3 +962,47 @@ def stats_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.02 * F.col("n_exact")
         ).alias("merged_ok"),
     )
+
+
+# --------------------------------------------------------------------
+# A14b — CUBE grouping sets: the full 2^k subtotal lattice in one
+# pass (ROLLUP's big sibling — a14 gives the hierarchy, CUBE gives
+# every marginal).  Same scale argument: one shuffle with partial
+# aggregation replaces four separate GROUP BYs over the fact table.
+# --------------------------------------------------------------------
+@query(
+    "a14b_cube_order_stats",
+    oracle="""
+    SELECT
+      COALESCE(o_orderstatus, 'ALL') AS order_status,
+      COALESCE(o_orderpriority, 'ALL') AS order_priority,
+      CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR)
+           AS DOUBLE) AS sum_price,
+      COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def a14b_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): every marginal and the grand
+    total in one aggregation pass — GROUPING ids disambiguate a real
+    NULL group from a subtotal row, exactly as in a14's ROLLUP."""
+    o = load_table(spark, sf_dir, "orders")
+    out = o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return out.select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("order_status"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias(
+            "order_priority"
+        ),
+        "g_status",
+        "g_priority",
+        "sum_price",
+        "n_orders",
+    )
