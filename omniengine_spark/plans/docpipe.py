@@ -259,3 +259,110 @@ def docpipe_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(frac < F.col("keep_rate"))
         .select("doc_id", "lang", "source", "keep_rate")
     )
+
+
+_CHUNK, _OVERLAP = 50, 10  # tokens per chunk / overlap between chunks
+_STRIDE = _CHUNK - _OVERLAP
+
+
+@query(
+    "docpipe_chunk_sliding",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, t, len(t) AS n,
+             unnest(range(1, greatest(1, len(t) - {_OVERLAP}) + 1,
+                          {_STRIDE})) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST((s - 1) / {_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(least({_CHUNK}, n - s + 1) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(t, s, s + {_CHUNK} - 1), ' ')
+             AS chunk_text
+    FROM starts
+    """,
+)
+def docpipe_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (the pretraining / RAG prep
+    step): fixed 50-token windows advancing by 40 so consecutive
+    chunks share 10 tokens of context; the final
+    window is clipped to the document tail, and short docs yield one
+    chunk.  Start positions come from ``sequence()`` + ``explode`` —
+    one generator inside codegen, no UDF — so a 100 TB corpus chunks
+    in a single map-side pass with zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), r"\s+").alias("t"),
+    ).withColumn("n", F.size("t"))
+    starts = toks.select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.lit(1), F.col("n") - F.lit(_OVERLAP)),
+                F.lit(_STRIDE),
+            )
+        ).alias("s"),
+    )
+    return starts.select(
+        "doc_id",
+        ((F.col("s") - 1) / F.lit(_STRIDE))
+        .cast("long")
+        .alias("chunk_idx"),
+        F.least(F.lit(_CHUNK), F.col("n") - F.col("s") + 1)
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("t"), F.col("s"), F.lit(_CHUNK)), " "
+        ).alias("chunk_text"),
+    )
+
+
+_N_SHARDS = 8
+
+
+@query(
+    "docpipe_shard_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 15)) AS UBIGINT) AS BIGINT)
+               AS hv
+      FROM documents
+    )
+    SELECT doc_id,
+           hv % {_N_SHARDS} AS shard,
+           ROW_NUMBER() OVER (
+             PARTITION BY hv % {_N_SHARDS} ORDER BY hv, doc_id
+           ) AS pos
+    FROM h
+    """,
+)
+def docpipe_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into dataloader shards: every doc
+    lands in shard md5(id) mod S at position rank-of-hash — a
+    reproducible random permutation with no RNG state, stable under
+    repartitioning and re-runs (the property a resumable training job
+    needs).  One hash-partition shuffle + per-shard sort; shards stay
+    balanced because md5 is uniform."""
+    docs = load_table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    h = docs.select("doc_id", hv.alias("hv"))
+    w = Window.partitionBy(F.col("hv") % _N_SHARDS).orderBy(
+        "hv", "doc_id"
+    )
+    return h.select(
+        "doc_id",
+        (F.col("hv") % _N_SHARDS).alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
