@@ -440,3 +440,68 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_ratio.alias("dup_ratio"),
         (dup_ratio > 0.05).alias("is_repetitive"),
     )
+
+
+_BPE_TOPK = 50
+
+
+@query(
+    "text_bpe_pair_stats",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+               AS w
+      FROM documents
+    ), wf AS (
+      SELECT w, COUNT(*) AS freq FROM words
+      WHERE len(w) >= 2 GROUP BY w
+    ), prs AS (
+      SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, freq
+      FROM wf, unnest(range(1, len(w))) AS r(i)
+    ), agg AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+      FROM prs GROUP BY pair
+    )
+    SELECT pair, n_occurrences, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY n_occurrences DESC, pair) AS rnk
+      FROM agg
+    ) WHERE rnk <= {_BPE_TOPK}
+    """,
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First iteration of BPE tokenizer training: corpus-weighted
+    adjacent-symbol pair frequencies (symbols = characters before any
+    merge), top-50 candidates ranked — the statistic a tokenizer
+    trainer computes once per merge round over the whole corpus.
+
+    Scale shape: word-frequency compression FIRST (the classic BPE
+    trick — pair counting runs over distinct words weighted by
+    frequency, not over raw text), then one explode over positions
+    and one small pair aggregation.  Both shuffles key on words/pairs
+    (high cardinality, no skew); everything is codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("w")
+    ).filter(F.length("w") >= 2)
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    prs = wf.select(
+        "freq",
+        F.explode(
+            F.sequence(F.lit(1), F.length("w") - 1)
+        ).alias("i"),
+        F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"),
+    )
+    agg = prs.groupBy("pair").agg(
+        F.sum("freq").cast("long").alias("n_occurrences")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _BPE_TOPK)
+        .select("pair", "n_occurrences", "rnk")
+    )
