@@ -253,3 +253,69 @@ def x7b_consensus_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("delta_base_units").alias("delta"),
     )
     return per_block_consensus(deltas)
+
+
+@query(
+    "btc_wallet_clusters",
+    oracle="""
+    SELECT event_id AS address_id,
+           MIN(event_id) OVER (PARTITION BY user_id) AS cluster_id
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def btc_wallet_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-input-ownership wallet clustering — the standard chain-
+    analytics entity-resolution heuristic: all input addresses of one
+    transaction belong to one owner, and clusters chain transitively
+    through shared inputs (change-address reuse).
+
+    Deterministic fixture: every purchase event mints address
+    ``event_id``; a user's same-day purchases are co-spent in one tx,
+    and each day's tx also spends the previous day's anchor address —
+    so each user's whole address set chains into ONE cluster whose
+    canonical id is the user's first purchase (the oracle's closed
+    form).  The Spark side builds STAR edges (every input → the tx's
+    anchor input, linear in inputs, never all-pairs within a tx) and
+    resolves transitive ownership with the same distributed
+    ``connected_components`` the dedup suite uses — per-user chains
+    ~30 days deep, so this actually exercises the pointer-jumping
+    regime, unlike the shallow near-dup graphs.
+    """
+    from omniengine_spark.functions.scalars import epoch_us
+    from omniengine_spark.operators.dedup import connected_components
+    from pyspark.sql import Window
+
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("address_id"),
+            (epoch_us("ts") / F.lit(86400000000)).cast("long").alias("d"),
+        )
+    )
+    anchors = p.groupBy("user_id", "d").agg(
+        F.min("address_id").alias("anchor")
+    )
+    wd = Window.partitionBy("user_id").orderBy("d")
+    day_links = (
+        anchors.withColumn("prev_anchor", F.lag("anchor").over(wd))
+        .filter(F.col("prev_anchor").isNotNull())
+        .select(
+            F.col("prev_anchor").alias("doc_a"),
+            F.col("anchor").alias("doc_b"),
+        )
+    )
+    star_edges = (
+        p.join(anchors, ["user_id", "d"])
+        .filter(F.col("address_id") != F.col("anchor"))
+        .select(
+            F.col("anchor").alias("doc_a"),
+            F.col("address_id").alias("doc_b"),
+        )
+    )
+    nodes = p.select("address_id")
+    return connected_components(
+        nodes, star_edges.union(day_links), "address_id"
+    )
