@@ -37,6 +37,11 @@ DEFAULT_PLANS = [
     "sim_pq_ann_topk",
     "x12_stream_timer_expiry",
     "dedup_simhash",
+    "dedup_semantic_prune",
+    "btc_wallet_clusters",
+    "s18_zorder_pointscan",
+    "text_bpe_pair_stats",
+    "docpipe_chunk_sliding",
 ]
 
 
