@@ -156,13 +156,24 @@ def jaccard_similarity_join(
     # shingle_docs guarantees non-empty arrays, so they are equivalent.
     prefix = docs.select(
         "doc_id",
+        F.size("hs").alias("n_sh"),
         F.explode_outer(F.slice("hs", F.lit(1), prefix_len)).alias("shash"),
     )
 
+    # length filter (PPJoin): J(A,B) ≥ t ⟹ t·|B| ≤ |A| — pairs whose
+    # set sizes differ by more than 1/t can never qualify, so the
+    # residual prunes them at the join instead of at exact-verify.
+    # This is what keeps candidate growth near-linear when doc-length
+    # variance is high (the prefix buckets stay, the cross terms go).
     cand = (
         prefix.alias("a")
-        .join(prefix.alias("b"), "shash")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shash") == F.col("b.shash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") * t_num <= F.col("b.n_sh") * t_den)
+            & (F.col("b.n_sh") * t_num <= F.col("a.n_sh") * t_den),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
