@@ -366,3 +366,71 @@ def u4_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_ok"),
         )
     )
+
+
+@query(
+    "j15_merge_upsert_delete",
+    oracle="""
+    WITH c AS (
+      SELECT user_id,
+             CAST(ROUND(value*100) AS BIGINT) AS cents,
+             epoch_us(ts) // 86400000000 AS d
+      FROM events
+    ), cut AS (
+      SELECT MIN(d) + 15 AS cutoff FROM c
+    ), target AS (
+      SELECT user_id, CAST(SUM(cents) AS BIGINT) AS balance
+      FROM c, cut WHERE d < cutoff GROUP BY user_id
+    ), src AS (
+      SELECT user_id, CAST(SUM(cents) AS BIGINT) AS balance
+      FROM c
+      WHERE user_id IN (
+        SELECT DISTINCT user_id FROM c, cut WHERE d >= cutoff
+      )
+      GROUP BY user_id
+    )
+    SELECT user_id, balance FROM target
+    WHERE user_id NOT IN (SELECT user_id FROM src)
+    UNION ALL
+    SELECT user_id, balance FROM src WHERE balance >= 100000
+    """,
+)
+def j15_merge_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE semantics (J7 generalized — operators/merge.py):
+    a pre-cutoff balance snapshot is the target, a recomputed batch
+    for every user active after the cutoff is the source; matched
+    rows take the source balance, fresh users insert, and accounts
+    recomputed below the dust threshold are DELETED — the clause the
+    reference's upsert CTE cannot express and handles with separate
+    expiry sweeps (``sql.py:537-588``)."""
+    from omniengine_spark.functions.scalars import epoch_us
+    from omniengine_spark.operators.merge import merge_upsert
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (epoch_us("ts") / F.lit(86400000000)).cast("long").alias("d"),
+    )
+    cutoff = ev.agg((F.min("d") + F.lit(15)).alias("cutoff"))
+    evc = ev.crossJoin(F.broadcast(cutoff))
+    target = (
+        evc.filter(F.col("d") < F.col("cutoff"))
+        .groupBy("user_id")
+        .agg(F.sum("cents").alias("balance"))
+    )
+    active = (
+        evc.filter(F.col("d") >= F.col("cutoff"))
+        .select("user_id")
+        .distinct()
+    )
+    source = (
+        ev.join(active, "user_id")
+        .groupBy("user_id")
+        .agg(F.sum("cents").alias("balance"))
+    )
+    return merge_upsert(
+        target,
+        source,
+        ["user_id"],
+        delete_condition=F.col("balance") < 100000,
+    )

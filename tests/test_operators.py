@@ -131,3 +131,36 @@ def test_content_addressed_duplicates(spark):
     by_doc = {r["doc_id"]: r["d"] for r in digests}
     assert all(by_doc[i] == by_doc[i + 40] for i in range(40))
     assert len({by_doc[i] for i in range(40)}) == 40
+
+
+def test_merge_columns_partial_update(spark):
+    from omniengine_spark.operators.merge import merge_columns, merge_upsert
+    from pyspark.sql import functions as F
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k int, name string, bal int",
+    )
+    source = spark.createDataFrame(
+        [(2, "ZZ", 200), (4, "d", 40)],
+        "k int, name string, bal int",
+    )
+    out = {
+        r["k"]: (r["name"], r["bal"])
+        for r in merge_columns(target, source, ["k"], ["bal"]).collect()
+    }
+    # matched row 2: bal updated, name KEPT; row 4 inserted as-is
+    assert out == {
+        1: ("a", 10),
+        2: ("b", 200),
+        3: ("c", 30),
+        4: ("d", 40),
+    }
+    # full-row merge with delete: row 2 deleted (bal >= 100), 4 inserted
+    out2 = {
+        r["k"]: r["bal"]
+        for r in merge_upsert(
+            target, source, ["k"], delete_condition=F.col("bal") >= 100
+        ).collect()
+    }
+    assert out2 == {1: 10, 3: 30, 4: 40}
