@@ -123,3 +123,28 @@ def test_registered_ann_plan_recall_floors(spark):
         approx = _topk_sets(QUERIES[name](spark, SF_SMOKE))
         r = _recall(approx, exact)
         assert r >= floor, f"{name}: recall {r:.2f} < floor {floor}"
+
+
+def test_semantic_prune_exact_subset_and_recall_floor(spark):
+    """dedup_semantic_prune drops ONLY true duplicates (in-cluster
+    cosine is exact, so zero false positives by construction) and
+    catches a pinned fraction of the all-pairs dup set.  Recall is
+    low on this near-isotropic synthetic corpus (observed 0.19 —
+    real near-dup corpora cluster much tighter); the floor guards the
+    plumbing, the subset property guards correctness."""
+    from pyspark.sql import functions as F
+
+    from omniengine_spark.plans import QUERIES
+
+    dropped = {
+        r["vec_id"]
+        for r in QUERIES["dedup_semantic_prune"](spark, SF_SMOKE)
+        .filter(~F.col("is_kept"))
+        .collect()
+    }
+    pairs = QUERIES["dedup_embedding_cosine"](spark, SF_SMOKE).collect()
+    exact_dups = {max(r["vec_a"], r["vec_b"]) for r in pairs}
+    assert dropped, "prune found nothing on the fixture"
+    assert dropped <= exact_dups, "false positive: dropped a non-dup"
+    recall = len(dropped & exact_dups) / len(exact_dups)
+    assert recall >= 0.15, f"semantic prune recall {recall:.2f}"
