@@ -426,3 +426,55 @@ def probe_media(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
     return media.mapInPandas(probe, schema=schema)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Real audio DSP over real bytes: decode each WAV payload with
+    the stdlib reader, reinterpret the PCM body as int16 LE samples
+    (channels interleaved — features run over the raw stream), and
+    compute the standard loudness/activity trio: RMS energy,
+    zero-crossing count, peak amplitude.
+
+    Float discipline for the oracle: the squared-sample sum stays
+    int64 (exact — |s| < 2^15, so ~2^43 per 400-sample clip), and RMS
+    is one int→double divide plus one sqrt — two correctly-rounded
+    IEEE ops a SQL oracle reproduces bit-exactly.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("n_zero_crossings", T.LongType()),
+            T.StructField("peak", T.LongType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import math
+        import wave
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "n_samples", "rms",
+                    "n_zero_crossings", "peak")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    raw = w.readframes(w.getnframes())
+                a = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                n = len(a)
+                sum_sq = int(np.sum(a * a))
+                neg = a < 0
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(n)
+                out["rms"].append(math.sqrt(sum_sq / n) if n else 0.0)
+                out["n_zero_crossings"].append(
+                    int(np.sum(neg[1:] != neg[:-1]))
+                )
+                out["peak"].append(int(np.max(np.abs(a))) if n else 0)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        extract, schema=schema
+    )

@@ -11,6 +11,7 @@ codec code — no stub in that path.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from omniengine_spark.operators import multimodal as M
 from omniengine_spark.plans.registry import query
@@ -179,3 +180,48 @@ def mm_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("canonical_doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
     ).select("canonical_doc_id", "n_copies")
+
+
+@query(
+    "mm_audio_features",
+    oracle="""
+    WITH wavs AS (
+      SELECT doc_id, doc_id % 40 AS v FROM documents
+      WHERE (doc_id % 40) % 2 = 1
+    ), p AS (
+      SELECT doc_id, (50 + v*3) * 2 AS n FROM wavs
+    ), smp AS (
+      SELECT doc_id, n, k,
+             CASE WHEN ((62*k) % 256) + 256*((62*k+31) % 256) >= 32768
+                  THEN ((62*k) % 256) + 256*((62*k+31) % 256) - 65536
+                  ELSE ((62*k) % 256) + 256*((62*k+31) % 256) END AS s
+      FROM p, unnest(range(0, n)) AS r(k)
+    ), lagged AS (
+      SELECT *, LAG(s) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+      FROM smp
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           sqrt(CAST(CAST(SUM(s*s) AS BIGINT) AS DOUBLE) / n) AS rms,
+           CAST(SUM(CASE WHEN prev IS NOT NULL
+                          AND ((s < 0) <> (prev < 0))
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_crossings,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak
+    FROM lagged
+    GROUP BY doc_id, n
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio feature extraction: the WAV subset of the real-bytes
+    corpus is decoded with the genuine stdlib reader and the PCM
+    stream reduced to RMS / zero-crossings / peak
+    (operators/multimodal.py:audio_features).  The oracle never sees
+    the bytes — it replays the generator's sample arithmetic
+    symbolically, so a decode bug (endianness, header offset, channel
+    interleave) breaks the hash immediately."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 40) % 2 == 1
+    )
+    media = M.attach_real_payload(docs)
+    return M.audio_features(media)
