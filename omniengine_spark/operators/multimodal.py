@@ -478,3 +478,73 @@ def audio_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         extract, schema=schema
     )
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Real image decode + pixel statistics: inflate each grayscale
+    PNG's IDAT stream (zlib), strip the per-scanline filter bytes,
+    and reduce the pixel matrix to brightness stats plus a horizontal
+    gradient energy (Σ|p[y][x+1]−p[y][x]| — the cheap blur/sharpness
+    proxy an image-quality filter uses).
+
+    All sums are int64-exact; only the mean does one int→double
+    divide, so the features are bit-reproducible by a symbolic
+    oracle.  Non-zero PNG filter types would corrupt the stats — the
+    decode asserts filter 0 rather than silently mis-reading.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_pixels", T.LongType()),
+            T.StructField("mean_brightness", T.DoubleType()),
+            T.StructField("min_px", T.LongType()),
+            T.StructField("max_px", T.LongType()),
+            T.StructField("row_gradient", T.LongType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        def decode_gray_png(b: bytes) -> np.ndarray:
+            if b[:8] != _PNG_MAGIC:
+                raise ValueError("not a PNG")
+            pos, idat = 8, []
+            w = h = None
+            while pos < len(b):
+                (ln,) = struct.unpack(">I", b[pos:pos + 4])
+                tag = b[pos + 4:pos + 8]
+                data = b[pos + 8:pos + 8 + ln]
+                if tag == b"IHDR":
+                    w, h = struct.unpack(">II", data[:8])
+                elif tag == b"IDAT":
+                    idat.append(data)
+                pos += 12 + ln
+            raw = zlib.decompress(b"".join(idat))
+            rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
+            if not (rows[:, 0] == 0).all():
+                raise ValueError("unsupported PNG filter")
+            return rows[:, 1:].astype(np.int64)
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "n_pixels", "mean_brightness",
+                    "min_px", "max_px", "row_gradient")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_gray_png(bytes(payload))
+                n = px.size
+                s = int(px.sum())
+                out["doc_id"].append(int(doc_id))
+                out["n_pixels"].append(n)
+                out["mean_brightness"].append(s / n)
+                out["min_px"].append(int(px.min()))
+                out["max_px"].append(int(px.max()))
+                out["row_gradient"].append(
+                    int(np.abs(np.diff(px, axis=1)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        extract, schema=schema
+    )

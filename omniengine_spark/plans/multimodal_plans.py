@@ -225,3 +225,45 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = M.attach_real_payload(docs)
     return M.audio_features(media)
+
+
+@query(
+    "mm_image_features",
+    oracle="""
+    WITH pngs AS (
+      SELECT doc_id, doc_id % 40 AS v FROM documents
+      WHERE (doc_id % 40) % 2 = 0
+    ), dims AS (
+      SELECT doc_id, (v % 13) + 1 AS w, ((v * 3) % 17) + 1 AS h
+      FROM pngs
+    ), px AS (
+      SELECT doc_id, w, h, x, y, (7*x + 13*y) % 256 AS p
+      FROM dims,
+           unnest(range(0, w)) AS rx(x),
+           unnest(range(0, h)) AS ry(y)
+    )
+    SELECT doc_id,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE) / (w * h)
+             AS mean_brightness,
+           CAST(MIN(p) AS BIGINT) AS min_px,
+           CAST(MAX(p) AS BIGINT) AS max_px,
+           CAST(SUM(CASE WHEN x < w - 1
+                         THEN ABS(((7*(x+1) + 13*y) % 256) - p)
+                         ELSE 0 END) AS BIGINT) AS row_gradient
+    FROM px
+    GROUP BY doc_id, w, h
+    """,
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image feature extraction: the PNG subset of the real-bytes
+    corpus is fully decoded (zlib IDAT inflate + filter strip, not
+    just the header) and reduced to brightness stats + horizontal
+    gradient energy (operators/multimodal.py:image_features).  As
+    with mm_audio_features, the oracle replays the generator's pixel
+    arithmetic symbolically — any decode-path bug breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 40) % 2 == 0
+    )
+    media = M.attach_real_payload(docs)
+    return M.image_features(media)
