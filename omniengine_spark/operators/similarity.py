@@ -746,15 +746,27 @@ def pq_seeded_topk(
 
     Pipeline: normalize → seed codebooks (md5-smallest ids'
     subvectors) → per-subspace argmin encode (one narrow shuffle on
-    (vec_id, m)) → ordered reconstruction → ADC score vs broadcast
-    queries → per-query shortlist → exact cosine re-rank of the
-    shortlist only.  When ``probes``/``lists`` are given
-    ((query_id, cluster) / (vec_id, cluster)), the ADC scan is
+    (vec_id, m)) → ADC via a broadcast lookup table
+    (|queries|·M·K partial dot products, computed once) joined to the
+    codes on (m, codeword) → per-query shortlist → exact cosine
+    re-rank of the shortlist only.  When ``probes``/``lists`` are
+    given ((query_id, cluster) / (vec_id, cluster)), the ADC scan is
     restricted to probed coarse lists — the IVF-PQ composite.
 
-    At scale: codes are M small ints per vector; the exact pass
-    touches |queries|·shortlist raw vectors, everything else scans
-    codes.  All stages are codegen DataFrame ops.
+    This is the textbook asymmetric-distance layout: the scan reads
+    ONLY the M-codeword codes — raw vectors are touched exactly
+    twice, once to encode and once for the shortlist re-rank.  (An
+    earlier version reconstructed full-dimension vectors for the
+    scan, which forfeits PQ's memory advantage at scale.)  The
+    per-subspace partials are summed in fixed m order — one
+    conditional sum per subspace, each seeing exactly one row, added
+    as a left-to-right expression — so the score is bit-identical
+    across engines with no float-order ambiguity.
+
+    At scale: per-vector scan state is M small ints; the LUT is
+    |queries|·M·K rows (broadcast); the exact pass touches
+    |queries|·shortlist raw vectors.  All stages are codegen
+    DataFrame ops.
     """
     subdim = dim // m
     nv = _normalized(vectors, id_col, vec_col)
@@ -788,40 +800,52 @@ def pq_seeded_topk(
         .select(
             "vec_id",
             "m",
-            F.struct(
-                d.alias("d"), F.col("c").alias("c"),
-                F.col("cent").alias("cent"),
-            ).alias("cand"),
+            F.struct(d.alias("d"), F.col("c").alias("c")).alias("cand"),
         )
         .groupBy("vec_id", "m")
         .agg(F.min("cand").alias("best"))
-    )
-    recon = codes.groupBy("vec_id").agg(
-        F.flatten(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(F.col("m"), F.col("best.cent").alias("cent"))
-                    )
-                ),
-                lambda s: s["cent"],
-            )
-        ).alias("rv")
+        .select("vec_id", "m", F.col("best.c").alias("c"))
     )
 
     qn = _normalized(queries, id_col, vec_col).select(
         F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")
     )
+    # ADC lookup table: partial dot product of every query subvector
+    # against every (m, codeword) centroid — |queries|·M·K rows,
+    # computed once and broadcast into the code scan.
+    lut = qn.crossJoin(F.broadcast(seeds_sub)).select(
+        "query_id",
+        "m",
+        "c",
+        _dot(
+            F.expr(f"slice(qv, m*{subdim}+1, {subdim})"), F.col("cent")
+        ).alias("partial"),
+    )
     if probes is not None and lists is not None:
-        scan = qn.join(F.broadcast(probes), "query_id").join(
-            lists.join(recon, "vec_id"), "cluster"
+        allowed = lists.join(F.broadcast(probes), "cluster").select(
+            "query_id", "vec_id"
+        )
+        parts = codes.join(allowed, "vec_id").join(
+            F.broadcast(lut), ["query_id", "m", "c"]
         )
     else:
-        scan = qn.crossJoin(recon)
-    adc = scan.filter(F.col("query_id") != F.col("vec_id")).select(
-        "query_id",
-        F.col("vec_id").alias("nbr_id"),
-        _dot(F.col("qv"), F.col("rv")).alias("adc"),
+        parts = codes.join(F.broadcast(lut), ["m", "c"])
+    # One conditional sum per subspace (each sees exactly one row),
+    # added in fixed m order — float-deterministic across engines.
+    msums = [
+        F.sum(
+            F.when(F.col("m") == mi, F.col("partial"))
+        ).alias(f"p{mi}")
+        for mi in range(m)
+    ]
+    adc_expr = F.col("p0")
+    for mi in range(1, m):
+        adc_expr = adc_expr + F.col(f"p{mi}")
+    adc = (
+        parts.filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("nbr_id"))
+        .agg(*msums)
+        .select("query_id", "nbr_id", adc_expr.alias("adc"))
     )
     ws = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("nbr_id").asc()

@@ -227,8 +227,16 @@ _MD5_ID_LONG = (
     "AS UBIGINT) AS BIGINT)"
 )
 
+# Fixed-m-order ADC sum: one conditional sum per subspace (each sees
+# exactly one row per (query, nbr) group), added left-to-right —
+# mirrors the Spark side bit-for-bit.
+_PQ_ADC_SUM = " + ".join(
+    f"SUM(CASE WHEN l.m = {mi} THEN l.partial END)"
+    for mi in range(_PQ_M)
+)
+
 # shared oracle CTE chain: normalize → seed codebooks → encode →
-# ordered reconstruction (parameterized only by the ADC scan source)
+# ADC lookup table (parameterized only by the code-scan source)
 _PQ_INDEX_CTES = f"""
     e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -258,16 +266,20 @@ _PQ_INDEX_CTES = f"""
                - 2 * list_dot_product(vs.sv, ss.cent) AS d
       FROM vs JOIN ss ON ss.m = vs.m
     ), codes AS (
-      SELECT vec_id, m, cent FROM (
+      SELECT vec_id, m, c FROM (
         SELECT *, ROW_NUMBER() OVER (
           PARTITION BY vec_id, m ORDER BY d, c) AS rn
         FROM dist
       ) WHERE rn = 1
-    ), recon AS (
-      SELECT vec_id, flatten(list(cent ORDER BY m)) AS rv
-      FROM codes GROUP BY vec_id
     ), q AS (
       SELECT vec_id, nv FROM nv ORDER BY vec_id LIMIT {_N_QUERIES}
+    ), lut AS (
+      SELECT q.vec_id AS query_id, ss.m, ss.c,
+             list_dot_product(
+               list_slice(q.nv, ss.m*{_PQ_SUBDIM}+1,
+                          ss.m*{_PQ_SUBDIM}+{_PQ_SUBDIM}),
+               ss.cent) AS partial
+      FROM q CROSS JOIN ss
     )"""
 
 _PQ_RANK_SQL = f"""
@@ -296,9 +308,10 @@ _PQ_RANK_SQL = f"""
     "sim_pq_ann_topk",
     oracle=f"""
     WITH {_PQ_INDEX_CTES}, adc AS (
-      SELECT q.vec_id AS query_id, r.vec_id AS nbr_id,
-             list_dot_product(q.nv, r.rv) AS adc
-      FROM q JOIN recon r ON q.vec_id <> r.vec_id
+      SELECT l.query_id, cd.vec_id AS nbr_id, {_PQ_ADC_SUM} AS adc
+      FROM codes cd JOIN lut l ON l.m = cd.m AND l.c = cd.c
+      WHERE l.query_id <> cd.vec_id
+      GROUP BY l.query_id, cd.vec_id
     ), {_PQ_RANK_SQL}
     """,
 )
@@ -338,14 +351,17 @@ def sim_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), probes AS (
       SELECT vec_id AS query_id, cluster FROM casg
       WHERE arank <= 4 AND vec_id IN (SELECT vec_id FROM q)
-    ), adc AS (
-      SELECT p.query_id, l.vec_id AS nbr_id,
-             list_dot_product(q.nv, r.rv) AS adc
-      FROM probes p
-      JOIN lists l ON l.cluster = p.cluster
-      JOIN recon r ON r.vec_id = l.vec_id
-      JOIN q ON q.vec_id = p.query_id
+    ), allowed AS (
+      SELECT p.query_id, l.vec_id
+      FROM probes p JOIN lists l ON l.cluster = p.cluster
       WHERE p.query_id <> l.vec_id
+    ), adc AS (
+      SELECT a.query_id, cd.vec_id AS nbr_id, {_PQ_ADC_SUM} AS adc
+      FROM allowed a
+      JOIN codes cd ON cd.vec_id = a.vec_id
+      JOIN lut l ON l.query_id = a.query_id
+              AND l.m = cd.m AND l.c = cd.c
+      GROUP BY a.query_id, cd.vec_id
     ), {_PQ_RANK_SQL}
     """,
 )
