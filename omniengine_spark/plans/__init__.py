@@ -27,5 +27,6 @@ from omniengine_spark.plans import coverage2_plans  # noqa: E402,F401
 from omniengine_spark.plans import quality  # noqa: E402,F401
 from omniengine_spark.plans import serving  # noqa: E402,F401
 from omniengine_spark.plans import ranking  # noqa: E402,F401
+from omniengine_spark.plans import graph_plans  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

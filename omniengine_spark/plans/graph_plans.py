@@ -1,0 +1,137 @@
+"""Graph-analytics plans beyond connected components.
+
+``btc_wallet_clusters`` (plans/pipeline_plans.py) covers the
+equivalence-class side of graph analytics (union-find by min-label
+propagation).  This module adds the other standard primitive —
+fixed-point *value* propagation — as PageRank over the
+customer↔supplier transaction graph (who trades with whom, via
+orders ⋈ lineitem).  The reference has no graph operator; its
+nearest analog is AddressStats' per-address activity rollup
+(``sql.py:1644-1656``), which this generalizes to influence scoring
+over the transaction network.
+
+**Integer-exact iteration.**  Floating-point PageRank is not
+oracle-checkable bit-for-bit (per-node neighbor sums reduce in
+nondeterministic order).  Ranks here are integers scaled by 1e8:
+contributions are ``rank // outdeg`` (floor), neighbor sums are
+exact BIGINT adds (order-free), and damping is ``(85·sum) // 100``
+— the whole fixed point is deterministic on any engine, so DuckDB
+replays the identical three unrolled iterations.
+
+Scale notes: each iteration is one shuffle (groupBy dst) plus one
+broadcast-free join on the edge list; per-node state is a single
+BIGINT.  At 100 TB you'd ``localCheckpoint`` per iteration to
+truncate lineage (as connected_components does) — at three fixed
+iterations the plain DAG is fine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omniengine_spark.plans.registry import query
+from omniengine_spark.sources import load_table
+
+_SCALE = 100_000_000  # rank fixed-point scale (1e8, F1's convention)
+_TELEPORT = 15_000_000  # 0.15 · scale
+_N_ITERS = 3
+_SUPP_OFFSET = 1_000_000  # supplier node ids above the customer range
+_TOPK = 25
+
+
+def _pagerank_iter_sql(i: int) -> str:
+    """One unrolled oracle iteration: contributions floor-divided per
+    out-edge, exact integer neighbor sum, integer damping."""
+    return f"""r{i + 1} AS (
+      SELECT n.node,
+             CAST({_TELEPORT} + (85 * COALESCE(s.acc, 0)) // 100
+                  AS BIGINT) AS rank
+      FROM deg n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank // d.outdeg) AS acc
+        FROM edges e
+        JOIN r{i} r ON r.node = e.src
+        JOIN deg d ON d.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS cust,
+                      l.l_suppkey + {_SUPP_OFFSET} AS supp
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+      SELECT cust AS src, supp AS dst FROM pairs
+      UNION ALL
+      SELECT supp AS src, cust AS dst FROM pairs
+    ), deg AS (
+      SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT node, CAST({_SCALE} AS BIGINT) AS rank FROM deg
+    ), {", ".join(_pagerank_iter_sql(i) for i in range(_N_ITERS))}
+    SELECT node, rank FROM r{_N_ITERS}
+    ORDER BY rank DESC, node ASC LIMIT {_TOPK}
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        )
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).unionAll(
+        pairs.select(
+            F.col("supp").alias("src"), F.col("cust").alias("dst")
+        )
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    # materialize the edge list + degrees once; three iterations of
+    # join → exact integer sum → damping reuse them
+    edges = edges.localCheckpoint()
+    deg = deg.localCheckpoint()
+
+    ranks = deg.select(
+        "node", F.lit(_SCALE).cast("long").alias("rank")
+    )
+    for _ in range(_N_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(
+                deg.select(
+                    F.col("node").alias("dnode"), "outdeg"
+                ),
+                edges.src == F.col("dnode"),
+            )
+            .select(
+                "dst",
+                F.expr("`rank` div outdeg").alias("contrib"),
+            )
+        )
+        acc = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("contrib").alias("acc")
+        )
+        ranks = deg.join(acc, "node", "left").select(
+            "node",
+            (
+                F.lit(_TELEPORT)
+                + F.expr("(85 * coalesce(acc, 0L)) div 100")
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(_TOPK)

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from omniengine_spark.functions.scalars import epoch_us
 from omniengine_spark.plans.registry import query
 from omniengine_spark.sources import load_table
 
@@ -388,5 +389,89 @@ def w11_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             F.ntile(10).over(w).cast("long").alias("decile"),
             F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        )
+    )
+
+
+@query(
+    "w11_debounce_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 5 MINUTE
+                  OR LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_burst
+      FROM events WHERE event_type = 'click'
+    ), bursts AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_burst) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS burst_id
+      FROM flagged
+    ), ranked AS (
+      SELECT user_id, event_id, ts, burst_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, burst_id
+               ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (
+               PARTITION BY user_id, burst_id) AS burst_len
+      FROM bursts
+    )
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(burst_len - 1 AS BIGINT) AS n_suppressed
+    FROM ranked WHERE rn = 1
+    """,
+)
+def w11_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: keep the first click of every per-user burst
+    (events closer than 5 min to their predecessor are suppressed,
+    and a burst extends while consecutive gaps stay under the
+    threshold — the session-window gap-cut with keep-first
+    semantics).  The event-stream analog of the reference's pending
+    duplicate suppression (``sql.py:382-384``: skip a tx already
+    seen) generalized to time-proximity dedup — the standard
+    bot-click / retry-storm filter in front of a training corpus.
+
+    One shuffle on the user key; two stacked window passes over the
+    same sort order (Catalyst reuses the sort); no state beyond the
+    window frame.  ``n_suppressed`` reports the burst size minus the
+    keeper, so the plan also serves as a suppression audit.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    order = [F.asc("ts"), F.asc("event_id")]
+    w_seq = Window.partitionBy("user_id").orderBy(*order)
+    ts_us = epoch_us("ts")
+    gap = ts_us - F.lag(ts_us).over(w_seq)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            gap.isNull() | (gap > 300_000_000), F.lit(1)
+        ).otherwise(F.lit(0)).alias("new_burst"),
+    )
+    bursts = flagged.withColumn(
+        "burst_id",
+        F.sum("new_burst").over(
+            w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w_burst = Window.partitionBy("user_id", "burst_id").orderBy(*order)
+    w_burst_all = Window.partitionBy("user_id", "burst_id")
+    return (
+        bursts.withColumn("rn", F.row_number().over(w_burst))
+        .withColumn("burst_len", F.count(F.lit(1)).over(w_burst_all))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            (F.col("burst_len") - 1).cast("long").alias("n_suppressed"),
         )
     )
