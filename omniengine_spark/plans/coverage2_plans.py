@@ -488,3 +488,72 @@ def a19_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X15 — incremental view maintenance: the per-user rollup is updated
+# by MERGING aggregate state (old rollup rows are themselves valid
+# partials for sum/count/max) with the new batch's partials — raw
+# history is never rescanned.  This is the scalable form of the
+# reference's read-modify-write AddressBalances upsert
+# (sql.py:1320-1418): at 100 TB the merge touches |keys| rollup rows
+# + the new partition only, one shuffle on the key.  The oracle
+# states the rollup directly against all raw events, proving the
+# merge chain is lossless.
+# ---------------------------------------------------------------------------
+@query(
+    "x15_ivm_rollup_merge",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(MAX(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+             AS max_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def x15_ivm_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    split = ev.agg(
+        F.date_add(F.min("day"), 10).alias("s")
+    ).collect()[0]["s"]
+
+    def partials(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+
+    path = scratch_dir("warehouse-x15")
+    # v1: rollup over the historical prefix, materialized
+    write_partitioned(
+        partials(ev.filter(F.col("day") <= F.lit(split))), path, []
+    )
+
+    # v2: merge stored state with the new batch's partials — the
+    # stored rollup rows re-enter the same aggregation as partials
+    merged = (
+        read_warehouse(spark, path)
+        .select("user_id", "n_events", "total_cents", "max_cents")
+        .unionByName(partials(ev.filter(F.col("day") > F.lit(split))))
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("total_cents").cast("long").alias("total_cents"),
+            F.max("max_cents").cast("long").alias("max_cents"),
+        )
+    )
+    write_partitioned(merged, path, [])
+    return read_warehouse(spark, path).select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        "total_cents",
+        "max_cents",
+    )
