@@ -193,3 +193,42 @@ def test_q17_decorrelates_to_aggregate_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_avg" in plan or "avg(" in plan
+
+
+def test_ranking_plans_broadcast_term_dims_no_cartesian(spark):
+    # TF-IDF / BM25: the per-term document-frequency dim must ride a
+    # broadcast join; no cartesian product anywhere in either plan
+    for name in ("text_tfidf_topk", "text_bm25_rank"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_bm25_top25_uses_take_ordered(spark):
+    plan = _plan(spark, "text_bm25_rank")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_anomaly_zscore_broadcasts_moments(spark):
+    # the per-group moment table (5 rows) must broadcast back into
+    # the event scan, not shuffle the events on event_type
+    plan = _plan(spark, "stats_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ohlc_single_shuffle_no_python(spark):
+    plan = _plan(spark, "ts_ohlc_bars")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_pq_adc_scan_carries_codes_not_vectors(spark):
+    # the ADC scan joins codes (m, c ints) against a broadcast LUT —
+    # reconstructed full-dimension vectors must NOT appear between
+    # the encode and the shortlist (no flatten/collect_list of
+    # centroid arrays in the executed plan)
+    plan = _plan(spark, "sim_pq_ann_topk")
+    assert "collect_list" not in plan
+    assert "flatten" not in plan
