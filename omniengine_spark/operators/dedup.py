@@ -303,6 +303,7 @@ def connected_components(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 50,
+    jump_from: int = 3,
 ) -> DataFrame:
     """Cluster assignment from a near-duplicate pair list: each node
     gets the minimum id reachable through the pair graph (its
@@ -320,11 +321,14 @@ def connected_components(
     update is a ``least()``, so the label sum is strictly decreasing
     until the fixpoint — an unchanged sum IS convergence (no join
     needed; falls back to a join-based diff for non-numeric ids).
-    Rounds 1-3 are plain propagation (enough for the shallow
-    components near-dup graphs actually have); if the graph is still
-    moving after that — the long-chain regime — pointer jumping
-    (adopt your label's label) kicks in, making remaining progress
-    O(log diameter) per round instead of O(1) hops.
+    The first ``jump_from`` rounds are plain propagation (enough for
+    the shallow components near-dup graphs actually have, and one
+    join cheaper per round); from then on — the long-chain regime —
+    pointer jumping (adopt your label's label) kicks in, making
+    remaining progress O(log diameter) per round instead of O(1)
+    hops.  Callers that KNOW their graph is deep (wallet change
+    chains, linked-list-shaped fixtures) pass ``jump_from=0`` to
+    jump from the first round.
 
     Only nodes that appear in the pair graph iterate: an isolated node
     can never receive a neighbor label, so its cluster is itself by
@@ -377,7 +381,7 @@ def connected_components(
                 F.col("label"), F.coalesce("nbr_label", F.col("label"))
             ).alias("label"),
         )
-        if it >= 3:
+        if it >= jump_from:
             stepped = stepped.localCheckpoint()
             via = stepped.select(
                 F.col("node").alias("label"),

@@ -316,6 +316,8 @@ def btc_wallet_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nodes = p.select("address_id")
+    # ~30-day change chains: deep-graph regime, so pointer jumping
+    # runs from round one (halves the round count vs plain hops)
     return connected_components(
-        nodes, star_edges.union(day_links), "address_id"
+        nodes, star_edges.union(day_links), "address_id", jump_from=0
     )
