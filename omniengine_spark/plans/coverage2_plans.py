@@ -557,3 +557,82 @@ def x15_ivm_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_cents",
         "max_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# X16 — CDC snapshot diff: classify every key as insert / update /
+# delete / unchanged between two versions of a state table — the
+# changelog the reference never materializes (its upsert CTEs mutate
+# in place and lose the before-image; a trigger keeps history for
+# ONE table, omni_db_triggers.psql:15-26).  Emitting the diff as
+# data is what feeds downstream incremental consumers (serving-cache
+# invalidation = the reference's Redis flush, cacher.py:12-36).
+# Shape: both snapshots shuffle once on the key; the full outer join
+# shares that partitioning; change classification is pure codegen.
+# v1 = balances over the first 10 days; v2 = all days, minus users
+# ending below a threshold (so genuine deletes exist).
+# ---------------------------------------------------------------------------
+@query(
+    "x16_cdc_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT user_id,
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events
+      WHERE CAST(ts AS DATE)
+            <= (SELECT MIN(CAST(ts AS DATE)) + 10 FROM events)
+      GROUP BY user_id
+    ), v2_all AS (
+      SELECT user_id,
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY user_id
+    ), v2 AS (
+      SELECT * FROM v2_all WHERE cents >= 500000
+    )
+    SELECT COALESCE(v1.user_id, v2.user_id) AS user_id,
+           CASE WHEN v1.user_id IS NULL THEN 'insert'
+                WHEN v2.user_id IS NULL THEN 'delete'
+                WHEN v1.cents <> v2.cents THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           v1.cents AS old_cents,
+           v2.cents AS new_cents
+    FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id
+    WHERE v1.user_id IS NULL OR v2.user_id IS NULL
+       OR v1.cents <> v2.cents
+    """,
+)
+def x16_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    split = ev.agg(
+        F.date_add(F.min("day"), 10).alias("s")
+    ).collect()[0]["s"]
+    v1 = (
+        ev.filter(F.col("day") <= F.lit(split))
+        .groupBy("user_id")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    v2 = (
+        ev.groupBy("user_id")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+        .filter(F.col("cents") >= 500_000)
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    joined = a.join(b, F.col("a.user_id") == F.col("b.user_id"), "full_outer")
+    change = (
+        F.when(F.col("a.user_id").isNull(), F.lit("insert"))
+        .when(F.col("b.user_id").isNull(), F.lit("delete"))
+        .when(F.col("a.cents") != F.col("b.cents"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+        change.alias("change_type"),
+        F.col("a.cents").alias("old_cents"),
+        F.col("b.cents").alias("new_cents"),
+    ).filter(F.col("change_type") != "unchanged")
