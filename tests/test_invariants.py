@@ -187,3 +187,59 @@ def test_canonical_bucket_is_shared_and_unique(spans, width):
                 # equality filter over the shared range
                 shared = set(a_range) & set(b_range)
                 assert canon == min(shared)
+
+
+def union_find_clusters(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference union-find: node → min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=80,
+    ),
+    st.integers(0, 3),  # jump_from: early pointer jumping must not
+    # change the fixpoint, only the round count
+)
+def test_connected_components_matches_union_find(spark, raw_edges, jump):
+    from pyspark.sql import functions as F
+
+    from omniengine_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        return
+    nodes = sorted({n for e in edges for n in e})
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    node_df = spark.createDataFrame(
+        [(n,) for n in nodes], ["doc_id"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            node_df, pairs, "doc_id", jump_from=jump
+        ).collect()
+    }
+    want = union_find_clusters(edges)
+    assert got == want
