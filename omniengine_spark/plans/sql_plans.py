@@ -783,3 +783,223 @@ def sql_q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             bal="CAST(SUM(bal) AS DOUBLE)",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2/Q11/Q16/Q20 shapes.  The testdata star schema has no partsupp
+# table, so each derives the part-supplier relation from lineitem
+# (GROUP BY l_partkey, l_suppkey) — the subquery SKELETONS are the
+# point: Q2's correlated min-cost, Q11's global-fraction HAVING,
+# Q16's NOT IN + COUNT DISTINCT, Q20's correlated aggregate nested
+# inside an IN.  With these the engine covers all 22 TPC-H shapes.
+# ---------------------------------------------------------------------------
+
+# Q2 shape: minimum-cost supplier per part within a region.  Unit cost
+# is MIN(l_extendedprice / l_quantity) — a single IEEE division and a
+# MIN, never a float sum, so Spark and DuckDB agree bit-for-bit.
+_Q2 = """
+WITH ps AS (
+  SELECT
+    l_partkey AS ps_partkey,
+    l_suppkey AS ps_suppkey,
+    MIN(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM {li}
+  GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT ps.ps_partkey, ps.ps_supplycost,
+         s.s_name, s.s_acctbal, n.n_name
+  FROM ps
+  JOIN {supp} s ON ps.ps_suppkey = s.s_suppkey
+  JOIN {nat} n ON s.s_nationkey = n.n_nationkey
+  JOIN {reg} r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_name,
+       e.ps_supplycost
+FROM {part} p
+JOIN eu e ON e.ps_partkey = p.p_partkey
+WHERE p.p_size = 15
+  AND p.p_type = 'STANDARD'
+  AND e.ps_supplycost = (
+    SELECT MIN(e2.ps_supplycost) FROM eu e2
+    WHERE e2.ps_partkey = p.p_partkey
+  )
+ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+@query(
+    "sql_q2_min_cost_supplier",
+    oracle=_Q2.format(
+        li="lineitem", supp="supplier", nat="nation", reg="region",
+        part="part",
+    ),
+)
+def sql_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar MIN over the region-filtered
+    part-supplier relation, equality-joined back to pick the cheapest
+    supplier(s) per part.  Catalyst decorrelates the subquery into a
+    per-part aggregate joined on p_partkey, so the derived ps relation
+    is built once per side and never nested-loop'd; supplier/nation/
+    region broadcast.  The reference serves the analogous cheapest-
+    offer lookup from its DEx views (``sql.py:270-274``)."""
+    for name in ("lineitem", "supplier", "nation", "region", "part"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"v_{name}")
+    return spark.sql(
+        _Q2.format(
+            li="v_lineitem", supp="v_supplier", nat="v_nation",
+            reg="v_region", part="v_part",
+        )
+    )
+
+
+# Q11 shape: parts representing a significant fraction of one nation's
+# total stock value.  Value is an exact DECIMAL sum and the fraction
+# threshold is cross-multiplied (val * 1000 > total), so no division
+# or float sum is ever compared.
+_Q11 = """
+WITH value AS (
+  SELECT
+    l.l_partkey AS ps_partkey,
+    SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS val
+  FROM {li} l
+  JOIN {supp} s ON l.l_suppkey = s.s_suppkey
+  JOIN {nat} n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_7'
+  GROUP BY l.l_partkey
+)
+SELECT ps_partkey, {val} AS part_value
+FROM value v
+WHERE v.val * 1000 > (SELECT SUM(val) FROM value)
+ORDER BY part_value DESC, ps_partkey
+LIMIT 50
+"""
+
+
+@query(
+    "sql_q11_important_stock",
+    oracle=_Q11.format(
+        li="lineitem", supp="supplier", nat="nation",
+        val="CAST(CAST(val AS VARCHAR) AS DOUBLE)",
+    ),
+)
+def sql_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: grouped aggregate HAVING'd against an
+    uncorrelated scalar subquery over the SAME derived table — the
+    one-big-total-vs-each-group pattern.  Catalyst computes the CTE
+    once per consumer (agg reuse under AQE), the scalar total arrives
+    as a literal via a subquery broadcast, and the fraction test is
+    cross-multiplied into DECIMAL exactly like the pro-rata cutoff in
+    the STO fold (``sql.py:1806-1821``)."""
+    for name in ("lineitem", "supplier", "nation"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"v_{name}")
+    return spark.sql(
+        _Q11.format(
+            li="v_lineitem", supp="v_supplier", nat="v_nation",
+            val="CAST(val AS DOUBLE)",
+        )
+    )
+
+
+# Q16 shape: supplier diversity per part attribute, excluding a
+# denylisted supplier set.  Purely integer/string arithmetic.
+_Q16 = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+  FROM {li}
+)
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+FROM ps
+JOIN {part} p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_type NOT LIKE 'MEDIUM%'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND ps.ps_suppkey NOT IN (
+    SELECT s_suppkey FROM {supp} WHERE s_name LIKE '%7%'
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 40
+"""
+
+
+@query(
+    "sql_q16_supplier_diversity",
+    oracle=_Q16.format(li="lineitem", part="part", supp="supplier"),
+)
+def sql_q16_supplier_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 shape: DISTINCT pair derivation, a NOT IN denylist
+    subquery (null-safe anti-join — s_suppkey is non-null so Catalyst
+    plans a plain left-anti), and COUNT(DISTINCT) per three grouping
+    columns.  The denylist broadcasts; the distinct-pair shuffle is
+    the only wide exchange."""
+    for name in ("lineitem", "part", "supplier"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"v_{name}")
+    return spark.sql(
+        _Q16.format(li="v_lineitem", part="v_part", supp="v_supplier")
+    )
+
+
+# Q20 shape: suppliers in one nation who shipped more than half of a
+# qualifying part's lifetime volume during 1999.  Both sides of the
+# threshold are exact DECIMAL sums and the halving is cross-multiplied
+# (recent * 2 > lifetime).
+_Q20 = """
+WITH ps AS (
+  SELECT
+    l_partkey AS ps_partkey,
+    l_suppkey AS ps_suppkey,
+    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS ps_availqty
+  FROM {li}
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s.s_name, s.s_acctbal
+FROM {supp} s
+JOIN {nat} n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_3'
+  AND s.s_suppkey IN (
+    SELECT ps.ps_suppkey FROM ps
+    WHERE ps.ps_partkey IN (
+      SELECT p_partkey FROM {part} WHERE p_name LIKE 'red%'
+    )
+    AND (
+      SELECT COALESCE(SUM(CAST(l.l_quantity AS DECIMAL(18,4))), 0)
+      FROM {li} l
+      WHERE l.l_partkey = ps.ps_partkey
+        AND l.l_suppkey = ps.ps_suppkey
+        AND l.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+    ) * 2 > ps.ps_availqty
+  )
+ORDER BY s.s_name
+"""
+
+
+@query(
+    "sql_q20_recent_volume_suppliers",
+    oracle=_Q20.format(
+        li="lineitem", supp="supplier", nat="nation", part="part",
+    ),
+)
+def sql_q20_recent_volume_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 shape: the deepest nesting in the suite — an IN whose
+    subquery contains another IN (part-name filter) AND a correlated
+    scalar aggregate (the 1999 volume for that exact part-supplier
+    pair).  Catalyst decorrelates the scalar into a grouped aggregate
+    joined on (partkey, suppkey) and turns both INs into left-semi
+    joins; the nation-filtered supplier dim broadcasts."""
+    for name in ("lineitem", "supplier", "nation", "part"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"v_{name}")
+    return spark.sql(
+        _Q20.format(
+            li="v_lineitem", supp="v_supplier", nat="v_nation",
+            part="v_part",
+        )
+    )

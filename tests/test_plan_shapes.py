@@ -232,3 +232,42 @@ def test_pq_adc_scan_carries_codes_not_vectors(spark):
     plan = _plan(spark, "sim_pq_ann_topk")
     assert "collect_list" not in plan
     assert "flatten" not in plan
+
+
+def test_q2_correlated_min_decorrelates(spark):
+    """Q2: the per-part min-cost scalar subquery must become an
+    aggregate joined on p_partkey (no nested loop); dims broadcast and
+    the top-100 is TakeOrderedAndProject."""
+    plan = _plan(spark, "sql_q2_min_cost_supplier")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q11_scalar_total_no_nested_loop(spark):
+    """Q11: the global-total scalar subquery over the same derived
+    table must arrive as a subquery result, never a nested-loop
+    join against every group."""
+    plan = _plan(spark, "sql_q11_important_stock")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q16_not_in_plans_as_anti_join(spark):
+    """Q16: the supplier denylist NOT IN must compile to a left-anti
+    join (s_suppkey is non-null so no null-aware nested loop)."""
+    plan = _plan(spark, "sql_q16_supplier_diversity")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_nested_in_becomes_semi_joins(spark):
+    """Q20: both IN subqueries (including the one wrapping a
+    correlated aggregate) must decorrelate to left-semi joins."""
+    plan = _plan(spark, "sql_q20_recent_volume_suppliers")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
