@@ -135,3 +135,64 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank"),
         )
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(_TOPK)
+
+
+_SEED_CUST = 7
+_MAX_HOPS = 3
+
+
+@query(
+    "graph_taint_reach",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT o.o_custkey AS cust,
+                      l.l_suppkey + {_SUPP_OFFSET} AS supp
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+      SELECT cust AS src, supp AS dst FROM pairs
+      UNION ALL
+      SELECT supp AS src, cust AS dst FROM pairs
+    ), reach(node, hops) AS (
+      SELECT CAST({_SEED_CUST} AS BIGINT), 0
+      UNION
+      SELECT e.dst, r.hops + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.hops < {_MAX_HOPS}
+    )
+    SELECT node, CAST(MIN(hops) AS INT) AS hops
+    FROM reach GROUP BY node
+    """,
+)
+def graph_taint_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fund-flow (taint) reachability: every counterparty within
+    three payment hops of one seed customer, with minimum hop
+    distance.  The oracle is DuckDB's UNION-distinct recursive CTE;
+    the Spark side is the level-synchronous BFS operator
+    (``operators/graph.py``) because Spark's native WITH RECURSIVE
+    only supports UNION ALL, whose path-enumeration row count grows
+    as degree^K on this cyclic graph — the BFS frontier is the plan
+    that survives 100×.  Reference analog: the reorg walker follows
+    tx links one block at a time (``sql.py:85-218``); this is the
+    same traversal generalized to K hops in 2·K shuffles."""
+    from omniengine_spark.operators.graph import k_hop_reachability
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    ).localCheckpoint()
+    seeds = spark.range(_SEED_CUST, _SEED_CUST + 1).select(
+        F.col("id").alias("node")
+    )
+    reach = k_hop_reachability(edges, seeds, _MAX_HOPS)
+    return reach.select("node", F.col("hops").cast("int").alias("hops"))

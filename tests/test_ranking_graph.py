@@ -104,3 +104,55 @@ def test_pagerank_mass_bounds(spark):
     # the top node concentrates more than one node's initial share —
     # the hub actually accumulates mass (sanity that iteration ran)
     assert rows[0]["rank"] > scale
+
+
+def test_k_hop_reachability_matches_bruteforce_bfs(spark):
+    """Level-synchronous BFS operator vs a driver-side BFS on a
+    small cyclic multigraph — min hop distances must agree exactly
+    and nodes beyond max_hops must be absent."""
+    import random
+
+    from omniengine_spark.operators.graph import k_hop_reachability
+
+    rng = random.Random(11)
+    n, m, k = 40, 120, 3
+    edge_list = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+    ]
+    adj: dict[int, set[int]] = {}
+    for s, d in edge_list:
+        adj.setdefault(s, set()).add(d)
+    # brute force BFS from node 0
+    dist = {0: 0}
+    frontier = {0}
+    for h in range(1, k + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = h
+                    nxt.add(v)
+        frontier = nxt
+
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {
+        r["node"]: r["hops"]
+        for r in k_hop_reachability(edges, seeds, k).collect()
+    }
+    assert got == dist
+
+
+def test_taint_reach_hop_zero_is_seed_and_hops_alternate_parity(spark):
+    """On the bipartite customer/supplier graph, odd hops are
+    suppliers (offset ids) and even hops are customers — the BFS
+    must respect the bipartite structure."""
+    out = QUERIES["graph_taint_reach"](spark, SF_SMOKE).collect()
+    by_hop: dict[int, list[int]] = {}
+    for r in out:
+        by_hop.setdefault(r["hops"], []).append(r["node"])
+    assert by_hop[0] == [7]
+    for hop, nodes in by_hop.items():
+        for node in nodes:
+            is_supplier = node >= 1_000_000
+            assert is_supplier == (hop % 2 == 1), (hop, node)
