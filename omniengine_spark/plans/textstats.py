@@ -505,3 +505,101 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _BPE_TOPK)
         .select("pair", "n_occurrences", "rnk")
     )
+
+
+# --------------------------------------------------------------------
+# Statistical language-model fluency scoring: a character-trigram
+# model trained on the corpus itself, scored back over every
+# document.  The KenLM-perplexity filter of the standard LLM data
+# pipeline (CCNet and successors), made engine-exact: instead of
+# float log-probabilities (whose transcendental rounding differs
+# across engines), the score is kept in integer corpus-frequency
+# space — SUM of the trigram's corpus count (exact BIGINT) and the
+# fraction of rare trigrams (exact INT ratio cast once to DOUBLE).
+# Gibberish scores low coverage / high rarity exactly as with
+# log-probs, and the whole plan is reproducible bit-for-bit.
+# --------------------------------------------------------------------
+_LM_RARE_THRESHOLD = 5
+
+
+@query(
+    "text_lm_fluency",
+    oracle=f"""
+    WITH tri AS (
+      SELECT doc_id,
+             unnest([substr(text, i, 3)
+                     for i in generate_series(1, length(text) - 2)]) AS tri
+      FROM documents
+      WHERE length(text) >= 3
+    ), doc_tri AS (
+      SELECT doc_id, tri, COUNT(*) AS c FROM tri GROUP BY doc_id, tri
+    ), model AS (
+      SELECT tri, CAST(SUM(c) AS BIGINT) AS corpus_freq
+      FROM doc_tri GROUP BY tri
+    )
+    SELECT t.doc_id,
+           CAST(SUM(t.c) AS BIGINT) AS n_trigrams,
+           CAST(SUM(t.c * m.corpus_freq) AS BIGINT) AS corpus_hits,
+           CAST(SUM(t.c * m.corpus_freq) AS DOUBLE) / SUM(t.c)
+             AS avg_trigram_freq,
+           CAST(SUM(CASE WHEN m.corpus_freq < {_LM_RARE_THRESHOLD}
+                         THEN t.c ELSE 0 END) AS DOUBLE) / SUM(t.c)
+             AS rare_ratio
+    FROM doc_tri t JOIN model m ON m.tri = t.tri
+    GROUP BY t.doc_id
+    """,
+)
+def text_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trigram fluency score per document.
+
+    Scale shape: ONE explode over character positions (rows = corpus
+    characters, no materialized strings beyond 3 chars), immediately
+    compressed to per-(doc, trigram) counts — the explode is scanned
+    once, and everything downstream (model training AND scoring)
+    re-aggregates those counts.  The model agg keys on the trigram
+    (key space bounded by alphabet³); the trained model — a few
+    million rows regardless of corpus size — broadcasts back for the
+    scoring join, so scoring adds NO wide shuffle at 100 TB.  The
+    per-doc rollup shuffles on doc_id once."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 3
+    )
+    # The testdata corpus is one parquet file → one input split; fan
+    # out before the CPU-heavy position explode (at real scale the
+    # scan has thousands of splits and this exchange is ~free
+    # relative to the explode it parallelizes: 4.5× here).
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    doc_tri = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - 2),
+                    lambda i: F.col("text").substr(i, F.lit(3)),
+                )
+            ).alias("tri"),
+        )
+        .groupBy("doc_id", "tri")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    model = doc_tri.groupBy("tri").agg(
+        F.sum("c").alias("corpus_freq")
+    )
+    scored = doc_tri.join(F.broadcast(model), "tri")
+    n_tri = F.sum("c")
+    hits = F.sum(F.col("c") * F.col("corpus_freq"))
+    return scored.groupBy("doc_id").agg(
+        n_tri.alias("n_trigrams"),
+        hits.alias("corpus_hits"),
+        (hits.cast("double") / n_tri).alias("avg_trigram_freq"),
+        (
+            F.sum(
+                F.when(
+                    F.col("corpus_freq") < _LM_RARE_THRESHOLD,
+                    F.col("c"),
+                ).otherwise(F.lit(0))
+            ).cast("double")
+            / n_tri
+        ).alias("rare_ratio"),
+    )

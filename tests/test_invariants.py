@@ -243,3 +243,33 @@ def test_connected_components_matches_union_find(spark, raw_edges, jump):
     }
     want = union_find_clusters(edges)
     assert got == want
+
+
+def test_lm_fluency_mass_conservation(spark):
+    """Corpus-trigram model invariants: summing n_trigrams over docs
+    equals the model's total frequency mass (every trigram occurrence
+    is counted exactly once), every doc joins fully back to the model
+    (coverage is total — the model was trained on the same corpus),
+    and ratios live in their closed bounds."""
+    from pyspark.sql import functions as F
+
+    from omniengine_spark.plans import QUERIES
+    from omniengine_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    out = QUERIES["text_lm_fluency"](spark, SF_SMOKE)
+    rows = out.collect()
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.length("text") >= 3
+    )
+    expected_mass = docs.select(
+        F.sum(F.length("text") - 2).alias("m")
+    ).collect()[0]["m"]
+    assert sum(r["n_trigrams"] for r in rows) == expected_mass
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0.0 <= r["rare_ratio"] <= 1.0
+        # every trigram occurs at least once: its own occurrence
+        assert r["avg_trigram_freq"] >= 1.0
+        assert r["corpus_hits"] >= r["n_trigrams"]
