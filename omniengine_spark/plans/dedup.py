@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from omniengine_spark.operators import dedup as D
 from omniengine_spark.plans.registry import query
-from omniengine_spark.sources import load_table
+from omniengine_spark.sources import fan_out, load_table
 
 # Shared oracle fragment: distinct 3-shingle sets per doc.
 _SHINGLE_CTE = """
@@ -64,7 +64,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return D.jaccard_similarity_join(
         docs, "doc_id", "text", n=3, threshold=Fraction(4, 5)
     )
@@ -85,7 +85,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return D.minhash_lsh_pairs(
         docs,
         "doc_id",
@@ -140,7 +140,7 @@ _SH_FP = " | ".join(
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     out = D.simhash_near_pairs(
         docs, "doc_id", "text",
         max_hamming=3, bits=_SH_BITS, hasher=D.md5_token_hash,
@@ -178,7 +178,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH pairs → connected components → canonical doc per
     cluster.  The full corpus-dedup pipeline end to end."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     pairs = D.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3,
         num_hashes=64, band_rows=2, threshold=Fraction(4, 5),

@@ -122,3 +122,21 @@ def load_tables(
     """Read several tables at once; defaults to the whole catalog."""
     names = names or list(TABLES)
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's core count when the
+    input has fewer splits than cores.
+
+    The testdata tables are single-row-group parquet files — one
+    input split each, which serializes CPU-heavy per-row work
+    (shingling, minhash, trigram explode) onto one core no matter
+    the master.  On a real warehouse the scan has thousands of
+    row-group splits and this is a no-op by the partition-count
+    guard.  Only safe where downstream is order-free (signatures,
+    aggregations) — never before ordered folds or serial stamping.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
