@@ -729,3 +729,42 @@ def f5_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.count(k).alias("n_with_k"),
     )
+
+
+# --------------------------------------------------------------------
+# F5b — VARIANT shredding (Spark 4 native semi-structured type).
+# Same reference surface as F5 (jsonb ->> extraction, sql.py:270-276)
+# on the modern path: parse once into the binary VARIANT encoding,
+# then typed variant_get extraction — at 100 TB this replaces
+# re-tokenizing the JSON string per predicate with one parse and
+# O(1) binary field access, and stays inside codegen.
+# --------------------------------------------------------------------
+@query(
+    "f5b_variant_shred",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           COUNT(CASE WHEN json_extract_string(props, '$.missing')
+                      IS NULL THEN 1 END) AS n_missing_field
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def f5b_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    missing = F.try_variant_get(v, "$.missing", "string")
+    return ev.select("event_type", k.alias("k"), missing.alias("m")).groupBy(
+        "event_type"
+    ).agg(
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count(F.when(F.col("m").isNull(), 1)).alias("n_missing_field"),
+    )
