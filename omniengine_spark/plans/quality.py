@@ -156,3 +156,75 @@ def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, v in checks
     ]
     return one.select(F.explode(F.array(*rows)).alias("c")).select("c.*")
+
+
+# --------------------------------------------------------------------
+# In-flight pipeline telemetry via df.observe: quality metrics
+# accumulated DURING another query's only scan — zero additional
+# passes.  The reference re-queries its tables after every block to
+# report progress (``omniEngine.py:222-232`` prints counts from
+# fresh SELECTs); at 100 TB a second scan per metric is the
+# difference between one pass and two.  Observation metrics ride the
+# task results of the main action, so the audit is free.
+# --------------------------------------------------------------------
+@query(
+    "quality_observed_metrics",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                  AS DECIMAL(38,4)) AS order_value
+      FROM lineitem
+      WHERE l_returnflag <> 'R'
+      GROUP BY l_orderkey
+    )
+    SELECT CAST((SELECT COUNT(*) FROM lineitem WHERE l_returnflag <> 'R')
+                AS BIGINT) AS rows_scanned,
+           CAST((SELECT COUNT(*) - COUNT(l_shipdate) FROM lineitem
+                 WHERE l_returnflag <> 'R') AS BIGINT) AS null_shipdates,
+           CAST((SELECT COUNT(*) FROM shipped) AS BIGINT) AS orders_out,
+           CAST(CAST((SELECT SUM(order_value) FROM shipped) AS VARCHAR)
+                AS DOUBLE) AS total_value
+    """,
+)
+def quality_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run a real aggregation (per-order shipped value) while
+    ``df.observe`` accumulates audit metrics on the SAME scan —
+    input rows, null ship dates, exact DECIMAL value mass — then
+    return the metrics AS a one-row DataFrame checked against an
+    oracle that recomputes them independently.  The output row count
+    of the main query rides along as ``orders_out``, proving the
+    observation covered the whole action."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") != "R"
+    )
+    obs = Observation("audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        (F.count(F.lit(1)) - F.count("l_shipdate")).alias("null_shipdates"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias(
+            "value_mass"
+        ),
+    )
+    shipped = observed.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias(
+            "order_value"
+        )
+    )
+    orders_out = shipped.count()  # the one action; fills `obs`
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["rows_scanned"],
+                m["null_shipdates"],
+                orders_out,
+                float(m["value_mass"]),
+            )
+        ],
+        "rows_scanned long, null_shipdates long, orders_out long, "
+        "total_value double",
+    )

@@ -271,3 +271,43 @@ def test_q20_nested_in_becomes_semi_joins(spark):
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_reaches_probe_side(spark):
+    """Runtime-filter capability pin: with a selective dim filter and
+    a shuffle join, the optimizer injects a bloom_filter_agg built
+    from the filtered dim and semi-filters the fact scan BEFORE the
+    shuffle — at 100 TB this is the difference between shuffling the
+    whole fact table and shuffling the ~matching fraction.  Size
+    thresholds are lowered because the feature is sized for real
+    warehouses, not sf0.001 fixtures."""
+    import pyspark.sql.functions as F
+
+    from omniengine_spark.sources import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        o = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
