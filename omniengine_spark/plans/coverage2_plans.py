@@ -636,3 +636,45 @@ def x16_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.cents").alias("old_cents"),
         F.col("b.cents").alias("new_cents"),
     ).filter(F.col("change_type") != "unchanged")
+
+
+@query(
+    "s9b_feed_connector",
+    # Oracle replays the connector's deterministic fixture payloads
+    # as literal rows — cross-provider consolidation must agree.
+    oracle="""
+    WITH feed(source, base, quote, rate, asof_epoch) AS (
+      VALUES ('alpha','BTC','EUR',47000.0,1700000000),
+             ('alpha','BTC','JPY',7400000.0,1700000000),
+             ('alpha','BTC','USD',51000.0,1700000000),
+             ('beta','BTC','EUR',46900.0,1700000000),
+             ('beta','BTC','USD',50950.0,1700000000)
+    )
+    SELECT quote,
+           COUNT(*) AS n_providers,
+           MIN(rate) AS min_rate,
+           MAX(rate) AS max_rate,
+           MAX(rate) - MIN(rate) AS spread
+    FROM feed GROUP BY quote
+    """,
+)
+def s9b_feed_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate consolidation through the registered Python DataSource
+    connector (``sources/feed_source.py``): one input partition per
+    provider, fetched executor-side, consolidated into per-currency
+    best/worst/spread — the reference's updatePrices cross-provider
+    reconciliation (``updatePrices.py:113-236``) as a pluggable
+    ``spark.read.format("omni_feed")`` scan.  ``load_table`` runs
+    first so the package zip is shipped before executors unpickle
+    the reader."""
+    load_table(spark, sf_dir, "nation")  # ships the package zip
+    from omniengine_spark.sources.feed_source import register
+
+    register(spark)
+    feed = spark.read.format("omni_feed").option("kind", "rates").load()
+    return feed.groupBy("quote").agg(
+        F.count(F.lit(1)).alias("n_providers"),
+        F.min("rate").alias("min_rate"),
+        F.max("rate").alias("max_rate"),
+        (F.max("rate") - F.min("rate")).alias("spread"),
+    )

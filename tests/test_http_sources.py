@@ -70,3 +70,36 @@ def test_frames_build_and_join(spark):
     assert fees.count() == 3
     assert rates.schema == H.RATE_SCHEMA
     assert fees.schema == H.FEE_SCHEMA
+
+
+def test_feed_connector_partitions_follow_providers_option(spark):
+    """The Python DataSource splits one input partition per provider
+    and honors an explicit provider list."""
+    from omniengine_spark.sources.catalog import _ensure_package_shipped
+    from omniengine_spark.sources.feed_source import register
+
+    _ensure_package_shipped(spark)
+    register(spark)
+    df = (
+        spark.read.format("omni_feed")
+        .option("kind", "rates")
+        .option("providers", "alpha")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 1
+    rows = df.collect()
+    assert {r["source"] for r in rows} == {"alpha"}
+    both = spark.read.format("omni_feed").option("kind", "rates").load()
+    assert both.rdd.getNumPartitions() == 2
+
+
+def test_feed_connector_fees_schema(spark):
+    from omniengine_spark.sources.catalog import _ensure_package_shipped
+    from omniengine_spark.sources.feed_source import register
+    from omniengine_spark.sources.http import FEE_SCHEMA
+
+    _ensure_package_shipped(spark)
+    register(spark)
+    df = spark.read.format("omni_feed").option("kind", "fees").load()
+    assert df.schema == FEE_SCHEMA
+    assert df.count() == 4
