@@ -198,3 +198,37 @@ def test_stateful_session_fold_carries_state_across_batches(
         .collect()
     }
     assert got == want
+
+
+def test_stateful_streams_equivalent_under_rocksdb_state_store(spark):
+    """The bounded-state story at 100 TB rests on RocksDB state
+    stores (state spills to local disk instead of executor heap).
+    The same stateful jobs must produce identical results under the
+    default HDFS-backed provider and RocksDB — state-store choice is
+    an ops knob, never a semantics knob."""
+    from omniengine_spark.plans import QUERIES
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(key, None)
+
+    def run(name):
+        df = QUERIES[name](spark, SF_SMOKE)
+        return sorted(map(tuple, df.collect()))
+
+    try:
+        for name in ("x4_stream_sessionize", "x9_stream_balance_fold"):
+            spark.conf.unset(key)
+            default_rows = run(name)
+            spark.conf.set(key, rocks)
+            rocks_rows = run(name)
+            assert rocks_rows == default_rows, name
+            assert len(rocks_rows) > 0, name
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
