@@ -156,3 +156,68 @@ def s18_zorder_pointscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = scratch_dir("zorder")
     write_zordered(ev, path, "user_id", "event_id", n_files=16)
     return spark.read.parquet(path).filter(F.col("user_id") == 42)
+
+
+@query(
+    "s13b_corrupt_ingest",
+    # Oracle recomputes the partition of good vs corrupt rows from
+    # the source table: every 100th orderkey was written malformed.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 100 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN o_orderkey % 100 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN o_orderkey % 100 <> 0
+                         THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS good_cents
+    FROM orders
+    """,
+)
+def s13b_corrupt_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input quarantine: ingest a CSV feed where some rows
+    are garbage, in PERMISSIVE mode with a corrupt-record column —
+    bad rows are COUNTED AND KEPT for quarantine instead of killing
+    the job (FAILFAST) or vanishing (DROPMALFORMED).  The reference's
+    row-at-a-time loop skips unparseable payloads with a logged
+    ``continue`` (``omniEngine.py:142-151``); at 100 TB the bulk
+    scanner needs the same tolerance without sacrificing the audit
+    trail.  The fixture derives from orders: every 100th orderkey is
+    written as a non-numeric line, the rest as (orderkey, cents)."""
+    from omniengine_spark.sources.sinks import scratch_dir
+
+    o = load_table(spark, sf_dir, "orders")
+    lines = o.select(
+        F.when(
+            F.col("o_orderkey") % 100 == 0,
+            F.concat(F.lit("corrupt#"), F.col("o_orderkey"), F.lit("#row")),
+        )
+        .otherwise(
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey"),
+                F.round(F.col("o_totalprice") * 100).cast("long"),
+            )
+        )
+        .alias("value")
+    )
+    path = scratch_dir("corrupt_feed")
+    lines.write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "o_orderkey LONG, cents LONG, _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    # Spark refuses queries that touch only the internal corrupt
+    # column of an in-flight parse; cache materializes the parsed
+    # rows first (documented CSV-source limitation).
+    back = back.cache()
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("n_good"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.coalesce(F.sum("cents"), F.lit(0)).alias("good_cents"),
+    )
