@@ -857,8 +857,11 @@ def sql_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Q11 shape: parts representing a significant fraction of one nation's
 # total stock value.  Value is an exact DECIMAL sum and the fraction
-# threshold is cross-multiplied (val * 1000 > total), so no division
-# or float sum is ever compared.
+# threshold is cross-multiplied (val * 5000 > total), so no division
+# or float sum is ever compared.  1/5000 keeps the HAVING populated
+# at bench scale too (part count grows with sf while each part's
+# share shrinks — TPC-H scales this fraction by 1/SF for the same
+# reason).
 _Q11 = """
 WITH value AS (
   SELECT
@@ -872,7 +875,7 @@ WITH value AS (
 )
 SELECT ps_partkey, {val} AS part_value
 FROM value v
-WHERE v.val * 1000 > (SELECT SUM(val) FROM value)
+WHERE v.val * 5000 > (SELECT SUM(val) FROM value)
 ORDER BY part_value DESC, ps_partkey
 LIMIT 50
 """
