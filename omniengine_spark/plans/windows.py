@@ -475,3 +475,54 @@ def w11_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("burst_len") - 1).cast("long").alias("n_suppressed"),
         )
     )
+
+
+@query(
+    "a21_activity_decay",
+    oracle="""
+    WITH anchor AS (
+      SELECT CAST(MAX(date_trunc('day', ts)) AS TIMESTAMP) AS d
+      FROM events
+    ), ev AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             date_diff('day', CAST(date_trunc('day', ts) AS TIMESTAMP),
+                       (SELECT d FROM anchor)) AS age_d
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(cents >> CAST(age_d // 7 AS INT)) AS BIGINT)
+             AS activity_score,
+           CAST(SUM(CASE WHEN age_d < 7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS recent_events
+    FROM ev GROUP BY user_id
+    """,
+)
+def a21_activity_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed activity score per user: each event
+    contributes its value halved per week of age (a bit-shift, so
+    the decay is INTEGER-exact — no pow/exp float whose rounding
+    differs across engines).  The serving-layer "most active
+    addresses" ranking the reference derives from AddressStats
+    (``sql.py:1644-1656``), with a decay profile instead of a raw
+    count.  Shape: one scalar max (tiny agg, broadcast as a 1-row
+    frame) and one grouped sum — two shuffles, fixed-width state."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.date_trunc("day", "ts").alias("day"),
+    )
+    anchor = ev.agg(F.max("day").alias("anchor_day"))
+    aged = ev.join(F.broadcast(anchor)).select(
+        "user_id",
+        "cents",
+        F.datediff(F.col("anchor_day"), F.col("day")).alias("age_d"),
+    )
+    return aged.groupBy("user_id").agg(
+        F.sum(
+            F.expr("shiftright(cents, cast(age_d div 7 as int))")
+        ).alias("activity_score"),
+        F.sum(F.when(F.col("age_d") < 7, 1).otherwise(0)).alias(
+            "recent_events"
+        ),
+    )
