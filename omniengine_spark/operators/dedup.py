@@ -365,6 +365,15 @@ def connected_components(
         (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
          T.DecimalType),
     )
+    # A clean corpus produces ZERO pairs — labels is empty, every
+    # propagation round is a no-op, and the sum fingerprint below is
+    # NULL each round (which must compare as converged, not run all
+    # max_iters rounds of empty jobs).
+    if labels.isEmpty():
+        return nodes.select(
+            F.col(id_col),
+            F.col(id_col).alias("cluster_id"),
+        )
     prev_fp = None
     for it in range(max_iters):
         nbr_min = (

@@ -57,6 +57,11 @@ def k_hop_reachability(
             .join(visited, "node", "left_anti")
             .select("node", F.lit(h).alias("hops"))
         )
+        nxt = nxt.localCheckpoint()
+        # frontier exhausted before max_hops (diameter reached):
+        # further rounds would be empty-frame jobs
+        if nxt.isEmpty():
+            break
         visited = visited.unionAll(nxt).localCheckpoint()
         frontier = nxt
     return visited

@@ -176,26 +176,29 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
     )
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    n_docs, total_dl = dl.agg(
-        F.count(F.lit(1)), F.sum("dl")
-    ).first()
+    # corpus stats ride a broadcast one-row frame (the repo's anchor
+    # pattern) instead of an eager .first() — an eager collect here
+    # would pay a full extra tokenize+aggregate scan before the plan
+    # even runs
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
     tf = (
         toks.filter(F.col("term").isin(*_BM25_QUERY))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = F.col("n_docs").cast("double")
     # dl·n/total_dl keeps the ratio dl/avgdl as one exact-integer
     # product before the single IEEE division.
     norm = (
         F.col("dl").cast("double")
-        * F.lit(float(n_docs))
-        / F.lit(float(total_dl))
+        * n_docs
+        / F.col("total_dl").cast("double")
     )
     idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5)
-        / (F.col("df") + 0.5)
-        + 1.0
+        (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
     part = F.round(
         idf
@@ -207,6 +210,7 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
         .select("doc_id", part.alias("part"))
         .groupBy("doc_id")
         .agg(F.round(F.sum("part"), 6).alias("bm25"))

@@ -97,7 +97,9 @@ def latest_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT b.address, b.propertyid, b.available,
            r.rate_cents,
-           b.available * r.rate_cents AS value_available_cents
+           CAST(CAST(CAST(b.available AS DECIMAL(28,0))
+                     * CAST(r.rate_cents AS DECIMAL(28,0)) AS VARCHAR)
+                AS DOUBLE) AS value_available_cents
     FROM bal b JOIN rates r ON r.propertyid = b.propertyid
     """,
 )
@@ -123,9 +125,14 @@ def serve_address_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "propertyid",
         F.col("balance").cast("long").alias("available"),
         "rate_cents",
-        (F.col("balance").cast("long") * F.col("rate_cents")).alias(
-            "value_available_cents"
-        ),
+        # balance × rate in DECIMAL(36,0): an int64 product overflows
+        # (silently, ANSI off) about one sf beyond bench while the
+        # DuckDB oracle aborts — the decimal product is exact at any
+        # scale and surfaces as a correctly-rounded display double
+        (
+            F.col("balance").cast("decimal(18,0)")
+            * F.col("rate_cents").cast("decimal(18,0)")
+        ).cast("double").alias("value_available_cents"),
     )
 
 
@@ -227,7 +234,9 @@ _WALLET_ADDRS = ["u30", "u31", "u32"]  # AddressesInWallets for 'w10'
     )
     SELECT b.address, b.propertyid, b.available,
            r.rate_cents,
-           b.available * r.rate_cents AS value_available_cents
+           CAST(CAST(CAST(b.available AS DECIMAL(28,0))
+                     * CAST(r.rate_cents AS DECIMAL(28,0)) AS VARCHAR)
+                AS DOUBLE) AS value_available_cents
     FROM bal b JOIN rates r ON r.propertyid = b.propertyid
     """,
 )
@@ -250,9 +259,14 @@ def serve_wallet_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         "propertyid",
         F.col("balance").cast("long").alias("available"),
         "rate_cents",
-        (F.col("balance").cast("long") * F.col("rate_cents")).alias(
-            "value_available_cents"
-        ),
+        # balance × rate in DECIMAL(36,0): an int64 product overflows
+        # (silently, ANSI off) about one sf beyond bench while the
+        # DuckDB oracle aborts — the decimal product is exact at any
+        # scale and surfaces as a correctly-rounded display double
+        (
+            F.col("balance").cast("decimal(18,0)")
+            * F.col("rate_cents").cast("decimal(18,0)")
+        ).cast("double").alias("value_available_cents"),
     )
 
 

@@ -566,9 +566,12 @@ def text_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The testdata corpus is one parquet file → one input split; fan
     # out before the CPU-heavy position explode (at real scale the
-    # scan has thousands of splits and this exchange is ~free
-    # relative to the explode it parallelizes: 4.5× here).
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # scan has thousands of splits and fan_out no-ops; here the
+    # exchange is ~free relative to the explode it parallelizes:
+    # 4.5×).
+    from omniengine_spark.sources import fan_out
+
+    docs = fan_out(docs)
     doc_tri = (
         docs.select(
             "doc_id",

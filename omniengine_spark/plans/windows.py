@@ -491,7 +491,7 @@ def w11_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id,
-           CAST(SUM(cents >> CAST(age_d // 7 AS INT)) AS BIGINT)
+           CAST(SUM(cents >> CAST(LEAST(age_d // 7, 63) AS INT)) AS BIGINT)
              AS activity_score,
            CAST(SUM(CASE WHEN age_d < 7 THEN 1 ELSE 0 END) AS BIGINT)
              AS recent_events
@@ -520,7 +520,12 @@ def a21_activity_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return aged.groupBy("user_id").agg(
         F.sum(
-            F.expr("shiftright(cents, cast(age_d div 7 as int))")
+            # shift clamped to 63: Java shift semantics mask the
+            # amount mod 64 (shiftright(x, 64) == x), so an unclamped
+            # shift would RESTORE full value at 64-week ages while
+            # the oracle's >> yields 0.  At 63 any positive cents
+            # decays to 0, matching >> on both engines.
+            F.expr("shiftright(cents, cast(least(age_d div 7, 63) as int))")
         ).alias("activity_score"),
         F.sum(F.when(F.col("age_d") < 7, 1).otherwise(0)).alias(
             "recent_events"

@@ -70,13 +70,25 @@ class _FeedReader(DataSourceReader):
     def _providers(self) -> Sequence[str]:
         fixtures = _RATE_FIXTURES if self.kind == "rates" else _FEE_FIXTURES
         explicit = self.options.get("providers")
-        return explicit.split(",") if explicit else sorted(fixtures)
+        if not explicit:
+            return sorted(fixtures)
+        return [p.strip() for p in explicit.split(",") if p.strip()]
 
     def partitions(self) -> Sequence[InputPartition]:
-        return [
-            _FeedPartition(p, self.options.get(f"url.{p}"))
-            for p in self._providers()
-        ]
+        fixtures = _RATE_FIXTURES if self.kind == "rates" else _FEE_FIXTURES
+        parts = []
+        for p in self._providers():
+            url = self.options.get(f"url.{p}")
+            # fail at PLANNING time with a clear message — an unknown
+            # provider inside read() would surface as an opaque
+            # executor-retry traceback
+            if url is None and p not in fixtures:
+                raise ValueError(
+                    f"omni_feed: provider {p!r} has no url.{p} option "
+                    f"and no fixture; known fixtures: {sorted(fixtures)}"
+                )
+            parts.append(_FeedPartition(p, url))
+        return parts
 
     def read(self, partition: _FeedPartition) -> Iterator[tuple]:
         if partition.url is not None:

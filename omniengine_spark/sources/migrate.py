@@ -65,6 +65,27 @@ def _write_version(path: str, version: int, history: list[dict]) -> None:
     )
 
 
+def _recover(path: str) -> None:
+    """Heal the one non-atomic instant of the swap: a crash between
+    'original moved aside' and 'staged moved in' leaves no table at
+    ``path``.  A staged dir already CONTAINS its sidecar (written
+    before the swap), so it is a complete committed table — promote
+    it; otherwise restore the set-aside original.  Idempotent."""
+    p = Path(path)
+    if p.exists():
+        return
+    staged = sorted(
+        p.parent.glob(p.name + "__v*"),
+        key=lambda d: int(d.name.rsplit("__v", 1)[1]),
+    )
+    complete = [d for d in staged if (d / _VERSION_FILE).exists()]
+    old = Path(path + "__old")
+    if complete:
+        complete[-1].rename(p)
+    elif old.exists():
+        old.rename(p)
+
+
 def migrate(
     spark: SparkSession,
     path: str,
@@ -74,10 +95,13 @@ def migrate(
 ) -> int:
     """Apply every pending migration ≤ ``to_version`` in version
     order; returns the resulting version.  Each step is one rewrite:
-    read → transform → write sibling → crash-safe swap (original
-    moved aside before the new table moves in, so a complete table
-    exists on disk at every instant).
+    read → transform → write sibling → stamp the sidecar INTO the
+    staged dir → crash-safe swap.  The sidecar travels inside the
+    table dir it describes, so the rename that publishes the data
+    also publishes the version — there is no window where a migrated
+    table carries a stale version.
     """
+    _recover(path)
     current = schema_version(path)
     history = migration_history(path)
     pending = sorted(
@@ -101,6 +125,14 @@ def migrate(
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(staged)
+        # commit point: the staged dir becomes self-describing BEFORE
+        # any rename (underscore-prefixed files are invisible to the
+        # parquet reader, like _SUCCESS)
+        current = m.version
+        history = history + [
+            {"version": m.version, "description": m.description}
+        ]
+        _write_version(staged, current, history)
         old = Path(path + "__old")
         shutil.rmtree(old, ignore_errors=True)
         Path(path).rename(old)
@@ -109,12 +141,6 @@ def migrate(
         except OSError:
             old.rename(path)
             raise
-        # carry the sidecar forward (the rewrite dir replaced it)
-        current = m.version
-        history = history + [
-            {"version": m.version, "description": m.description}
-        ]
-        _write_version(path, current, history)
         shutil.rmtree(old, ignore_errors=True)
     if current == 0:
         # record the baseline so re-runs are version-aware even when

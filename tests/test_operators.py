@@ -164,3 +164,23 @@ def test_merge_columns_partial_update(spark):
         ).collect()
     }
     assert out2 == {1: 10, 3: 30, 4: 40}
+
+
+def test_connected_components_empty_pairs_short_circuits(spark):
+    """A clean corpus (zero near-dup pairs) must label every node as
+    its own cluster WITHOUT running max_iters rounds of empty-frame
+    propagation jobs."""
+    import time
+
+    from omniengine_spark.operators.dedup import connected_components
+
+    nodes = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    t = time.time()
+    out = connected_components(nodes, pairs, "doc_id", max_iters=50)
+    rows = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    elapsed = time.time() - t
+    assert rows == {i: i for i in range(50)}
+    # 50 propagation rounds of checkpoint+collect would take far
+    # longer than the single isEmpty probe
+    assert elapsed < 10, elapsed

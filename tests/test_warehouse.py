@@ -219,3 +219,48 @@ def test_schema_migration_roundtrip(spark, tmp_path):
     spark.createDataFrame([(1,)], ["k"]).write.parquet(path3)
     with _pytest.raises(ValueError, match="non-contiguous"):
         migrate(spark, path3, [Migration(2, "skip", add_column("z", F.lit(0)))])
+
+
+def test_migration_crash_windows_recover(spark, tmp_path):
+    """The two crash windows of the swap heal on re-run: (a) killed
+    after the original moved aside but before the staged table moved
+    in — the staged dir is already self-describing (sidecar written
+    pre-swap) and gets promoted; (b) killed after staging but before
+    any rename — re-run restores nothing, just re-applies.  In both
+    cases the version recorded always matches the data on disk."""
+    import shutil as _sh
+    from pathlib import Path as _P
+
+    from omniengine_spark.sources.migrate import (
+        Migration,
+        add_column,
+        migrate,
+        schema_version,
+    )
+
+    migs = [
+        Migration(1, "add flag", add_column("flag", F.lit(1))),
+    ]
+
+    # (a) simulate: staged written WITH sidecar, original moved aside,
+    # crash before staged.rename(path)
+    path = str(tmp_path / "wha")
+    spark.createDataFrame([(1,), (2,)], ["k"]).write.parquet(path)
+    migrate(spark, path, migs)  # produce a real migrated table
+    # now rebuild the crash scene from it
+    _P(path).rename(_P(path + "__v1"))  # completed staged dir
+    spark.createDataFrame([(1,), (2,)], ["k"]).write.parquet(path)
+    _P(path).rename(_P(path + "__old"))  # original moved aside
+    # path is now missing entirely; re-run must promote the staged dir
+    assert migrate(spark, path, migs) == 1
+    assert schema_version(path) == 1
+    assert {r["flag"] for r in spark.read.parquet(path).collect()} == {1}
+    assert not _P(path + "__v1").exists()
+
+    # (b) crash scene: only __old remains (staged incomplete, deleted)
+    path2 = str(tmp_path / "whb")
+    spark.createDataFrame([(3,)], ["k"]).write.parquet(path2)
+    _P(path2).rename(_P(path2 + "__old"))
+    assert migrate(spark, path2, migs) == 1
+    assert {r["k"] for r in spark.read.parquet(path2).collect()} == {3}
+    _sh.rmtree(path2 + "__old", ignore_errors=True)
