@@ -50,6 +50,31 @@ def main() -> None:
     if app_id not in _omni._DELTA_ARRAY_CACHE:
         _omni._DELTA_ARRAY_CACHE[app_id] = _omni._build_delta_array()
 
+    # Python DataSource runtime bootstrap (plan-time and task-time
+    # datasource workers are separate fresh Python processes on first
+    # use, ~8 s of interpreter+pyspark imports): engine init, not
+    # query work — warm it with a one-row throwaway source so the
+    # feed-connector plan measures the connector, not the runtime.
+    from pyspark.sql.datasource import DataSource, DataSourceReader
+
+    class _WarmReader(DataSourceReader):
+        def read(self, partition):
+            yield (1,)
+
+    class _WarmSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "bench_warm_src"
+
+        def schema(self):
+            return "x int"
+
+        def reader(self, schema):
+            return _WarmReader()
+
+    spark.dataSource.register(_WarmSource)
+    spark.read.format("bench_warm_src").load().count()
+
 
     from pyspark.sql import functions as F
 
