@@ -298,8 +298,19 @@ def _build_delta_array() -> F.Column:
     # (recipient list pre-computed upstream, reference S8); the STO
     # fee is burned from the sender in the ecosystem's fee property
     # (1 prod / 2 test), with no matching credit (sql.py:1806-1821).
-    sto_recipients = F.transform(
+    # coalesce BEFORE transform/aggregate: both propagate null, and a
+    # null recipients array would otherwise nullify sto_total and
+    # (via concat) the whole delta array — silently dropping the
+    # sender debit and fee burn of a valid tx.  `matches` below gets
+    # the same guard.
+    recips = F.coalesce(
         F.col("recipients"),
+        F.array().cast(
+            "array<struct<address:string,amount:string>>"
+        ),
+    )
+    sto_recipients = F.transform(
+        recips,
         lambda r: row(
             r["address"],
             pid,
@@ -310,13 +321,21 @@ def _build_delta_array() -> F.Column:
         ),
     )
     sto_total = F.aggregate(
-        F.col("recipients"),
+        recips,
         zero,
         lambda acc, r: (
             acc + _base_units(r["amount"], F.col("divisible")).cast(_DEC)
         ).cast(_DEC),
     )
-    fee_pid = F.when(pid >= F.lit(2147483648), F.lit(2)).otherwise(F.lit(1))
+    # test-ecosystem membership per reference getEcosystem
+    # (omniutils.py:14-17): pid 2 (TOMNI itself) or the 2147483651..
+    # 4294967295 band — NOT everything >= 2^31 (2147483648..50 are
+    # still main-ecosystem ids there)
+    fee_pid = F.when(
+        (pid == F.lit(2))
+        | ((pid >= F.lit(2147483651)) & (pid <= F.lit(4294967295))),
+        F.lit(2),
+    ).otherwise(F.lit(1))
     fee = _base_units(F.col("sto_fee"), F.lit(True))
     sto = F.concat(
         rows(row(sender, pid, -sto_total, zero, zero, "sto_sender")),
@@ -683,13 +702,20 @@ def expand_btc_deltas(btc_txs: DataFrame) -> DataFrame:
     out-of-batch inputs (null source) expand to no delta row.
 
     Output matches the omni delta stream shape (kind='delta',
-    propertyid=0), so BTC and Omni deltas union into one fold.
+    propertyid=0).  ``block`` and ``serial`` pass through when the
+    caller stamped them on the tx frame (``stamp_serials_distributed``
+    works on any (block, position_in_block) frame), making the output
+    unionByName-compatible with ``expand_deltas`` for one unified
+    BTC+Omni fold; without them the output still folds by address
+    (the s2b plan's shape).
     """
+    carry = [c for c in ("block", "serial") if c in btc_txs.columns]
     zero = F.lit(0).cast(_DEC)
     credits = btc_txs.select(
-        "txid", F.explode_outer("vout").alias("o")
+        "txid", *carry, F.explode_outer("vout").alias("o")
     ).filter(F.col("o.address").isNotNull()).select(
         "txid",
+        *carry,
         F.col("o.address").alias("address"),
         F.lit(0).cast("bigint").alias("propertyid"),
         F.col("o.value_sat").cast(_DEC).alias("delta_base_units"),
@@ -698,10 +724,16 @@ def expand_btc_deltas(btc_txs: DataFrame) -> DataFrame:
         F.lit("delta").alias("kind"),
         F.lit("recipient").alias("role"),
     )
-    debits = resolve_utxo_inputs(btc_txs).filter(
+    vin_src = resolve_utxo_inputs(btc_txs)
+    if carry:
+        vin_src = vin_src.join(
+            btc_txs.select("txid", *carry), "txid"
+        )
+    debits = vin_src.filter(
         F.col("src_address").isNotNull()
     ).select(
         "txid",
+        *carry,
         F.col("src_address").alias("address"),
         F.lit(0).cast("bigint").alias("propertyid"),
         (-F.col("value_sat")).cast(_DEC).alias("delta_base_units"),
@@ -732,7 +764,9 @@ def genesis_deltas(snapshot: DataFrame) -> DataFrame:
         F.lit(-1).cast("long").alias("serial"),
         F.col("address"),
         F.col("propertyid").cast("long").alias("propertyid"),
-        F.col("available").cast(_DEC).alias("delta_base_units"),
+        F.coalesce(F.col("available").cast(_DEC), zero).alias(
+            "delta_base_units"
+        ),
         F.coalesce(F.col("reserved").cast(_DEC), zero).alias(
             "delta_reserved"
         ),
@@ -781,23 +815,27 @@ def build_full_balances(
             *deltas.columns
         ).unionByName(deltas)
 
-    frozen_keys = (
-        deltas.filter(F.col("kind") != "delta")
-        .select("address", "propertyid")
-        .distinct()
-        .withColumn("__frozen_key", F.lit(True))
-    )
-    tagged = deltas.join(
-        F.broadcast(frozen_keys), ["address", "propertyid"], "left"
-    )
-    plain = tagged.filter(F.col("__frozen_key").isNull())
+    # Tag marker-bearing keys with ONE unordered window over the same
+    # shuffle the fold needs anyway — a separate distinct pass +
+    # broadcast join would evaluate the (expensive) delta lineage an
+    # extra time, and broadcast joins leave no reusable exchange so
+    # the two branches would re-expand it twice more.  The checkpoint
+    # materializes the tagged stream once for both branches (at
+    # warehouse scale: persist(DISK_ONLY) instead).
+    tagged = deltas.withColumn(
+        "__frozen_key",
+        F.max((F.col("kind") != "delta").cast("int")).over(
+            Window.partitionBy("address", "propertyid")
+        ),
+    ).localCheckpoint()
+    plain = tagged.filter(F.col("__frozen_key") == 0)
     plain_out = plain.groupBy("address", "propertyid").agg(
         F.sum("delta_base_units").cast("long").alias("available"),
         F.sum("delta_reserved").cast("long").alias("reserved"),
         F.sum("delta_accepted").cast("long").alias("accepted"),
         F.lit(0).cast("long").alias("frozen"),
     )
-    hot = tagged.filter(F.col("__frozen_key").isNotNull()).select(
+    hot = tagged.filter(F.col("__frozen_key") == 1).select(
         "address",
         "propertyid",
         "serial",
@@ -814,7 +852,16 @@ def with_after_balances(deltas: DataFrame) -> DataFrame:
     serial order (finalizeAfterBalances)."""
     w = (
         Window.partitionBy("address", "propertyid")
-        .orderBy("serial")
+        # one tx can emit several rows for the same (address,
+        # propertyid) at the SAME serial (offer replace: debit +
+        # credit-back; self-matches) — a serial-only ROWS frame would
+        # order those ties arbitrarily per run.  role + the delta
+        # columns complete a total order up to rows whose swap cannot
+        # change any cumulative sum.
+        .orderBy(
+            "serial", "role", "delta_base_units",
+            "delta_reserved", "delta_accepted",
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return deltas.withColumn(
@@ -836,7 +883,11 @@ def with_full_after_balances(deltas: DataFrame) -> DataFrame:
     """
     w = (
         Window.partitionBy("address", "propertyid")
-        .orderBy("serial")
+        # same tiebreak rationale as with_after_balances
+        .orderBy(
+            "serial", "role", "delta_base_units",
+            "delta_reserved", "delta_accepted",
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

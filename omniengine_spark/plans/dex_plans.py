@@ -715,12 +715,17 @@ def a16_sto_fee_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
-    # test-ecosystem property ids start at 2^31 (reference
-    # getEcosystem); pid drives the fee property choice
+    # test-ecosystem property ids start at 2147483651 (reference
+    # getEcosystem, omniutils.py:14-17 — 2^31..2^31+2 are still main
+    # ecosystem); pid drives the fee property choice
     pid = F.when(
         F.col("user_id") % 2 == 0,
-        F.lit(2147483648) + F.col("user_id") % 5,
-    ).otherwise((F.col("user_id") % 5).cast("long"))
+        F.lit(2147483651) + F.col("user_id") % 5,
+    ).otherwise(
+        # 3..7: main-ecosystem band — NOT 0..4, which would include
+        # pid 2 (TOMNI, test ecosystem) for user_id % 5 == 2
+        (F.lit(3) + F.col("user_id") % 5).cast("long")
+    )
     ev = ev.withColumn("a", _cents())
     txs = ev.select(
         F.concat(F.lit("s"), F.col("event_id").cast("string")).alias("txid"),

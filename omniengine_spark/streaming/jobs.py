@@ -74,8 +74,12 @@ def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1 h windowed counts per event type with a 1 h
     watermark (X1/A5: the per-block txstats rollup as a stream).
 
-    complete mode so every window emits even at end-of-stream; the
-    watermark still bounds state on an unbounded source.
+    complete mode so every window emits even at end-of-stream.
+    NOTE: complete-mode aggregations never evict window state — the
+    watermark is inert here.  On a genuinely unbounded source run
+    this in append mode (x11 is exactly that job, with the
+    watermark-eviction emission rule oracle-pinned); complete mode
+    is for finite drains and small window domains.
     """
     ev = stream_table(spark, sf_dir, "events")
     agg = (
@@ -143,13 +147,20 @@ def sessionize_with_state(
         last_epoch, n_sessions = (
             state.get if state.exists else (None, 0)
         )
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            # vectorized gap-cut over the Arrow batch: a session opens
-            # at every within-batch gap > gap_s, plus at the batch
-            # head if it gaps against the carried state (or none yet)
+        # ONE sort over the whole group, not per Arrow chunk: a key
+        # with more rows than maxRecordsPerBatch arrives as several
+        # UNSORTED chunks (the shuffle does not time-order), and
+        # per-chunk sorting would count phantom sessions at every
+        # chunk seam.  The group is one user's micro-batch — bounded
+        # by the batch, not the corpus.
+        chunks = [pdf for pdf in batches if not pdf.empty]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            # vectorized gap-cut: a session opens at every gap >
+            # gap_s, plus at the head if it gaps against carried
+            # state (or none yet)
             s = pdf["ts"]
             if getattr(s.dtype, "tz", None) is not None:
                 s = s.dt.tz_convert("UTC").dt.tz_localize(None)
@@ -271,9 +282,15 @@ def deduped_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "event_type"
     )
     doubled = ev.unionByName(ev)  # simulated redelivery
-    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicates(
-        ["event_id"]
-    )
+    # dropDuplicatesWithinWatermark, not dropDuplicates([key]): plain
+    # key-only dedup state is NEVER evicted (eviction requires the
+    # event-time column inside the key set), so an unbounded
+    # at-least-once source would grow state forever.  The
+    # within-watermark form keeps one entry per key per horizon —
+    # redeliveries land inside the horizon by definition.
+    deduped = doubled.withWatermark(
+        "ts", "1 hour"
+    ).dropDuplicatesWithinWatermark(["event_id"])
     counts = deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_unique")
     )
@@ -426,13 +443,19 @@ def exactly_once_warehouse_sink(
 ) -> DataFrame:
     """foreachBatch + idempotent partition overwrite — the production
     write path (X6: one transactional commit per block,
-    ``omniEngine.py:210``).  Each micro-batch computes its partition
-    set and dynamically overwrites exactly those partitions, so a
-    replayed batch (at-least-once trigger semantics) lands
-    byte-identically instead of duplicating — exactly-once by
-    idempotence, no sink transaction log needed.  The drained
-    warehouse is read back and aggregated so the oracle can check the
-    whole path end-to-end.
+    ``omniEngine.py:210``).  The partition key leads with batch_id
+    (Spark's checkpoint replays a failed batch under the SAME id with
+    the same data), so a replayed batch dynamically overwrites
+    exactly its own partitions and lands byte-identically instead of
+    duplicating — exactly-once by idempotence, no sink transaction
+    log needed.  The batch id MUST be in the partition key: a
+    data-derived key alone (shard) is shared by every batch, and each
+    batch's overwrite would silently delete the previous batches'
+    rows in those shards.  (In the block pipeline the semantic
+    equivalent is the block range — per-block partitions are
+    batch-aligned by construction.)  The drained warehouse is read
+    back and aggregated so the oracle can check the whole path
+    end-to-end.
     """
     from omniengine_spark.sources.sinks import (
         read_warehouse,
@@ -449,11 +472,12 @@ def exactly_once_warehouse_sink(
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        write_partitioned(batch_df, path, ["shard"])
+        stamped = batch_df.withColumn("batch_id", F.lit(batch_id))
+        write_partitioned(stamped, path, ["batch_id", "shard"])
         # idempotence probe: re-deliver the same batch — the dynamic
         # overwrite must leave the warehouse unchanged
         if batch_id == 0:
-            write_partitioned(batch_df, path, ["shard"])
+            write_partitioned(stamped, path, ["batch_id", "shard"])
 
     with _stream_state_partitions(spark):
         q = (

@@ -232,3 +232,84 @@ def test_stateful_streams_equivalent_under_rocksdb_state_store(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_session_fold_correct_when_group_spans_arrow_chunks(spark):
+    """A user whose micro-batch rows exceed maxRecordsPerBatch
+    arrives at the stateful processor as SEVERAL unsorted Arrow
+    chunks; the fold must sort the whole group once, not per chunk —
+    per-chunk sorting counts phantom sessions at chunk seams."""
+    from omniengine_spark.plans import QUERIES
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")  # ~67 events/user at sf0.001 → ~10 chunks
+        got = {
+            r["user_id"]: r["n_sessions"]
+            for r in QUERIES["x4_stream_sessionize"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+    finally:
+        spark.conf.set(key, old)
+    ev = load_table(spark, SF_SMOKE, "events")
+    gap_s = 30 * 60
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    expected = {
+        r["user_id"]: r["n"]
+        for r in (
+            ev.withColumn(
+                "gap",
+                F.col("ts").cast("long")
+                - F.lag(F.col("ts").cast("long")).over(w),
+            )
+            .withColumn(
+                "new_s",
+                F.when(
+                    F.col("gap").isNull() | (F.col("gap") > gap_s), 1
+                ).otherwise(0),
+            )
+            .groupBy("user_id")
+            .agg(F.sum("new_s").alias("n"))
+            .collect()
+        )
+    }
+    assert got == expected
+
+
+def test_exactly_once_sink_survives_multiple_batches(
+    spark, split_events_dir
+):
+    """The foreachBatch idempotent-overwrite sink must ACCUMULATE
+    across micro-batches: partitioning must include the batch id, or
+    each batch's dynamic overwrite clobbers earlier batches' rows in
+    the shared shard partitions."""
+    from omniengine_spark.sources.sinks import (
+        read_warehouse,
+        write_partitioned,
+    )
+
+    ev = _stream(spark, split_events_dir).select(
+        "event_id",
+        (F.col("event_id") % 8).cast("long").alias("shard"),
+    )
+    path = scratch_dir("stream-wh-multibatch")
+
+    def write_batch(batch_df, batch_id):
+        stamped = batch_df.withColumn("batch_id", F.lit(batch_id))
+        write_partitioned(stamped, path, ["batch_id", "shard"])
+        if batch_id == 1:  # replay probe mid-stream
+            write_partitioned(stamped, path, ["batch_id", "shard"])
+
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", scratch_dir("stream-wh-mb-ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    total = read_warehouse(spark, path).count()
+    expected = load_table(spark, SF_SMOKE, "events").count()
+    cleanup(path)
+    assert total == expected
