@@ -124,9 +124,20 @@ def sample_frames(media: DataFrame) -> DataFrame:
     )
 
 
+def _bin_shift(bins: int) -> int:
+    """Byte→bin shift for a power-of-two bin count.  The kernels bin
+    by right-shifting the byte value, so ``bins`` must divide the
+    256-value domain evenly — anything else would silently truncate
+    high bins (the old hardcoded ``>> 4`` was only correct at 16)."""
+    if bins < 1 or bins > 256 or (bins & (bins - 1)):
+        raise ValueError(f"bins must be a power of two in [1, 256]: {bins}")
+    return 8 - bins.bit_length() + 1
+
+
 def byte_histogram_features(media: DataFrame, bins: int = 16) -> DataFrame:
     """(doc_id, feat: array<float>) — a deterministic stand-in for an
     embedding model: L1-normalized byte histogram, Arrow-batched."""
+    shift = _bin_shift(bins)
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -139,7 +150,7 @@ def byte_histogram_features(media: DataFrame, bins: int = 16) -> DataFrame:
             feats = []
             for payload in pdf["payload"]:
                 arr = np.frombuffer(payload, dtype=np.uint8)
-                hist = np.bincount(arr >> 4, minlength=bins).astype(
+                hist = np.bincount(arr >> shift, minlength=bins).astype(
                     np.float32
                 )
                 total = hist.sum()
@@ -161,6 +172,7 @@ def byte_histogram_scalars(media: DataFrame, bins: int = 16) -> DataFrame:
     counts also dodge float-normalization comparisons entirely, so the
     plan is exactly oracle-checkable.  Same Arrow-batched mapInPandas
     plumbing as the array variant."""
+    shift = _bin_shift(bins)
     fields = [T.StructField("doc_id", T.LongType())]
     names = [f"bin_{i:02d}" for i in range(bins)]
     fields += [T.StructField(n, T.LongType()) for n in names]
@@ -171,7 +183,7 @@ def byte_histogram_scalars(media: DataFrame, bins: int = 16) -> DataFrame:
             counts = np.zeros((len(pdf), bins), dtype=np.int64)
             for row, payload in enumerate(pdf["payload"]):
                 arr = np.frombuffer(payload, dtype=np.uint8)
-                counts[row] = np.bincount(arr >> 4, minlength=bins)[:bins]
+                counts[row] = np.bincount(arr >> shift, minlength=bins)
             out = pd.DataFrame(counts, columns=names)
             out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
             yield out

@@ -30,7 +30,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
 from pyspark.sql import types as T
+
+from omniengine_spark.operators.dedup import md5_token_hash
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -249,6 +252,9 @@ def ivf_assign(
     centroid matrix.  nprobe=1 builds the index; nprobe>1 probes it.
     Output: (id, cluster, rank) with rank 0 = nearest.
     """
+    # a tiny corpus can seed fewer centroids than nprobe — clamp, or
+    # the executor kernel dies on mismatched array lengths
+    nprobe = min(nprobe, len(centroids))
     spark = vectors.sparkSession
     cids = np.array([c[0] for c in centroids], dtype=np.int64)
     cmat = np.stack(
@@ -447,9 +453,7 @@ def ivf_ann_topk_portable(
     a broadcast cross join N×n_clusters with one narrow shuffle for
     the per-vector argmax window.
     """
-    h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    h = md5_token_hash(F.col(id_col).cast("string"))
     seeds = (
         vectors.select(
             F.col(id_col).alias("cluster"),
@@ -771,9 +775,7 @@ def pq_seeded_topk(
     subdim = dim // m
     nv = _normalized(vectors, id_col, vec_col)
 
-    h = F.conv(
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    h = md5_token_hash(F.col("vec_id").cast("string"))
     seeds = (
         nv.select(F.col("vec_id").alias("c"), F.col("nv").alias("cv"),
                   h.alias("h"))
@@ -902,9 +904,7 @@ def semantic_prune(
     self-join, one anti-join-style left join for the verdict.  Output:
     (id, cluster, is_kept).
     """
-    h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    h = md5_token_hash(F.col(id_col).cast("string"))
     seeds = (
         vectors.select(
             F.col(id_col).alias("cluster"),

@@ -11,6 +11,20 @@ result is exactly the unsalted plan's.
 big side, replicate the small side across all salts.  Kept for
 engines/configs without AQE and as the building block for bounded
 replication joins.
+
+**The salt must be DETERMINISTIC per row.**  A tempting
+monotonically_increasing_id() in the hash routes the same row to
+different reducers across partial stage retries (shuffle-fetch order
+changes → different ids), and reducers that already committed keep
+their output — rows silently double-count or vanish (the
+SPARK-23207 bug class).  So the salt is a hash of row CONTENT
+(deterministic under any retry).  Fully identical duplicate rows
+therefore share a salt — harmless for aggregation, where map-side
+partial aggregation already collapses duplicates before the shuffle
+(the reducer sees at most one partial per map task either way); for
+joins, a hot key whose rows are bit-identical needs a real
+discriminator column — pass ``salt_from`` pointing at one (an id
+stamped upstream), never a nondeterministic expression.
 """
 
 from __future__ import annotations
@@ -23,6 +37,15 @@ from pyspark.sql import functions as F
 MERGEABLE = {"sum", "count", "min", "max"}
 
 
+def _salt_expr(df: DataFrame, salt_from: str | None, n_salts: int):
+    cols = (
+        [F.col(salt_from)]
+        if salt_from
+        else [F.col(c) for c in df.columns]
+    )
+    return F.pmod(F.xxhash64(*cols), F.lit(n_salts))
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
@@ -33,28 +56,16 @@ def salted_agg(
     """Two-phase aggregation: ``aggs`` maps output column →
     (function, input column) with function in {sum, count, min, max}.
 
-    The salt is deterministic (hash of ``salt_from`` or of all key +
-    input columns), so replays are stable.
+    The salt is a deterministic content hash (or of ``salt_from``),
+    so stage retries re-route every row identically — see module
+    docstring for why a per-row id would corrupt results under
+    partial retries.
     """
     bad = {f for f, _ in aggs.values()} - MERGEABLE
     if bad:
         raise ValueError(f"non-mergeable aggregate(s): {sorted(bad)}")
 
-    # Default salt mixes a per-row id into the content hash: fully
-    # identical duplicate rows of a hot key would otherwise all hash to
-    # one salt, defeating the mitigation in exactly the duplicate-heavy
-    # case it targets.  The salt only routes rows across reducers —
-    # algebraic aggregates merge identically whatever the routing — so
-    # the row-id's run-to-run instability never reaches the result.
-    salt_cols = (
-        [F.col(salt_from)]
-        if salt_from
-        else [F.col(c) for c in df.columns]
-        + [F.monotonically_increasing_id()]
-    )
-    salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts))
-    )
+    salted = df.withColumn("_salt", _salt_expr(df, salt_from, n_salts))
 
     phase1 = salted.groupBy(*keys, "_salt").agg(
         *[
@@ -78,23 +89,25 @@ def salted_join(
     key: str,
     n_salts: int = 8,
     how: str = "inner",
+    salt_from: str | None = None,
 ) -> DataFrame:
     """Equi-join with the big side salted and the small side
     replicated ``n_salts`` times, so a hot key spreads over
-    ``n_salts`` reducers instead of one."""
-    # per-row id in the salt hash: see salted_agg — duplicate rows must
-    # spread, and the join result is independent of which salt a big-
-    # side row takes (the small side is replicated across all salts)
-    big_s = big.withColumn(
-        "_salt",
-        F.pmod(
-            F.xxhash64(
-                *[F.col(c) for c in big.columns],
-                F.monotonically_increasing_id(),
-            ),
-            F.lit(n_salts),
-        ),
-    )
+    ``n_salts`` reducers instead of one.
+
+    Only big-side-preserving joins are correct under replication:
+    each small row exists ``n_salts`` times, and in a right/full
+    join the ≤ n_salts-1 unmatched replicas would survive as phantom
+    null-extended rows.  ``how`` is therefore restricted.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join only supports big-side-preserving joins, "
+            f"got how={how!r} (small side is replicated {n_salts}×; "
+            f"right/full would emit phantom unmatched replicas)"
+        )
+    big_s = big.withColumn("_salt", _salt_expr(big, salt_from, n_salts))
     small_r = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("long"))

@@ -8,6 +8,7 @@ single choke point so partition layout / format changes stay local.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import zipfile
@@ -34,13 +35,27 @@ def _ensure_package_shipped(spark: SparkSession) -> None:
     app_id = sc.applicationId
     if app_id in _SHIPPED:
         return
+    # key the zip by a digest of the source set (path, mtime, size) —
+    # a pid-keyed name survives pid recycling and would ship a STALE
+    # copy of edited code to executors while the driver runs the new
+    # version, silently diverging results
+    h = hashlib.md5()
+    sources = sorted(_PKG_ROOT.rglob("*.py"))
+    for py in sources:
+        st = py.stat()
+        h.update(
+            f"{py.relative_to(_PKG_ROOT)}:{st.st_mtime_ns}:{st.st_size};"
+            .encode()
+        )
     zpath = os.path.join(
-        tempfile.gettempdir(), f"omniengine_spark-{os.getpid()}.zip"
+        tempfile.gettempdir(), f"omniengine_spark-{h.hexdigest()[:16]}.zip"
     )
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as zf:
-            for py in sorted(_PKG_ROOT.rglob("*.py")):
+        tmp = zpath + f".{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for py in sources:
                 zf.write(py, f"omniengine_spark/{py.relative_to(_PKG_ROOT)}")
+        os.replace(tmp, zpath)  # atomic vs concurrent builders
     sc.addPyFile(zpath)
     _SHIPPED.add(app_id)
 

@@ -9,15 +9,28 @@ the repo-local ``.scratch/`` dir (gitignored, driver-safe).
 
 from __future__ import annotations
 
+import os
+import re
 import shutil
 import time
 import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _SCRATCH = Path(__file__).resolve().parents[2] / ".scratch"
 _PROCESS_START = time.time()
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
 
 
 def scratch_dir(label: str) -> str:
@@ -26,20 +39,30 @@ def scratch_dir(label: str) -> str:
     Sink plans cannot remove their own output (the returned DataFrame
     reads it lazily, after the plan function returns), so each call
     also prunes siblings — bounds accumulation across repeated
-    gate/bench runs.  Pruning is capped at this process's start time:
-    a dir created after we started may still back a live DataFrame in
-    this process (or a concurrent long run), so only dirs that are
-    BOTH >2 h old AND older than this process are removed.
+    gate/bench runs.  Dir names embed the owning pid; a sibling is
+    pruned only when its owner is DEAD and it is >2 h old — an age
+    cutoff alone would delete the live output of a concurrent run
+    that simply started before this one (a 3 h bench next to a fresh
+    gate).  Legacy dirs without a pid prefix fall back to the age +
+    older-than-this-process rule.
     """
     _SCRATCH.mkdir(exist_ok=True)
-    cutoff = min(time.time() - 7200, _PROCESS_START)
+    age_cutoff = time.time() - 7200
     for old in _SCRATCH.iterdir():
         try:
-            if old.stat().st_mtime < cutoff:
+            if old.stat().st_mtime >= age_cutoff:
+                continue
+            m = re.match(r"p(\d+)-", old.name)
+            if m:
+                if not _pid_alive(int(m.group(1))):
+                    shutil.rmtree(old, ignore_errors=True)
+            elif old.stat().st_mtime < min(age_cutoff, _PROCESS_START):
                 shutil.rmtree(old, ignore_errors=True)
         except OSError:
             pass
-    return str(_SCRATCH / f"{label}-{uuid.uuid4().hex[:12]}")
+    return str(
+        _SCRATCH / f"p{os.getpid()}-{label}-{uuid.uuid4().hex[:12]}"
+    )
 
 
 def cleanup(path: str) -> None:
@@ -117,8 +140,35 @@ def compact_partitions(
         p.stat().st_size for p in root.rglob("*.parquet")
     )
     n_files = max(1, int(total_bytes // target_file_bytes) + 1)
+    # The repartition key needs a SIZE-DERIVED salt per partition:
+    # hashing on the partition columns alone routes every row of a
+    # partition value to ONE task → one output file per partition no
+    # matter its size (a 10 GB hot day would compact into a single
+    # unsplittable file).  Per-partition file counts come from row
+    # counts × the measured bytes/row; the salt itself is a content
+    # hash (deterministic under stage retries, see operators/skew.py).
+    sizes = df.groupBy(*partition_cols).agg(
+        F.count(F.lit(1)).alias("__rows")
+    )
+    total_rows = df.count()
+    bytes_per_row = (total_bytes / total_rows) if total_rows else 1.0
+    sizes = sizes.withColumn(
+        "__files",
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.col("__rows") * F.lit(bytes_per_row)
+                   / F.lit(float(target_file_bytes))),
+        ),
+    )
+    data_cols = [c for c in df.columns if c not in partition_cols]
+    salted = df.join(F.broadcast(sizes), list(partition_cols)).withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]),
+               F.col("__files")),
+    )
     (
-        df.repartition(n_files, *partition_cols)
+        salted.repartition(n_files, *partition_cols, F.col("__salt"))
+        .drop("__rows", "__files", "__salt")
         .write.mode("overwrite")
         .partitionBy(*partition_cols)
         .parquet(path + "__compact")

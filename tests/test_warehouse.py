@@ -264,3 +264,48 @@ def test_migration_crash_windows_recover(spark, tmp_path):
     assert migrate(spark, path2, migs) == 1
     assert {r["k"] for r in spark.read.parquet(path2).collect()} == {3}
     _sh.rmtree(path2 + "__old", ignore_errors=True)
+
+
+def test_compaction_splits_oversized_partition(spark):
+    """A hot partition bigger than target_file_bytes must compact
+    into MULTIPLE files (size-derived salt), not one unsplittable
+    file per partition value."""
+    from omniengine_spark.sources.sinks import (
+        cleanup,
+        compact_partitions,
+        scratch_dir,
+    )
+
+    path = scratch_dir("wh-hotpart")
+    # hot partition day=1 (50k rows), cold day=2 (100 rows)
+    df = (
+        spark.range(50_000)
+        .select(
+            F.lit(1).alias("day"),
+            F.col("id"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        .unionAll(
+            spark.range(100).select(
+                F.lit(2).alias("day"),
+                F.col("id"),
+                F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+            )
+        )
+    )
+    df.write.partitionBy("day").mode("overwrite").parquet(path)
+    before = spark.read.parquet(path).count()
+    # tiny target so day=1 must split into several files
+    compact_partitions(spark, path, ["day"], target_file_bytes=256 << 10)
+    from pathlib import Path as _P
+
+    hot_files = sum(
+        1 for p in _P(path).glob("day=1/*.parquet")
+    )
+    cold_files = sum(
+        1 for p in _P(path).glob("day=2/*.parquet")
+    )
+    assert hot_files > 1, hot_files
+    assert cold_files == 1, cold_files
+    assert spark.read.parquet(path).count() == before
+    cleanup(path)
