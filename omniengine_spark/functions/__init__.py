@@ -7,6 +7,7 @@ whole-stage-codegen friendly.  No Python UDFs.
 from omniengine_spark.functions.scalars import (
     decimal_sum,
     epoch_to_ts,
+    hex_to_amount,
     hex_to_long,
     money,
     null_to_zero,
@@ -17,6 +18,7 @@ from omniengine_spark.functions.scalars import (
 __all__ = [
     "decimal_sum",
     "epoch_to_ts",
+    "hex_to_amount",
     "hex_to_long",
     "money",
     "null_to_zero",

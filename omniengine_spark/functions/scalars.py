@@ -41,11 +41,15 @@ def scale_base_units(amount: Column, divisible: Column) -> Column:
     """F1: divisible amounts scale ×1e8 into integer base units;
     indivisible parse as plain integers (reference ``sql.py:396-405``)."""
     dec = amount.cast("decimal(38,8)")
+    # truncation toward ZERO, like the reference's python int():
+    # floor alone would send -3.7 to -4 where int(-3.7) == -3, and a
+    # plain decimal cast would round.  (Indivisible amounts are
+    # non-negative in every reference payload, but the helper should
+    # not quietly differ on the sign it might someday see.)
+    truncated = F.when(dec >= 0, F.floor(dec)).otherwise(F.ceil(dec))
     return (
         F.when(divisible, (dec * F.lit(100000000)).cast("decimal(19,0)"))
-        # floor, not cast: the reference parses indivisible amounts
-        # with python int() (truncation); Spark's decimal cast rounds
-        .otherwise(F.floor(dec).cast("decimal(19,0)"))
+        .otherwise(truncated.cast("decimal(19,0)"))
     )
 
 
@@ -77,8 +81,33 @@ def trailing_window(ts: Column, anchor: Column, days: int = 1) -> Column:
 def hex_to_long(payload: Column, start: int, length: int) -> Column:
     """F6: parse a big-endian hex field out of a payload string
     (1-based ``start``), e.g. propertyid = payload[8:16]
-    (reference ``sql.py:1626-1641``)."""
+    (reference ``sql.py:1626-1641``).
+
+    Restricted to ``length <= 15`` (60 bits): ``conv`` yields the
+    UNSIGNED decimal string, and a 16-digit field with the top bit
+    set ('8000000000000000') doesn't fit a signed BIGINT — the cast
+    would throw under ANSI mode or silently null without it, while
+    the reference's ``int(x, 16)`` parses it fine.  Full-width
+    (uint64) amount fields go through ``hex_to_amount``.
+    """
+    if length > 15:
+        raise ValueError(
+            f"hex_to_long holds at most 15 hex digits (60 bits), got "
+            f"{length}; use hex_to_amount for full-width fields"
+        )
     return F.conv(F.substring(payload, start, length), 16, 10).cast("long")
+
+
+def hex_to_amount(payload: Column, start: int, length: int = 16) -> Column:
+    """F6 for full-width unsigned amount fields: DECIMAL(20,0) holds
+    the whole uint64 range, matching the reference's arbitrary-
+    precision ``int(x, 16)`` for 16-hex-digit amounts
+    (``sql.py:1626-1641``)."""
+    if length > 16:
+        raise ValueError(f"at most 16 hex digits (uint64): {length}")
+    return F.conv(F.substring(payload, start, length), 16, 10).cast(
+        "decimal(20,0)"
+    )
 
 
 def null_to_zero(col: Column | str) -> Column:

@@ -64,6 +64,11 @@ def zorder_key(
     """Attach a ``_zkey`` column: the Morton code of the two columns'
     quantized values.  Stats (min/max per dimension) come from one
     tiny aggregate broadcast back via crossJoin."""
+    # 2·bits must stay below the BIGINT sign bit: at bits=32 the top
+    # bit of dimension a lands at position 63, flipping keys negative
+    # and breaking the curve's range ordering silently
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31]: {bits}")
     stats = df.agg(
         F.min(F.col(col_a).cast("long")).alias("_a_lo"),
         F.max(F.col(col_a).cast("long")).alias("_a_hi"),

@@ -37,8 +37,8 @@ def reconcile(
     joined = e.join(o, list(keys), "full_outer")
     mismatch = F.lit(False)
     for c in value_cols:
-        mismatch = mismatch | (
-            F.col(f"engine_{c}").eqNullSafe(F.col(f"oracle_{c}")) == False  # noqa: E712
+        mismatch = mismatch | ~F.col(f"engine_{c}").eqNullSafe(
+            F.col(f"oracle_{c}")
         )
     status = (
         F.when(F.col("_in_engine").isNull(), "missing_in_engine")
@@ -62,8 +62,23 @@ def portable_fingerprint(*cols: F.Column | str) -> F.Column:
     string, first 15 hex digits as an integer.  Chosen because Spark
     (``conv(substring(md5(s),1,15),16,10)``) and DuckDB
     (``('0x'||substr(md5(s),1,15))::BIGINT``) produce bit-identical
-    values, so fingerprint plans stay exactly oracle-checkable."""
-    s = F.concat_ws(":", *cols)
+    values, so fingerprint plans stay exactly oracle-checkable.
+
+    ``concat`` (null-PROPAGATING), not ``concat_ws``: concat_ws
+    silently skips null columns, so (NULL, 1, 5) and ('1', NULL, 5)
+    would both fingerprint as '1:5' — and the DuckDB twin's ``||``
+    null-propagates, so the engines would diverge the moment a
+    null-keyed row appears.  With concat, a null in any column makes
+    the whole term null and the consensus SUM skips it on BOTH
+    engines identically."""
+    parts: list[F.Column] = []
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(F.lit(":"))
+        parts.append(
+            (F.col(c) if isinstance(c, str) else c).cast("string")
+        )
+    s = F.concat(*parts)
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
         "decimal(38,0)"
     )

@@ -84,3 +84,61 @@ def test_null_to_zero(spark):
         ).collect()
     }
     assert out == {1: 0, 2: 5}
+
+
+def test_hex_to_amount_holds_full_uint64(spark):
+    from omniengine_spark.functions import hex_to_amount, hex_to_long
+
+    df = spark.createDataFrame(
+        [("8000000000000000",), ("ffffffffffffffff",), ("00000000000000ff",)],
+        ["payload"],
+    )
+    got = [
+        int(r["v"])
+        for r in df.select(
+            hex_to_amount(F.col("payload"), 1, 16).alias("v")
+        ).collect()
+    ]
+    assert got == [2**63, 2**64 - 1, 255]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hex_to_long(F.col("payload"), 1, 16)
+
+
+def test_scale_base_units_truncates_toward_zero(spark):
+    """Negative indivisible amounts must match python int(): -3.7 →
+    -3, not floor's -4."""
+    from omniengine_spark.functions import scale_base_units
+
+    df = spark.createDataFrame(
+        [("-3.7", False), ("3.7", False), ("-3.7", True)],
+        ["amount", "divisible"],
+    )
+    got = [
+        int(r["v"])
+        for r in df.select(
+            scale_base_units(
+                F.col("amount"), F.col("divisible")
+            ).alias("v")
+        ).collect()
+    ]
+    assert got == [-3, 3, -370000000]
+
+
+def test_portable_fingerprint_null_propagates(spark):
+    """A null in ANY fingerprint column must null the whole term
+    (matching DuckDB's || semantics) — concat_ws would silently skip
+    it and collapse distinct null patterns onto the same hash."""
+    from omniengine_spark.operators.reconcile import portable_fingerprint
+
+    df = spark.createDataFrame(
+        [(None, 1, 5), ("1", None, 5), ("1", 1, 5)],
+        ["a", "b", "c"],
+    )
+    rows = df.select(
+        portable_fingerprint("a", "b", "c").alias("fp")
+    ).collect()
+    assert rows[0]["fp"] is None
+    assert rows[1]["fp"] is None
+    assert rows[2]["fp"] is not None
