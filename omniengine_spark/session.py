@@ -40,9 +40,18 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
         )
 
+    # local[_] runs executors inside the driver JVM, whose default 1g
+    # heap OOMs around sf1 (6M-row lineitem + cached CC frontiers).
+    # On a real cluster this is spark.executor.memory; here one knob
+    # sizes the single JVM.  Applies only when this process creates
+    # the JVM — a harness-built session keeps the harness's setting.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "8g")
         # --- adaptive execution: the scale story ---------------------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

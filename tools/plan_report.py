@@ -68,27 +68,33 @@ def main() -> None:
             f"| {counts['python']} | {counts['topk']} |"
         )
 
-    soak = _REPO / "tools" / "scale_soak.json"
-    if soak.exists():
-        import json
+    import json
 
-        rows = json.loads(soak.read_text())
+    for fname in ("scale_soak.json", "scale_soak_sf1.json"):
+        soak = _REPO / "tools" / fname
+        if not soak.exists():
+            continue
+        blob = json.loads(soak.read_text())
+        rows = blob["rows"] if isinstance(blob, dict) else blob
+        small = blob.get("small", "sf0.01") if isinstance(blob, dict) else "sf0.01"
+        big = blob.get("big", "sf0.1") if isinstance(blob, dict) else "sf0.1"
         lines += [
             "",
-            "## Scaling exponents (tools/scale_soak.py)",
+            f"## Scaling exponents ({fname}: {small} -> {big})",
             "",
-            "e = log(t_sf0.1 / t_sf0.01) / log(10) on the bench-dominant",
-            "plans, warmed session, best-of-2.  e ≈ 1 linear, e > 1",
-            "super-linear (scale hazard).  Fixed session overhead pulls",
-            "small-sf exponents below their asymptote.",
+            "e = log(t_big / t_small) / log(sf ratio), warmed session,",
+            "best-of-N.  e ≈ 1 linear, e > 1 super-linear (scale",
+            "hazard).  Fixed session overhead pulls small-sf exponents",
+            "below their asymptote.",
             "",
-            "| plan | t@sf0.01 | t@sf0.1 | exponent |",
+            "| plan | t_small | t_big | exponent |",
             "|---|---|---|---|",
         ]
         for r in rows:
+            ts = r.get("t_small", r.get("t_sf001"))
+            tb = r.get("t_big", r.get("t_sf01"))
             lines.append(
-                f"| {r['plan']} | {r['t_sf001']}s | {r['t_sf01']}s "
-                f"| {r['exponent']:+.2f} |"
+                f"| {r['plan']} | {ts}s | {tb}s | {r['exponent']:+.2f} |"
             )
 
     (_REPO / "PLANS.md").write_text("\n".join(lines) + "\n")

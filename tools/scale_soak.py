@@ -5,12 +5,26 @@ log(sf_big/sf_small)  — e ≈ 1 is linear in data volume, e < 1 means
 fixed overhead still dominates at these sizes, e > 1 flags
 super-linear work (the thing that kills a 100× scale-up).
 
-Usage: python tools/scale_soak.py [plan ...]
-Defaults to the plans that dominate bench wall time.
+Usage:
+    python tools/scale_soak.py [--small DIR] [--big DIR] [--ratio R]
+        [--out FILE] [--runs N] [plan ...]
+
+Defaults to the driver sf0.01 -> sf0.1 pair and the plans that
+dominate bench wall time.  For the decade that actually matters
+(bench sf -> 10x bench sf), generate matched data first:
+
+    python tools/gen_testdata.py 0.1 .localdata/sf0.1
+    python tools/gen_testdata.py 1   .localdata/sf1
+    python tools/scale_soak.py --small .localdata/sf0.1 \
+        --big .localdata/sf1 --out tools/scale_soak_sf1.json
+
+Using one generator family for both rungs keeps distributions
+identical, so the exponent measures the engine, not the data.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import math
 import sys
@@ -24,21 +38,34 @@ SMALL = "/root/testdata/sf0.01"
 BIG = "/root/testdata/sf0.1"
 RATIO = 10.0
 
+# the 25 plans that dominate BENCH_r04 wall clock, plus the layout /
+# text / docpipe shapes whose scaling differs from any of them
 DEFAULT_PLANS = [
     "dedup_clusters",
+    "graph_pagerank",
     "sim_lsh_ann_topk",
-    "x10_stream_stream_join",
-    "a15_address_stats",
-    "a15b_address_stats_preagg",
-    "sim_ivfpq_ann_topk",
-    "dedup_ngram_jaccard",
-    "x2_reorg_recompute",
-    "d4_dex_accept_lifecycle",
-    "sim_pq_ann_topk",
-    "x12_stream_timer_expiry",
-    "dedup_simhash",
-    "dedup_semantic_prune",
     "btc_wallet_clusters",
+    "sim_ivfpq_ann_topk",
+    "a15_address_stats",
+    "graph_taint_reach",
+    "sim_pq_ann_topk",
+    "x2_reorg_recompute",
+    "dedup_simhash",
+    "x12_stream_timer_expiry",
+    "x10_stream_stream_join",
+    "dedup_minhash_lsh",
+    "quality_column_profile",
+    "d4_dex_accept_lifecycle",
+    "stats_value_profile_approx",
+    "dedup_semantic_prune",
+    "d7c_freeze_pipeline",
+    "dedup_ngram_jaccard",
+    "quality_observed_metrics",
+    "d2_pro_rata_allocation",
+    "x7b_consensus_hash",
+    "a15b_address_stats_preagg",
+    "omni_genesis_fold",
+    "text_lm_fluency",
     "s18_zorder_pointscan",
     "text_bpe_pair_stats",
     "docpipe_chunk_sliding",
@@ -51,7 +78,17 @@ def main() -> None:
     from omniengine_spark.plans import QUERIES
     from omniengine_spark.session import get_spark
 
-    names = sys.argv[1:] or DEFAULT_PLANS
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", default=SMALL)
+    ap.add_argument("--big", default=BIG)
+    ap.add_argument("--ratio", type=float, default=RATIO)
+    ap.add_argument("--out", default=str(_REPO / "tools" / "scale_soak.json"))
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("plans", nargs="*")
+    args = ap.parse_args()
+    small, big, ratio = args.small, args.big, args.ratio
+
+    names = args.plans or DEFAULT_PLANS
     spark = get_spark(app_name="scale-soak", shuffle_partitions=32)
     spark.range(1000).selectExpr("sum(id)").collect()
 
@@ -70,23 +107,27 @@ def main() -> None:
         if name not in QUERIES:
             print(f"skip {name}: not registered", file=sys.stderr)
             continue
-        run(name, SMALL)  # warm codegen/readers for this plan shape
-        t_small = min(run(name, SMALL) for _ in range(2))
-        t_big = min(run(name, BIG) for _ in range(2))
-        exp = math.log(t_big / t_small) / math.log(RATIO)
+        run(name, small)  # warm codegen/readers for this plan shape
+        t_small = min(run(name, small) for _ in range(args.runs))
+        t_big = min(run(name, big) for _ in range(args.runs))
+        exp = math.log(t_big / t_small) / math.log(ratio)
         rows.append(
             {
                 "plan": name,
-                "t_sf001": round(t_small, 2),
-                "t_sf01": round(t_big, 2),
+                "t_small": round(t_small, 2),
+                "t_big": round(t_big, 2),
                 "exponent": round(exp, 2),
             }
         )
         print(
-            f"{name:32s} {t_small:6.2f}s -> {t_big:6.2f}s   e={exp:+.2f}"
+            f"{name:32s} {t_small:6.2f}s -> {t_big:6.2f}s   e={exp:+.2f}",
+            flush=True,
         )
-    out = _REPO / "tools" / "scale_soak.json"
-    out.write_text(json.dumps(rows, indent=1))
+    out = Path(args.out)
+    out.write_text(json.dumps(
+        {"small": small, "big": big, "ratio": ratio, "rows": rows},
+        indent=1,
+    ))
     print(f"wrote {out}")
 
 
