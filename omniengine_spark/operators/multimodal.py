@@ -315,6 +315,30 @@ def parse_png(payload: bytes) -> tuple[int, int]:
     return int(w), int(h)
 
 
+def decode_gray_png(b: bytes) -> np.ndarray:
+    """Full pixel decode of an 8-bit grayscale PNG (zlib inflate +
+    filter-0 scanline strip) → int64 pixel matrix.  Non-zero filter
+    types would corrupt the stats — assert rather than mis-read."""
+    if b[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat = 8, []
+    w = h = None
+    while pos < len(b):
+        (ln,) = struct.unpack(">I", b[pos:pos + 4])
+        tag = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h = struct.unpack(">II", data[:8])
+        elif tag == b"IDAT":
+            idat.append(data)
+        pos += 12 + ln
+    raw = zlib.decompress(b"".join(idat))
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
+    if not (rows[:, 0] == 0).all():
+        raise ValueError("unsupported PNG filter")
+    return rows[:, 1:].astype(np.int64)
+
+
 def make_wav(rate: int, channels: int, n_frames: int) -> bytes:
     """A real RIFF/WAVE file (stdlib ``wave`` writer), 16-bit PCM,
     deterministic sample pattern."""
@@ -516,29 +540,6 @@ def image_features(media: DataFrame) -> DataFrame:
     )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-        import zlib
-
-        def decode_gray_png(b: bytes) -> np.ndarray:
-            if b[:8] != _PNG_MAGIC:
-                raise ValueError("not a PNG")
-            pos, idat = 8, []
-            w = h = None
-            while pos < len(b):
-                (ln,) = struct.unpack(">I", b[pos:pos + 4])
-                tag = b[pos + 4:pos + 8]
-                data = b[pos + 8:pos + 8 + ln]
-                if tag == b"IHDR":
-                    w, h = struct.unpack(">II", data[:8])
-                elif tag == b"IDAT":
-                    idat.append(data)
-                pos += 12 + ln
-            raw = zlib.decompress(b"".join(idat))
-            rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
-            if not (rows[:, 0] == 0).all():
-                raise ValueError("unsupported PNG filter")
-            return rows[:, 1:].astype(np.int64)
-
         for pdf in batches:
             out = {k: [] for k in
                    ("doc_id", "n_pixels", "mean_brightness",
@@ -559,4 +560,222 @@ def image_features(media: DataFrame) -> DataFrame:
 
     return media.select("doc_id", "payload").mapInPandas(
         extract, schema=schema
+    )
+
+
+# --------------------------------------------------------------------
+# Real VIDEO layer: animated PNG (APNG) — a genuine multi-frame
+# container built and parsed with the stdlib, closing the last
+# simulated kernel (sample_frames above synthesizes frame records
+# from byte offsets; this layer extracts REAL frames whose bytes
+# round-trip a real container).  APNG is the stdlib-feasible choice:
+# it is PNG plus three spec'd chunk types (acTL frame-count, fcTL
+# per-frame control, fdAT frame data), each CRC'd like any PNG chunk,
+# and the reassembled frames are themselves spec-valid PNGs — so the
+# existing pixel decoder verifies frame CONTENT, not just headers.
+# PIL (>= 8.0 reads APNG) is used as a cross-check when importable.
+# --------------------------------------------------------------------
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _frame_scanlines(width: int, height: int, f: int) -> bytes:
+    """Deterministic per-frame pixel pattern (filter-0 scanlines):
+    pixel(x, y, f) = (7x + 13y + 29f) mod 256 — the arithmetic the
+    plan oracles restate symbolically."""
+    return b"".join(
+        b"\x00"
+        + bytes(((x * 7 + y * 13 + f * 29) % 256) for x in range(width))
+        for y in range(height)
+    )
+
+
+def make_apng(width: int, height: int, n_frames: int) -> bytes:
+    """A real, spec-valid animated PNG: magic, CRC'd IHDR, acTL with
+    the frame count, then per frame an fcTL control chunk and the
+    frame's zlib-compressed scanlines (IDAT for frame 0, sequenced
+    fdAT after) — viewable in any browser."""
+    if n_frames < 1:
+        raise ValueError("n_frames must be >= 1")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    actl = struct.pack(">II", n_frames, 0)  # num_frames, loop forever
+    out = [_PNG_MAGIC, _png_chunk(b"IHDR", ihdr),
+           _png_chunk(b"acTL", actl)]
+    seq = 0
+    for f in range(n_frames):
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, width, height, 0, 0, 1, 10, 0, 0
+        )
+        out.append(_png_chunk(b"fcTL", fctl))
+        seq += 1
+        data = zlib.compress(_frame_scanlines(width, height, f))
+        if f == 0:
+            out.append(_png_chunk(b"IDAT", data))
+        else:
+            out.append(
+                _png_chunk(b"fdAT", struct.pack(">I", seq) + data)
+            )
+            seq += 1
+    out.append(_png_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+def extract_frames(payload: bytes) -> list[tuple[int, int, int, bytes]]:
+    """Real APNG demux: walk the chunk stream (CRC-verified), regroup
+    each frame's fcTL dimensions + IDAT/fdAT data, and reassemble
+    every frame as a STANDALONE spec-valid PNG.  Returns
+    [(frame_idx, width, height, png_bytes), ...] — the returned bytes
+    feed straight back into ``decode_gray_png``/PIL, which is what
+    makes this a round-trip rather than a header walk."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    frames: list[dict] = []
+    declared = None
+    while pos < len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + ln:pos + 12 + ln]
+        )
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"chunk CRC mismatch at {tag!r}")
+        if tag == b"acTL":
+            (declared,) = struct.unpack(">I", data[:4])
+        elif tag == b"fcTL":
+            w, h = struct.unpack(">II", data[4:12])
+            frames.append({"w": int(w), "h": int(h), "data": []})
+        elif tag == b"IDAT":
+            if not frames:
+                raise ValueError("IDAT before any fcTL (static PNG?)")
+            frames[-1]["data"].append(data)
+        elif tag == b"fdAT":
+            frames[-1]["data"].append(data[4:])  # strip sequence no.
+        pos += 12 + ln
+    if declared is not None and declared != len(frames):
+        raise ValueError(
+            f"acTL declares {declared} frames, found {len(frames)}"
+        )
+    out = []
+    for i, fr in enumerate(frames):
+        ihdr = struct.pack(">IIBBBBB", fr["w"], fr["h"], 8, 0, 0, 0, 0)
+        png = (
+            _PNG_MAGIC
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", b"".join(fr["data"]))
+            + _png_chunk(b"IEND", b"")
+        )
+        out.append((i, fr["w"], fr["h"], png))
+    return out
+
+
+def _apng_params(v: int) -> dict:
+    """Deterministic APNG parameters for variant ``v`` — replayed
+    symbolically by the plan oracles."""
+    return {
+        "width": (v % 13) + 1,
+        "height": ((v * 3) % 17) + 1,
+        "n_frames": (v % 5) + 2,
+    }
+
+
+def attach_video_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) where payload is a REAL animated PNG built
+    from variant ``doc_id % 40`` parameters; Arrow-batched encode with
+    the 40 variants memoized per batch (same shape as
+    ``attach_real_payload``)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, bytes] = {}
+
+        def payload_for(v: int) -> bytes:
+            if v not in cache:
+                p = _apng_params(v)
+                cache[v] = make_apng(
+                    p["width"], p["height"], p["n_frames"]
+                )
+            return cache[v]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "payload": [
+                        payload_for(int(d) % _N_VARIANTS)
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(encode, schema=schema)
+
+
+def sample_frames_real(media: DataFrame, stride: int = 2) -> DataFrame:
+    """Real frame sampling: demux each APNG payload, keep every
+    ``stride``-th frame, pixel-decode the reassembled per-frame PNG,
+    and emit typed frame records with content statistics.
+
+    The pixel sums are computed from bytes that round-tripped the
+    container (encode → demux → standalone PNG → zlib inflate), so a
+    mux/demux bug cannot cancel out — the oracle recomputes the same
+    sums from the generator arithmetic, never from the bytes.  When
+    PIL is importable the demuxed frame count is cross-checked
+    against PIL's own APNG reader (``n_frames``); without PIL the
+    stdlib path is the decode — no stub, no NotImplementedError.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("n_pixels", T.LongType()),
+            T.StructField("pixel_sum", T.LongType()),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "frame_idx", "width", "height",
+                    "n_pixels", "pixel_sum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                frames = extract_frames(b)
+                if _HAS_PIL:
+                    with _PILImage.open(io.BytesIO(b)) as im:
+                        n_pil = getattr(im, "n_frames", 1)
+                    if n_pil != len(frames):
+                        raise ValueError(
+                            f"PIL sees {n_pil} frames, demux found "
+                            f"{len(frames)}"
+                        )
+                for idx, w, h, png in frames:
+                    if idx % stride:
+                        continue
+                    px = decode_gray_png(png)
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_pixels"].append(px.size)
+                    out["pixel_sum"].append(int(px.sum()))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        sample, schema=schema
     )

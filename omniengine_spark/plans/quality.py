@@ -84,6 +84,123 @@ def quality_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p.*")
 
 
+_KMV_K = 1024  # rsd ~ 1/sqrt(K-2) ~ 3.1%
+_H_MAX = float(16**15)  # hashes live in [0, 2^60)
+
+
+@query(
+    "quality_column_profile_approx",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT 'o_orderkey' AS column_name,
+             CAST(o_orderkey AS VARCHAR) AS v FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM orders
+    ), hashed AS (
+      SELECT DISTINCT column_name,
+             CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h
+      FROM pairs WHERE v IS NOT NULL
+    ), ranked AS (
+      SELECT column_name, h,
+             ROW_NUMBER() OVER (PARTITION BY column_name
+                                ORDER BY h) AS rn
+      FROM hashed
+    ), sketch AS (
+      SELECT column_name, MAX(h) AS kth, COUNT(*) AS n_seen
+      FROM ranked WHERE rn <= {_KMV_K}
+      GROUP BY column_name
+    )
+    SELECT column_name,
+           CASE WHEN n_seen < {_KMV_K} THEN n_seen
+                ELSE CAST(FLOOR({_KMV_K - 1}.0 * {_H_MAX!r}
+                                / CAST(kth AS DOUBLE)) AS BIGINT)
+           END AS n_distinct_est
+    FROM sketch
+    """,
+)
+def quality_column_profile_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fixed-memory distinct profile: the 100× answer to
+    ``quality_column_profile``'s four exact ``count_distinct`` columns
+    (each adds an Expand branch; at scale the multi-distinct Expand is
+    a 5× row blowup through the widest shuffle).
+
+    A K-minimum-values sketch per column instead: keep the K smallest
+    60-bit md5 hashes of the column's distinct values; if fewer than K
+    distinct values exist the sketch IS exact, otherwise
+    ``est = (K-1) * H_MAX / kth_smallest``.  State per column is K
+    longs — mergeable (union of K-min sets, re-prune to K), shuffle is
+    (column, hash) pairs only, never value payloads.
+
+    Unlike ``approx_count_distinct`` (whose HLL++ register layout is
+    engine-private, so DuckDB could never reproduce the number), every
+    step here is portable-exact: the 15-hex-digit md5 prefix matches
+    ``operators.reconcile.portable_fingerprint``; the estimator is one
+    IEEE-754 double multiply+divide+floor, bit-identical on JVM and
+    C++.  The approx plan therefore stays HASH-checked, not bound-
+    checked — the repo's standard trick of making the approximation
+    deterministic rather than weakening the oracle.
+
+    Two-level top-K (per-salt then global) keeps the global window's
+    per-column partition bounded at 64·K rows regardless of N.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = orders.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.*").filter(F.col("v").isNotNull())
+
+    hashed = pairs.select(
+        "column_name",
+        F.conv(F.substring(F.md5("v"), 1, 15), 16, 10)
+        .cast("decimal(38,0)")
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+
+    # local prune: each salt bucket yields its own K smallest, so the
+    # global top-K (a subset of the union) survives; the global window
+    # then ranks <= 64*K rows per column, not N
+    salted = hashed.withColumn("salt", F.pmod(F.col("h"), F.lit(64)))
+    w_local = Window.partitionBy("column_name", "salt").orderBy("h")
+    w_global = Window.partitionBy("column_name").orderBy("h")
+    pruned = (
+        salted.withColumn("rn", F.row_number().over(w_local))
+        .filter(F.col("rn") <= _KMV_K)
+        .withColumn("rng", F.row_number().over(w_global))
+        .filter(F.col("rng") <= _KMV_K)
+    )
+    sketch = pruned.groupBy("column_name").agg(
+        F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_seen")
+    )
+    est = F.when(F.col("n_seen") < _KMV_K, F.col("n_seen")).otherwise(
+        F.floor(
+            F.lit(float(_KMV_K - 1))
+            * F.lit(_H_MAX)
+            / F.col("kth").cast("double")
+        ).cast("long")
+    )
+    return sketch.select(
+        "column_name", est.cast("long").alias("n_distinct_est")
+    )
+
+
 @query(
     "quality_constraint_checks",
     oracle="""

@@ -184,3 +184,100 @@ def test_connected_components_empty_pairs_short_circuits(spark):
     # 50 propagation rounds of checkpoint+collect would take far
     # longer than the single isEmpty probe
     assert elapsed < 10, elapsed
+
+
+def test_kmv_profile_estimate_within_bound(spark):
+    """The KMV distinct sketch must land within ~3*rsd of exact for
+    estimated columns and be EXACT when a column has < K distinct
+    values (the sketch saw everything)."""
+    from omniengine_spark.plans.quality import (
+        _KMV_K,
+        _PROFILE_COLS,
+        quality_column_profile_approx,
+    )
+    from omniengine_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.01"
+    est = {
+        r["column_name"]: r["n_distinct_est"]
+        for r in quality_column_profile_approx(spark, sf).collect()
+    }
+    orders = load_table(spark, sf, "orders")
+    exact = orders.agg(
+        *[F.count_distinct(c).alias(c) for c in _PROFILE_COLS]
+    ).collect()[0]
+    rsd = (_KMV_K - 2) ** -0.5
+    for c in _PROFILE_COLS:
+        if exact[c] < _KMV_K:
+            assert est[c] == exact[c], c
+        else:
+            assert abs(est[c] - exact[c]) <= 3 * rsd * exact[c], (
+                c, est[c], exact[c],
+            )
+
+
+def test_apng_mux_demux_roundtrip_pixels():
+    """Every variant's APNG demuxes to the declared frame count and
+    each reassembled frame pixel-decodes to the generator pattern."""
+    for v in (0, 7, 13, 39):
+        p = M._apng_params(v)
+        frames = M.extract_frames(M.make_apng(**p))
+        assert len(frames) == p["n_frames"]
+        for i, w, h, png in frames:
+            px = M.decode_gray_png(png)
+            assert px.shape == (p["height"], p["width"])
+            assert int(px.sum()) == sum(
+                (x * 7 + y * 13 + i * 29) % 256
+                for y in range(h)
+                for x in range(w)
+            )
+
+
+def test_apng_demux_rejects_corruption():
+    b = bytearray(M.make_apng(4, 3, 2))
+    b[60] ^= 0xFF  # flip a byte inside a chunk body
+    with pytest.raises(ValueError):
+        M.extract_frames(bytes(b))
+
+
+def test_sample_frames_real_pil_crosscheck(spark, monkeypatch):
+    """With a (fake) PIL importable, the sampler cross-checks its
+    demuxed frame count against PIL's APNG reader — a disagreeing
+    reader must fail loudly, an agreeing one must pass."""
+    import io as _io
+
+    class _FakeIm:
+        def __init__(self, n):
+            self.n_frames = n
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    apng = M.make_apng(3, 2, 4)
+    monkeypatch.setattr(M, "_HAS_PIL", True)
+
+    class _GoodPIL:
+        @staticmethod
+        def open(buf):
+            return _FakeIm(4)
+
+    monkeypatch.setattr(M, "_PILImage", _GoodPIL, raising=False)
+    media = spark.createDataFrame(
+        [(1, bytearray(apng))], "doc_id long, payload binary"
+    )
+    # kernel runs on executors with the monkeypatched module captured
+    # in the closure — collect() succeeding IS the agreement check
+    rows = M.sample_frames_real(media, stride=2).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 2]
+
+    class _BadPIL:
+        @staticmethod
+        def open(buf):
+            return _FakeIm(7)
+
+    monkeypatch.setattr(M, "_PILImage", _BadPIL, raising=False)
+    with pytest.raises(Exception, match="frames"):
+        M.sample_frames_real(media, stride=2).collect()
