@@ -590,6 +590,26 @@ def hyperplane_lsh_buckets(
     )
 
 
+def adaptive_planes_sql(
+    count_col: str = "cnt", occupancy: int = 64, floor_bits: int = 4
+) -> str:
+    """Active plane count for occupancy-stable LSH, as an SQL fragment
+    valid on BOTH Spark and DuckDB: the smallest p with
+    2^p >= ceil(N / occupancy), floored at ``floor_bits`` — i.e.
+    expected bucket occupancy pinned at ~``occupancy`` regardless of
+    N.  Integer-only (ceil-div + binary-string length), so both
+    engines derive the IDENTICAL bit count from the same COUNT(*):
+    no libm log2 whose last ulp could flip a ceil between engines.
+    Ceil-div is ``floor((n + occ-1) / occ.0)`` because the integer-
+    division TOKEN differs (Spark ``div``, DuckDB ``//``) while double
+    division of exact-in-double ints is portable."""
+    m = (
+        f"CAST(floor(((({count_col}) + {occupancy - 1})"
+        f" / {occupancy}.0)) AS BIGINT)"
+    )
+    return f"greatest({floor_bits}, length(bin({m} - 1)))"
+
+
 def lsh_ann_topk(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -599,6 +619,8 @@ def lsh_ann_topk(
     seed: int = 42,
     dim: int = 64,
     n_tables: int = 1,
+    target_occupancy: int | None = None,
+    max_planes: int = 16,
 ) -> DataFrame:
     """Approximate cosine top-k: compare only within LSH buckets,
     unioned over ``n_tables`` independent hash tables.
@@ -612,10 +634,24 @@ def lsh_ann_topk(
     union-distinct across tables, then exactly rescored.  Still
     engine-independent: every table's planes are md5-derived, so the
     oracle rebuilds identical buckets.
+
+    With ``target_occupancy`` set, the ACTIVE bit count scales with
+    the data instead of being a constant: a fixed p means bucket
+    occupancy grows ∝ N and within-bucket pairs ∝ N² — measured
+    e≈1.34 at sf0.1→sf1, the thing that kills a 100× scale-up.  All
+    ``max_planes`` bits are computed per table, then masked down to
+    ``n_active = max(4, ceil(log2(N/64)))`` bits derived from COUNT(*)
+    with integer-portable arithmetic (``adaptive_planes_expr``) — so
+    occupancy stays ~64, candidate volume stays ∝ N·T, and the SQL
+    oracle still rebuilds identical buckets at ANY scale factor.  The
+    recall contract is per-bucket: holding recall while N grows means
+    raising ``n_tables`` (cost stays ∝ N·T); 16 max planes covers
+    N ≤ 64·2^16 ≈ 4.2M vectors per partition of the search space.
     """
     # all T bucket keys in ONE scan, exploded to (table, bucket) rows,
     # then a single self-join on the composite key — one shuffle and
     # one join instead of T of each
+    p_bits = max_planes if target_occupancy else n_planes
     keyed = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.explode(
@@ -624,7 +660,7 @@ def lsh_ann_topk(
                     F.struct(
                         F.lit(t).alias("t"),
                         hyperplane_bucket_expr(
-                            vec_col, n_planes, seed + t, dim
+                            vec_col, p_bits, seed + t, dim
                         ).alias("bucket"),
                     )
                     for t in range(n_tables)
@@ -632,6 +668,20 @@ def lsh_ann_topk(
             )
         ).alias("tb"),
     ).select("vec_id", "tb.t", "tb.bucket")
+    if target_occupancy:
+        n_active = adaptive_planes_sql("cnt", target_occupancy)
+        nfr = vectors.agg(F.count(F.lit(1)).alias("cnt")).select(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({n_active} AS INT))"
+            ).alias("two_p")
+        )
+        keyed = keyed.crossJoin(F.broadcast(nfr)).select(
+            "vec_id",
+            "t",
+            F.col("bucket")
+            .bitwiseAND(F.col("two_p") - 1)
+            .alias("bucket"),
+        )
     # candidates as UNORDERED pairs (a < b): cosine is symmetric —
     # dot(a,b) is the same products in the same index order as
     # dot(b,a) and na·nb == nb·na bitwise — so each pair is scored
@@ -879,12 +929,29 @@ def pq_seeded_topk(
     )
 
 
+def adaptive_clusters_sql(count_col: str = "cnt", floor_k: int = 16) -> str:
+    """Centroid count for SemDeDup at scale, as an SQL fragment valid
+    on both engines: k = max(floor_k, ceil(sqrt(N/2))) — the balance
+    point of assignment cost (N·k dots) against in-cluster pair cost
+    (N²/2k dots), total 2·N·√(N/2).  sqrt and ceil are IEEE
+    correctly-rounded, so both engines derive the identical k.  A
+    FIXED k is quadratic in within-cluster pairs (measured e≈+1.31 at
+    sf0.1→sf1); √N-scaled k brings the exponent to 1.5, and the next
+    rung (out of scope here) is ANN-assisted assignment, which makes
+    assignment O(N) and restores near-linearity."""
+    return (
+        f"greatest({floor_k}, "
+        f"CAST(ceil(sqrt(({count_col}) / 2.0)) AS BIGINT))"
+    )
+
+
 def semantic_prune(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 16,
+    n_clusters: int | None = 16,
     threshold: float = 0.4,
+    min_clusters: int = 16,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: bucket embeddings by nearest
     centroid, compare pairs ONLY within a bucket, drop every vector
@@ -899,11 +966,37 @@ def semantic_prune(
     in-cluster pairs, keep/drop — is exactly reproducible by a SQL
     oracle.
 
-    Plan shape: one broadcast cross join against k centroids + argmax
-    window for assignment, one (cluster)-keyed shuffle for the
-    self-join, one anti-join-style left join for the verdict.  Output:
+    Exactness under BLAS (the cosine_pair_join discipline): both hot
+    loops — the N·k assignment and the Σ|c|² in-cluster pair scan —
+    were interpreted zip_with/aggregate folds (~7 µs per 64-dim dot:
+    Spark's higher-order lambdas never enter codegen), which
+    dominated the plan 35× over the shuffles.  Both now run as numpy
+    gemms whose values only PRUNE with a safety margin (gemm error
+    ≲ d·ε ≈ 1e-13 ≪ the 1e-9 margin); every DECISION the oracle can
+    see is still made by the exact sequential fold: near-threshold
+    pairs are re-verified with ``_dot``, and near-tie argmax rows
+    (top1−top2 gap ≤ 2·margin) fall back to the exact fold argmax —
+    so the SQL oracle reproduces the identical result at any sf.
+
+    Plan shape: one bounded centroid collect (k ≤ √(N/2) — at larger
+    N ship centroids as a broadcast join instead), one Arrow
+    mapInPandas assignment, one (cluster)-keyed applyInPandas pair
+    scan (row-blocked so task memory stays bounded on hot clusters),
+    one exact-verify join, one anti-join verdict.  Output:
     (id, cluster, is_kept).
+
+    ``n_clusters=None`` scales k with the data
+    (``adaptive_clusters_sql``: max(16, ceil(sqrt(N/2)))) — a fixed k
+    makes within-cluster pairs quadratic in N.  The count read is one
+    bounded scalar (k parameterizes a ``limit``, which needs a Python
+    int); ``math.sqrt``/``math.ceil`` match the SQL fragment's IEEE
+    semantics, so the oracle still rebuilds the identical index.
     """
+    if n_clusters is None:
+        import math
+
+        n = vectors.count()
+        n_clusters = max(min_clusters, math.ceil(math.sqrt(n / 2.0)))
     h = md5_token_hash(F.col(id_col).cast("string"))
     seeds = (
         vectors.select(
@@ -915,42 +1008,134 @@ def semantic_prune(
         .limit(n_clusters)
         .select("cluster", "cvec", _norm(F.col("cvec")).alias("cnrm"))
     )
-    wa = Window.partitionBy("vid").orderBy(
-        F.col("csim").desc(), F.col("cluster").asc()
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
     )
-    assigned = (
-        vectors.select(
-            F.col(id_col).alias("vid"),
-            F.col(vec_col).alias("vec"),
-            _norm(F.col(vec_col)).alias("nrm"),
-        )
+
+    margin = 1e-9
+    srows = sorted(seeds.collect(), key=lambda r: r["cluster"])
+    c_ids = [int(r["cluster"]) for r in srows]
+    c_mat = np.stack(
+        [np.asarray(r["cvec"], dtype=np.float64) for r in srows]
+    )
+    c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+
+    asg_schema = T.StructType(
+        [
+            T.StructField("vid", T.LongType()),
+            T.StructField("cluster", T.LongType()),
+            T.StructField("certain", T.BooleanType()),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids = np.asarray(c_ids, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["vec"]]
+            )
+            vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+            sims = vm @ c_mat.T
+            # rows sorted by cluster asc → argmax's first-max IS the
+            # (sim desc, cluster asc) winner
+            top = np.argmax(sims, axis=1)
+            if sims.shape[1] > 1:
+                part = np.partition(sims, -2, axis=1)
+                gap = part[:, -1] - part[:, -2]
+            else:
+                gap = np.full(len(vm), np.inf)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"].to_numpy(),
+                    "cluster": ids[top],
+                    "certain": gap > 2 * margin,
+                }
+            )
+
+    rough = v.select("vid", "vec").mapInPandas(assign, asg_schema)
+    certain = rough.filter(F.col("certain")).select("vid", "cluster")
+    # near-tie rows (measure-zero on continuous data): exact fold
+    # argmax, the decision procedure the oracle states
+    unc = rough.filter(~F.col("certain")).select("vid")
+    exact_best = (
+        v.join(unc, "vid")
         .crossJoin(F.broadcast(seeds))
         .select(
             "vid",
-            "vec",
-            "nrm",
             "cluster",
             (
                 _dot(F.col("vec"), F.col("cvec"))
                 / (F.col("nrm") * F.col("cnrm"))
             ).alias("csim"),
         )
-        .withColumn("arank", F.row_number().over(wa))
-        .filter(F.col("arank") == 1)
-        .select("vid", "vec", "nrm", "cluster")
-    )
-    lo = assigned.select(
-        F.col("cluster").alias("b_cluster"),
-        F.col("vid").alias("b_vid"),
-        F.col("vec").alias("b_vec"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    droppers = (
-        assigned.join(
-            lo,
-            (F.col("cluster") == F.col("b_cluster"))
-            & (F.col("b_vid") < F.col("vid")),
+        .groupBy("vid")
+        .agg(
+            F.max_by(
+                "cluster", F.struct(F.col("csim"), -F.col("cluster"))
+            ).alias("cluster")
         )
+    )
+    best = certain.unionByName(exact_best)
+    assigned = v.join(best, "vid").select("vid", "vec", "nrm", "cluster")
+
+    # in-cluster candidate pairs: one gemm per cluster, row-blocked so
+    # a hot cluster's sims tile stays ≤ block·|c| doubles per task
+    pair_schema = T.StructType(
+        [
+            T.StructField("vid", T.LongType()),
+            T.StructField("b_vid", T.LongType()),
+        ]
+    )
+    cut = threshold - margin
+    block = 4096
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"vid": [], "b_vid": []}).astype("int64")
+        order = np.argsort(pdf["vid"].to_numpy(), kind="stable")
+        ids = pdf["vid"].to_numpy()[order]
+        vm = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in pdf["vec"]]
+        )[order]
+        vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+        hi_out, lo_out = [], []
+        for s in range(0, m, block):
+            e = min(s + block, m)
+            sims = vm[s:e] @ vm.T
+            ii, jj = np.nonzero(sims >= cut)
+            keep = jj < (ii + s)  # lower-id mate only, no self
+            hi_out.append(ids[ii[keep] + s])
+            lo_out.append(ids[jj[keep]])
+        return pd.DataFrame(
+            {
+                "vid": np.concatenate(hi_out)
+                if hi_out
+                else np.array([], dtype=np.int64),
+                "b_vid": np.concatenate(lo_out)
+                if lo_out
+                else np.array([], dtype=np.int64),
+            }
+        )
+
+    cand = assigned.select("vid", "vec", "cluster").groupBy(
+        "cluster"
+    ).applyInPandas(cluster_pairs, pair_schema)
+    # exact verification: the threshold decision is the fold's
+    droppers = (
+        cand.join(
+            v.select(
+                F.col("vid").alias("b_vid"),
+                F.col("vec").alias("b_vec"),
+                F.col("nrm").alias("b_nrm"),
+            ),
+            "b_vid",
+        )
+        .join(v, "vid")
         .filter(
             _dot(F.col("vec"), F.col("b_vec"))
             / (F.col("nrm") * F.col("b_nrm"))

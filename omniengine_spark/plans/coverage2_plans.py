@@ -678,3 +678,92 @@ def s9b_feed_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("rate").alias("max_rate"),
         (F.max("rate") - F.min("rate")).alias("spread"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S19 — time-travel reads over the versioned warehouse: "what did the
+# book say at block H" as a first-class scan.  Version 1 is the
+# balance book at a block cutoff, version 2 advances the tip, version
+# 3 is a schema migration (add a derived tier column) — all three
+# immutable, manifest-audited commits (sources/versioned.py).  The
+# plan diffs v1 against the migrated head across two snapshot reads;
+# the oracle restates both snapshots from the raw stream.  The
+# reference can only answer this by replaying its reorg undo
+# (sql.py:85-218) — here history is retained, not re-derived.
+# ---------------------------------------------------------------------------
+@query(
+    "s19_time_travel_diff",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(ROUND(value*100) AS BIGINT) AS cents
+      FROM events
+    ), v1 AS (
+      SELECT user_id, CAST(SUM(cents) AS BIGINT) AS cents
+      FROM ev
+      WHERE day <= (SELECT MIN(day) + 14 FROM ev)
+      GROUP BY user_id
+    ), v3 AS (
+      SELECT user_id, CAST(SUM(cents) AS BIGINT) AS cents,
+             CAST(SUM(cents) // 1000000 AS BIGINT) AS tier
+      FROM ev GROUP BY user_id
+    )
+    SELECT COALESCE(v1.user_id, v3.user_id) AS user_id,
+           CASE WHEN v1.user_id IS NULL THEN 'insert'
+                WHEN v1.cents <> v3.cents THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           v1.cents AS old_cents,
+           v3.cents AS new_cents,
+           v3.tier AS new_tier
+    FROM v1 FULL OUTER JOIN v3 ON v1.user_id = v3.user_id
+    WHERE v1.user_id IS NULL OR v1.cents <> v3.cents
+    """,
+)
+def s19_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omniengine_spark.sources.versioned import commit, read_version
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    split = ev.agg(
+        F.date_add(F.min("day"), 14).alias("s")
+    ).collect()[0]["s"]
+    book = lambda f: (  # noqa: E731
+        f.groupBy("user_id").agg(
+            F.sum("cents").cast("long").alias("cents")
+        )
+    )
+    path = scratch_dir("warehouse-s19")
+    commit(
+        book(ev.filter(F.col("day") <= F.lit(split))),
+        path,
+        f"balance book at block cutoff {split}",
+    )
+    commit(book(ev), path, "advance tip to head")
+    # schema patch as a commit: same audit trail as data rewrites
+    migrated = read_version(spark, path).withColumn(
+        "tier", (F.col("cents") / 1_000_000).cast("long")
+    )
+    commit(migrated, path, "schema v1: add tier column")
+
+    old = read_version(spark, path, version=1).alias("a")
+    new = read_version(spark, path).alias("b")  # head = v3
+    joined = old.join(
+        new, F.col("a.user_id") == F.col("b.user_id"), "full_outer"
+    )
+    change = (
+        F.when(F.col("a.user_id").isNull(), F.lit("insert"))
+        .when(F.col("a.cents") != F.col("b.cents"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias(
+            "user_id"
+        ),
+        change.alias("change_type"),
+        F.col("a.cents").alias("old_cents"),
+        F.col("b.cents").alias("new_cents"),
+        F.col("b.tier").alias("new_tier"),
+    ).filter(F.col("change_type") != "unchanged")

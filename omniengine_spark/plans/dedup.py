@@ -186,12 +186,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(docs, pairs, "doc_id")
 
 
-_SEM_K = 32
+_SEM_K = 32  # floor; k scales as max(32, ceil(sqrt(N/2))) — a FIXED
+# centroid count makes within-cluster pairs quadratic in N (measured
+# e≈+1.31 at sf0.1→sf1); the √N rule balances assignment vs pairs.
+# At the sf0.01 gate (N=500) and at sf0.1 (N=2000) k is 32 either
+# way, so the adaptive form is bit-identical where the driver checks.
 _SEM_TAU = 0.4
 _SEM_MD5_LONG = (
     "CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) "
     "AS UBIGINT) AS BIGINT)"
 )
+
+
+def _sem_k_sql() -> str:
+    from omniengine_spark.operators.similarity import (
+        adaptive_clusters_sql,
+    )
+
+    return adaptive_clusters_sql("COUNT(*)", floor_k=_SEM_K)
+
+
+_SEM_K_SQL = _sem_k_sql()
 
 
 @query(
@@ -204,9 +219,12 @@ _SEM_MD5_LONG = (
     ), hh AS (
       SELECT vec_id, v, {_SEM_MD5_LONG} AS h FROM e
     ), seeds AS (
-      SELECT vec_id AS cluster, v AS cv,
-             sqrt(list_dot_product(v, v)) AS cnrm
-      FROM hh ORDER BY h, cluster LIMIT {_SEM_K}
+      SELECT cluster, cv, cnrm FROM (
+        SELECT vec_id AS cluster, v AS cv,
+               sqrt(list_dot_product(v, v)) AS cnrm,
+               ROW_NUMBER() OVER (ORDER BY h, vec_id) AS srn
+        FROM hh
+      ) WHERE srn <= (SELECT {_SEM_K_SQL} FROM e)
     ), asg AS (
       SELECT vec_id, v, nrm, cluster FROM (
         SELECT n.vec_id, n.v, n.nrm, s.cluster,
@@ -243,5 +261,5 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semantic_prune(
         emb, "vec_id", "embedding",
-        n_clusters=_SEM_K, threshold=_SEM_TAU,
+        n_clusters=None, threshold=_SEM_TAU, min_clusters=_SEM_K,
     )

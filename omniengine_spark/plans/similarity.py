@@ -66,6 +66,14 @@ def sim_bruteforce_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_PLANES = 4
 _N_TABLES = 4
 _DIM = 64
+# occupancy-adaptive bits (operators.similarity.adaptive_planes_sql):
+# all _MAX_PLANES bits are computed, then masked down to
+# n_active = max(4, ceil(log2(N/64))) — at the sf0.01 gate n_active
+# is 4 (bit-identical to the fixed-plane round-4 plan); at sf1 it is
+# 9, pinning bucket occupancy ~64 and candidate volume ∝ N·T (the
+# fixed constant measured e≈+1.34 at sf0.1→sf1)
+_MAX_PLANES = 16
+_OCCUPANCY = 64
 
 
 def _plane_lit(p: list[float]) -> str:
@@ -74,19 +82,25 @@ def _plane_lit(p: list[float]) -> str:
 
 def _bucket_sql(seed: int) -> str:
     planes = S.deterministic_planes(
-        seed=seed, n_planes=_N_PLANES, dim=_DIM
+        seed=seed, n_planes=_MAX_PLANES, dim=_DIM
     )
-    return " | ".join(
+    bits = " | ".join(
         f"(CASE WHEN list_dot_product(v, {_plane_lit(planes[p])}) >= 0 "
         f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {p})"
-        for p in range(_N_PLANES)
+        for p in range(_MAX_PLANES)
     )
+    return f"(({bits}) & (SELECT two_p - 1 FROM n))"
 
 
 _TABLE_KEYS = ",\n             ".join(
     f"{_bucket_sql(42 + t)} AS k{t}" for t in range(_N_TABLES)
 )
 _TABLE_MATCH = " OR ".join(f"a.k{t} = c.k{t}" for t in range(_N_TABLES))
+_N_CTE = (
+    "SELECT CAST(1 AS BIGINT) << CAST("
+    + S.adaptive_planes_sql("COUNT(*)", _OCCUPANCY)
+    + " AS INT) AS two_p FROM e"
+)
 
 
 @query(
@@ -94,6 +108,8 @@ _TABLE_MATCH = " OR ".join(f"a.k{t} = c.k{t}" for t in range(_N_TABLES))
     oracle=f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), n AS (
+      {_N_CTE}
     ), b AS (
       SELECT vec_id, v,
              {_TABLE_KEYS}
@@ -129,6 +145,8 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=_N_PLANES,
         dim=_DIM,
         n_tables=_N_TABLES,
+        target_occupancy=_OCCUPANCY,
+        max_planes=_MAX_PLANES,
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
 

@@ -376,3 +376,47 @@ def test_incremental_lifecycle_converges_and_reorg_matters(spark):
     assert any(
         corrupted[b] != one_shot[b] for b in one_shot if q2 < b < hi
     )
+
+
+def test_versioned_warehouse_snapshot_isolation(spark, tmp_path):
+    """Versions are immutable (a later commit can't change an earlier
+    read), history survives commits + vacuum, unknown versions
+    refuse, and the manifest swap is the commit point (a staged-only
+    crash leaves the previous version current)."""
+    from omniengine_spark.sources import versioned as V
+
+    path = str(tmp_path / "tbl")
+    df1 = spark.range(5).withColumnRenamed("id", "k")
+    v1 = V.commit(df1, path, "initial")
+    df2 = spark.range(8).withColumnRenamed("id", "k")
+    v2 = V.commit(df2, path, "grow")
+    assert (v1, v2) == (1, 2)
+    assert V.read_version(spark, path, 1).count() == 5
+    assert V.read_version(spark, path).count() == 8
+    assert [e["description"] for e in V.version_history(path)] == [
+        "initial",
+        "grow",
+    ]
+
+    # crash before manifest swap: a staged dir must not be visible
+    import shutil
+
+    shutil.copytree(f"{path}/v=2", f"{path}/v=3.staging")
+    assert V.current_version(path) == 2
+    V.commit(spark.range(2).withColumnRenamed("id", "k"), path, "v3")
+    assert V.read_version(spark, path).count() == 2
+
+    with _expect_value_error():
+        V.read_version(spark, path, 99)
+
+    retired = V.vacuum(path, keep_last=2)
+    assert retired == [1]
+    with _expect_value_error():
+        V.read_version(spark, path, 1)
+    assert V.read_version(spark, path, 2).count() == 8
+
+
+def _expect_value_error():
+    import pytest
+
+    return pytest.raises(ValueError)
