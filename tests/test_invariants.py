@@ -273,3 +273,234 @@ def test_lm_fluency_mass_conservation(spark):
         # every trigram occurs at least once: its own occurrence
         assert r["avg_trigram_freq"] >= 1.0
         assert r["corpus_hits"] >= r["n_trigrams"]
+
+
+# ---- seeded generator sweep over the REAL pipeline ------------------
+# The fixed fixtures upstream exercise one event shape; this sweep
+# feeds ≥20 seeded random tx streams through stamp_serials →
+# expand_deltas → build_balances and checks the algebra the engine
+# rests on.  Pure-python expected state keeps each seed to a couple
+# of Spark actions (CI budget); order-dependence bugs (serial
+# stamping, reorg batching, consensus difference-trick) are exactly
+# what random interleavings catch and fixtures cannot.
+
+
+def _gen_tx_stream(seed: int):
+    """Random omni tx stream in the pipeline's input schema: issuances
+    (type 50) and simple sends (type 0) over 8 users × 3 properties ×
+    10 blocks, indivisible amounts (integer base units)."""
+    import random
+
+    rng = random.Random(seed)
+    txs = []
+    for i in range(rng.randint(60, 140)):
+        user = rng.randrange(8)
+        t = 50 if rng.random() < 0.35 else 0
+        txs.append(
+            {
+                "txid": f"t{i}",
+                "block": rng.randrange(10),
+                "position_in_block": i,
+                "type_int": t,
+                "valid": True,
+                "sending_address": f"u{user}",
+                "reference_address": f"u{(user + rng.randrange(1, 8)) % 8}",
+                "propertyid": rng.randrange(3),
+                "divisible": False,
+                "amount": str(rng.randint(1, 10_000)),
+            }
+        )
+    return txs
+
+
+_TX_SCHEMA = (
+    "txid string, block long, position_in_block long, type_int int, "
+    "valid boolean, sending_address string, reference_address string, "
+    "propertyid long, divisible boolean, amount string"
+)
+
+
+def _tx_df(spark, txs):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(txs, _TX_SCHEMA)
+    null_rec = F.lit(None)
+    return df.select(
+        "*",
+        null_rec.cast(
+            "array<struct<address:string,amount:string>>"
+        ).alias("recipients"),
+        null_rec.cast(
+            "array<struct<propertyid:bigint,divisible:boolean,"
+            "amount:string>>"
+        ).alias("subsends"),
+        null_rec.cast("bigint").alias("propertyid_desired"),
+        null_rec.cast("boolean").alias("divisible_desired"),
+        null_rec.cast(
+            "array<struct<address:string,amount_sold:string,"
+            "amount_received:string>>"
+        ).alias("matches"),
+    )
+
+
+def _expected_balances(txs):
+    """Pure-python fold: issuance credits the sender; a send debits
+    the sender and credits the reference address."""
+    bal: dict[tuple[str, int], int] = {}
+
+    def add(addr, prop, d):
+        bal[(addr, prop)] = bal.get((addr, prop), 0) + d
+
+    for tx in txs:
+        amt = int(tx["amount"])
+        if tx["type_int"] == 50:
+            add(tx["sending_address"], tx["propertyid"], amt)
+        else:
+            add(tx["sending_address"], tx["propertyid"], -amt)
+            add(tx["reference_address"], tx["propertyid"], amt)
+    return bal
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_pipeline_invariants_seeded(spark, seed):
+    from pyspark.sql import functions as F
+
+    from omniengine_spark.operators.reconcile import per_block_consensus
+    from omniengine_spark.pipeline import (
+        build_balances,
+        expand_deltas,
+        stamp_serials_distributed,
+        with_after_balances,
+    )
+
+    txs = _gen_tx_stream(seed)
+    deltas = expand_deltas(stamp_serials_distributed(_tx_df(spark, txs)))
+    deltas = deltas.cache()
+
+    # one collect drives balance + conservation + telescoping checks
+    after = with_after_balances(deltas).select(
+        "address",
+        "propertyid",
+        "serial",
+        F.col("delta_base_units").cast("long").alias("d"),
+        F.col("after_balance").cast("long").alias("after"),
+    ).collect()
+
+    want = _expected_balances(txs)
+
+    # (1) fold correctness + per-property conservation
+    got_final: dict[tuple[str, int], int] = {}
+    for r in sorted(after, key=lambda r: r["serial"]):
+        got_final[(r["address"], r["propertyid"])] = r["after"]
+    assert got_final == {k: v for k, v in want.items()}
+    for prop in {p for (_, p) in want}:
+        issued = sum(
+            int(t["amount"])
+            for t in txs
+            if t["type_int"] == 50 and t["propertyid"] == prop
+        )
+        assert (
+            sum(v for (a, p), v in got_final.items() if p == prop)
+            == issued
+        ), f"property {prop} not conserved"
+
+    # (2) after-balance telescoping: per key, after - prev_after == d
+    per_key: dict[tuple[str, int], list] = {}
+    for r in after:
+        per_key.setdefault((r["address"], r["propertyid"]), []).append(r)
+    for rows in per_key.values():
+        rows.sort(key=lambda r: r["serial"])
+        prev = 0
+        for r in rows:
+            assert r["after"] - prev == r["d"], "telescoping broke"
+            prev = r["after"]
+
+    # (3) build_balances == the same fold (groupBy path)
+    folded = {
+        (r["address"], r["propertyid"]): int(r["balance"])
+        for r in build_balances(deltas).collect()
+    }
+    assert folded == got_final
+
+    # (4) reorg convergence + consensus order-insensitivity: feeding
+    # the suffix blocks BEFORE the prefix must fingerprint identically
+    slim = deltas.select(
+        "address",
+        "propertyid",
+        "block",
+        F.col("delta_base_units").alias("delta"),
+    )
+    fork = 5
+    reordered = slim.filter(F.col("block") >= fork).unionByName(
+        slim.filter(F.col("block") < fork)
+    )
+    a = per_block_consensus(slim).collect()
+    b = per_block_consensus(reordered).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    deltas.unpersist()
+
+
+def _frozen_model(entries):
+    """Reference fold for frozen_balance_replay: (available, frozen)."""
+    available, frozen, is_frozen = 0, 0, False
+    for kind, delta in entries:
+        if kind == "freeze":
+            frozen += available
+            available = 0
+            is_frozen = True
+        elif kind == "unfreeze":
+            available += frozen
+            frozen = 0
+            is_frozen = False
+        elif is_frozen:
+            frozen += delta
+        else:
+            available += delta
+    return available, frozen
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_frozen_rule_invariants_seeded(spark, seed):
+    """Seeded freeze/unfreeze/delta interleavings: the operator must
+    match the sequential model exactly, the freeze machinery must
+    CONSERVE value (available+frozen == plain delta sum no matter
+    where freezes land), and freezing must be idempotent-safe."""
+    import random
+
+    from omniengine_spark.operators.replay import frozen_balance_replay
+
+    rng = random.Random(1000 + seed)
+    rows, models = [], {}
+    for key in range(6):
+        entries = []
+        for i in range(rng.randint(10, 40)):
+            r = rng.random()
+            if r < 0.15:
+                entries.append(("freeze", None))
+            elif r < 0.3:
+                entries.append(("unfreeze", None))
+            else:
+                entries.append(("delta", rng.randint(-500, 500)))
+        models[f"a{key}"] = entries
+        for i, (kind, d) in enumerate(entries):
+            rows.append((f"a{key}", 1, i, kind, d))
+    df = spark.createDataFrame(
+        rows,
+        "address string, propertyid long, serial long, kind string, "
+        "delta_base_units long",
+    )
+    got = {
+        r["address"]: (r["available"], r["frozen"])
+        for r in frozen_balance_replay(df).collect()
+    }
+    for addr, entries in models.items():
+        want = _frozen_model(entries)
+        assert got[addr] == want, (seed, addr)
+        # conservation: freeze/unfreeze shuffle value between columns,
+        # never create or destroy it
+        assert sum(want) == sum(
+            d for kind, d in entries if kind == "delta"
+        ), (seed, addr)
