@@ -325,3 +325,113 @@ def serve_property_holders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("available"), F.asc("address"))
         .limit(25)
     )
+
+
+_TTL_DAYS = 5  # reference BTCBAL_CACHE = 600 s; here the clock is
+# event-time days, so TTL semantics stay deterministic and replayable
+
+
+@query(
+    "serve_cached_rates",
+    oracle="""
+    WITH d AS (
+      SELECT user_id % 5 AS propertyid,
+             CAST(CAST(ts AS DATE) - (SELECT MIN(CAST(ts AS DATE))
+                                      FROM events) AS BIGINT) AS day,
+             CAST(ROUND(value*100) AS BIGINT) AS cents
+      FROM events
+    ), clk AS (
+      SELECT MAX(day) AS clock FROM d
+    ), v1 AS (
+      SELECT propertyid, MAX(cents) AS rate_cents
+      FROM d, clk WHERE day <= clock - 10 GROUP BY propertyid
+    ), v2 AS (
+      SELECT propertyid, MAX(cents) AS rate_cents
+      FROM d GROUP BY propertyid
+    )
+    SELECT 'hit' AS lookup, 1 AS cache_version,
+           (SELECT clock - 10 FROM clk) AS served_as_of_day,
+           FALSE AS refreshed,
+           CAST(COUNT(*) AS BIGINT) AS n_properties,
+           CAST(SUM(rate_cents) AS BIGINT) AS total_rate_cents
+    FROM v1
+    UNION ALL
+    SELECT 'stale', 2, (SELECT clock FROM clk), TRUE,
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(rate_cents) AS BIGINT)
+    FROM v2
+    """,
+)
+def serve_cached_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL-cached materialized view — the reference's Redis balance
+    cache (``cacher.py:5-36``, ``config.py.example`` BTCBAL_CACHE
+    600 s) re-expressed with zero external dependencies: the cache is
+    a VERSIONED materialized view (``sources.versioned``) whose
+    staleness bound travels IN the data (``as_of_day``), and TTL is a
+    rule over event time, not wall-clock — so the whole cache
+    lifecycle is deterministic and oracle-checkable.
+
+    Two lookups exercise both branches:
+
+    * ``hit``   — clock is within TTL of the cached version's
+      watermark → serve the cached version untouched (the reference's
+      Redis GET path);
+    * ``stale`` — clock has advanced past TTL → recompute, commit as
+      the next immutable version, serve THAT (the reference's
+      recompute + SETEX path), leaving the old version readable for
+      time travel.
+
+    Scale: the refresh is one partition-pruned aggregation + one
+    versioned commit; readers never block (snapshot isolation), and
+    the staleness decision reads only the manifest + one max().
+    """
+    from omniengine_spark.sources.sinks import scratch_dir
+    from omniengine_spark.sources.versioned import (
+        commit,
+        current_version,
+        read_version,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 5).alias("propertyid"),
+        F.datediff(
+            F.to_date("ts"),
+            F.min(F.to_date("ts")).over(Window.partitionBy()),
+        ).cast("long").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    clock = ev.agg(F.max("day")).collect()[0][0]
+
+    def rates_as_of(day: int) -> DataFrame:
+        return (
+            ev.filter(F.col("day") <= day)
+            .groupBy("propertyid")
+            .agg(F.max("cents").alias("rate_cents"))
+            .withColumn("as_of_day", F.lit(day).cast("long"))
+        )
+
+    path = scratch_dir("serve-rate-cache")
+    commit(rates_as_of(clock - 10), path, f"rates as of {clock - 10}")
+
+    def serve(now: int, label: str) -> DataFrame:
+        cached = read_version(spark, path)
+        as_of = cached.agg(F.max("as_of_day")).collect()[0][0]
+        refreshed = now - as_of > _TTL_DAYS
+        if refreshed:  # the SETEX path: recompute, commit, serve new
+            commit(rates_as_of(now), path, f"refresh at {now}")
+            cached = read_version(spark, path)
+        return cached.agg(
+            F.lit(label).alias("lookup"),
+            F.lit(current_version(path)).cast("int").alias(
+                "cache_version"
+            ),
+            F.max("as_of_day").alias("served_as_of_day"),
+            F.lit(refreshed).alias("refreshed"),
+            F.count(F.lit(1)).alias("n_properties"),
+            F.sum("rate_cents").cast("long").alias("total_rate_cents"),
+        )
+
+    # lookup 1: 3 days after the cached watermark — inside TTL
+    hit = serve(clock - 7, "hit")
+    # lookup 2: at the tip — past TTL, triggers the refresh commit
+    stale = serve(clock, "stale")
+    return hit.unionByName(stale)

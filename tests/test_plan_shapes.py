@@ -311,3 +311,47 @@ def test_runtime_bloom_filter_reaches_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_shuffle_bytes_ratchet():
+    """Data-movement ratchet: the bench-dominant plans must not grow
+    their measured shuffle-write bytes past 1.5× the recorded census
+    (+8 MB slack) at the smoke sf.  Seconds hide movement; this fails
+    the build when a plan starts shuffling more than it used to —
+    re-record tools/shuffle_census.json deliberately if the growth is
+    intended.  Runs in a subprocess because the census needs its own
+    UI-enabled SparkSession."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    census = repo / "tools" / "shuffle_census.json"
+    if not census.exists() or "/root/testdata/sf0.001" not in json.loads(
+        census.read_text()
+    ):
+        import pytest
+
+        pytest.skip("no recorded sf0.001 shuffle census")
+    # top plans only: full census in CI would double suite time
+    top = [
+        "dedup_clusters",
+        "sim_lsh_ann_topk",
+        "a15_address_stats",
+        "x2_reorg_recompute",
+        "dedup_semantic_prune",
+        "graph_pagerank",
+        "dedup_minhash_lsh",
+        "quality_column_profile",
+        "btc_wallet_clusters",
+        "omni_genesis_fold",
+    ]
+    proc = subprocess.run(
+        [sys.executable, str(repo / "tools" / "shuffle_census.py"),
+         "--check", "/root/testdata/sf0.001", *top],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
