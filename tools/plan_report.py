@@ -70,7 +70,36 @@ def main() -> None:
 
     import json
 
-    for fname in ("scale_soak.json", "scale_soak_sf1.json"):
+    census = _REPO / "tools" / "shuffle_census.json"
+    if census.exists():
+        blob = json.loads(census.read_text())
+        for sfd, rows in blob.items():
+            lines += [
+                "",
+                f"## Shuffle-bytes census (tools/shuffle_census.py @ {sfd})",
+                "",
+                "Measured data movement per plan (UI REST metrics).",
+                "Seconds hide movement; the ratchet test",
+                "(tests/test_plan_shapes.py) fails a plan whose write",
+                "bytes grow past 1.5× + 8 MB of this record.",
+                "",
+                "| plan | sec | shuffle write MB | shuffle read MB "
+                "| spill MB | input MB | stages |",
+                "|---|---|---|---|---|---|---|",
+            ]
+            for r in rows:
+                lines.append(
+                    f"| {r['plan']} | {r['sec']} "
+                    f"| {r['shuffle_write_mb']} | {r['shuffle_read_mb']} "
+                    f"| {r['spill_mb']} | {r['input_mb']} "
+                    f"| {r['n_stages']} |"
+                )
+
+    for fname in (
+        "scale_soak.json",
+        "scale_soak_sf1.json",
+        "scale_soak_sf5.json",
+    ):
         soak = _REPO / "tools" / fname
         if not soak.exists():
             continue

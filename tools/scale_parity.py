@@ -24,14 +24,20 @@ def main() -> None:
     from tests.conftest import make_duck
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    # The two Jaccard oracles are all-pairs in DuckDB — O(N²) list
-    # intersections (12.5M pairs at sf0.1) make the ORACLE the
-    # bottleneck; run them explicitly if you have the minutes.
+    # The Jaccard-family oracles are all-pairs in DuckDB — O(N²) list
+    # intersections (12.5M pairs at sf0.1; 1.25B at sf1) make the
+    # ORACLE the bottleneck; run them explicitly if you have the
+    # minutes.  The Spark plans themselves are banded/bucketed and
+    # fine at sf1 (see tools/scale_soak_sf1.json); their semantics at
+    # scale are pinned instead by the union-find/hypothesis tests.
     slow_oracles = {
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         # O(N²) DuckDB side: 20k vectors → 200M list-dot pairs
         "dedup_embedding_cosine",
+        # recursive-CTE closure over an all-pairs Jaccard edge list —
+        # tractable at the sf0.1 sweep, hours at sf1's 50k docs
+        "dedup_clusters",
     }
     names = sys.argv[2:] or sorted(set(ORACLES) - slow_oracles)
 
