@@ -141,34 +141,107 @@ def jaccard_similarity_join(
 
     # Prefix filtering is correct under ANY fixed global shingle order;
     # hash order is computable per row (sort + slice, no df-frequency
-    # join, no window, no extra shuffle) at the cost of a somewhat
-    # larger candidate set than rarity order — which the exact verify
-    # absorbs.  Joining on the 64-bit hash keeps shuffle rows narrow;
-    # hash collisions only ever ADD candidates, never drop pairs.
-    prefix_len = (
+    # join, no window, no extra shuffle).  Joining on the 64-bit hash
+    # keeps shuffle rows narrow; hash collisions only ever ADD
+    # candidates, never drop pairs.
+    #
+    # q=2 PAIR-prefix: the single-hash scheme is bucket-bound — when
+    # the shingle space saturates (low-entropy corpora: S possible
+    # shingles ≪ N·prefix postings) candidates grow Θ(P²/S) for P
+    # postings, i.e. quadratic in N (measured 9.2M candidates for
+    # 1,983 true pairs at 50k docs; e≈+1.76 at sf1→sf5).  The
+    # multi-prefix generalization: if |A∩B| ≥ o ≥ q then the q
+    # smallest common hashes ALL sit within the first
+    # |X| − o + q hashes of each doc (the i-th smallest common hash
+    # has ≥ o−i intersection elements after it, so its position is
+    # ≤ |X| − o + i).  With q=2 the join key becomes an ORDERED PAIR
+    # of prefix hashes — the key space squares to ~S²/2, so the same
+    # candidate formula Θ(P²/S²) collapses by a factor of S.  Because
+    # ``hs`` is sorted-distinct, both docs emit a shared (h1 < h2)
+    # pair identically — no canonicalization join needed.  Per-doc
+    # o ≥ ⌈t·|X|⌉ bounds the pair-level o = ⌈t·max(|A|,|B|)⌉ from
+    # below, so per-doc prefix lengths stay valid.
+    prefix_len2 = (
         F.size("hs")
         - F.expr(f"({t_num} * size(hs) + {t_den} - 1) div {t_den}")
-        + 1
+        + 2
     )
-    # explode_outer, not explode: InferFiltersFromGenerate would add a
-    # size()>0 filter and push it to the scan with the whole (HOF,
-    # interpreted) shingle expression inlined — measured 5× slower.
-    # shingle_docs guarantees non-empty arrays, so they are equivalent.
-    prefix = docs.select(
-        "doc_id",
-        F.size("hs").alias("n_sh"),
-        F.explode_outer(F.slice("hs", F.lit(1), prefix_len)).alias("shash"),
+    # localCheckpoint: ``pre`` feeds FOUR join branches (x/y pair
+    # emission, and the tiny fallback below derives from it too).
+    # Left lazy, Catalyst re-inlines the interpreted shingle HOF into
+    # every branch — and worse, pushes derived filters beneath the
+    # generate with the whole shingle expression substituted in,
+    # re-evaluating it per corpus row (the documented shingle_docs
+    # trap; measured 7× on the end-to-end plan).  The frame is
+    # bounded: N·prefix_len skinny rows.
+    pre = (
+        docs.select(
+            "doc_id",
+            F.size("hs").alias("n_sh"),
+            F.posexplode_outer(F.slice("hs", F.lit(1), prefix_len2)),
+        )
+        .select("doc_id", "n_sh", "pos", F.col("col").alias("h"))
+        .localCheckpoint()
     )
-
+    # C(L,2) ordered hash pairs per doc via a doc-local self-join:
+    # codegen'd SMJ on doc_id (an interpreted HOF nested-transform
+    # emitting the same pairs measured ~7 µs per element — the join
+    # keeps pair emission JVM-side and shuffle-bounded).
+    pairs = (
+        pre.alias("x")
+        .join(
+            pre.alias("y"),
+            (F.col("x.doc_id") == F.col("y.doc_id"))
+            & (F.col("x.pos") < F.col("y.pos")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id"),
+            F.col("x.n_sh").alias("n_sh"),
+            F.col("x.h").alias("h1"),
+            F.col("y.h").alias("h2"),
+        )
+    )
     # length filter (PPJoin): J(A,B) ≥ t ⟹ t·|B| ≤ |A| — pairs whose
     # set sizes differ by more than 1/t can never qualify, so the
     # residual prunes them at the join instead of at exact-verify.
-    # This is what keeps candidate growth near-linear when doc-length
-    # variance is high (the prefix buckets stay, the cross terms go).
-    cand = (
-        prefix.alias("a")
+    cand2 = (
+        pairs.alias("a")
         .join(
-            prefix.alias("b"),
+            pairs.alias("b"),
+            (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") * t_num <= F.col("b.n_sh") * t_den)
+            & (F.col("b.n_sh") * t_num <= F.col("a.n_sh") * t_den),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+    )
+    # q=2 needs pair overlap o = ⌈t·max⌉ ≥ 2.  o = 1 forces BOTH set
+    # sizes ≤ ⌊1/t⌋ (and the length filter already confines such pairs
+    # to each other), so the classic q=1 single-hash join over just
+    # the ≤⌊1/t⌋-shingle docs is the complete fallback — an empty
+    # frame at t > 1/2 n-gram settings on any real corpus, but it
+    # keeps the operator exact for every threshold.
+    # Derived from the checkpointed ``pre``, NOT by re-filtering
+    # ``docs`` — a size(hs) filter there would push beneath the scan
+    # with the shingle HOF inlined (see above).  The q=1 prefix is a
+    # strict prefix of the q=2 prefix (one element shorter), so the
+    # tiny postings are exactly pre's rows at pos < len1.
+    prefix_len1 = (
+        F.col("n_sh")
+        - F.expr(f"({t_num} * n_sh + {t_den} - 1) div {t_den}")
+        + 1
+    )
+    tprefix = pre.filter(
+        (F.col("n_sh") * t_num <= t_den) & (F.col("pos") < prefix_len1)
+    ).select("doc_id", "n_sh", F.col("h").alias("shash"))
+    cand1 = (
+        tprefix.alias("a")
+        .join(
+            tprefix.alias("b"),
             (F.col("a.shash") == F.col("b.shash"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("a.n_sh") * t_num <= F.col("b.n_sh") * t_den)
@@ -178,8 +251,8 @@ def jaccard_similarity_join(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .distinct()
     )
+    cand = cand2.unionByName(cand1).distinct()
 
     return _verify_jaccard(cand, docs, threshold)
 
@@ -237,9 +310,13 @@ def minhash_signatures(
     ]
     return (
         posting.groupBy("doc_id")
-        .agg(*mins)
+        # n_sh rides in the same agg for free (posting rows are the
+        # doc's distinct shingles): downstream banding uses it as the
+        # PPJoin length filter
+        .agg(*mins, F.count(F.lit(1)).alias("n_sh"))
         .select(
             "doc_id",
+            "n_sh",
             F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"),
         )
     )
@@ -266,6 +343,7 @@ def minhash_lsh_pairs(
 
     band_entries = sigs.select(  # sig[i] is post-agg array indexing
         "doc_id",
+        "n_sh",
         F.explode(
             F.array(
                 *[
@@ -282,12 +360,27 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("doc_id", "n_sh", "bb.band", "bb.bucket")
 
+    # Band candidates are inherently ∝ N²·P(random band collision) —
+    # the LSH scale lever is band_rows (collision P ≈ E[J^r]) traded
+    # against the miss bound (1−t^r)^b.  What IS free: the PPJoin
+    # length filter as a join residual — J ≥ t ⟹ t·|B| ≤ |A| — which
+    # discards size-mismatched random collisions before their shingle
+    # arrays are ever shuffled into the exact verify (sizes on this
+    # corpus are ~uniform 8–108 shingles, so ~4 of 5 random band
+    # collisions die here).
+    t_num, t_den = threshold.numerator, threshold.denominator
     cand = (
         band_entries.alias("a")
-        .join(band_entries.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .join(
+            band_entries.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") * t_num <= F.col("b.n_sh") * t_den)
+            & (F.col("b.n_sh") * t_num <= F.col("a.n_sh") * t_den),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -502,6 +595,18 @@ def simhash_near_pairs(
     Pigeonhole banding: split the 64 bits into k+1 chunks — any pair
     at distance ≤ k matches exactly on at least one chunk, so the join
     key is (chunk_idx, chunk_value), never an all-pairs scan.
+
+    Scale note: on low-entropy corpora the OUTPUT itself is quadratic
+    — SimHash fingerprints concentrate when documents draw from a
+    small vocabulary, so a constant FRACTION of all N²/2 pairs lands
+    within the Hamming radius (measured on the synthetic 31-word
+    corpus: 1,726 pairs at N=500; 21.0M pairs at N=50k — ~1.5% of all
+    pairs at both sizes).  Any exact algorithm is Ω(output), so a
+    super-linear wall-clock exponent there measures the answer, not
+    the plan; the banded candidate set stays within ~10× of the true
+    output (213.9M band pairs for 21.0M emitted at N=50k).  On real
+    web-scale text, fingerprints spread over 2^bits and the same plan
+    is output-sparse.
     """
     chunks = max_hamming + 1
     width = bits // chunks

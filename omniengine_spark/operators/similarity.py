@@ -650,10 +650,19 @@ def lsh_ann_topk(
     """
     # all T bucket keys in ONE scan, exploded to (table, bucket) rows,
     # then a single self-join on the composite key — one shuffle and
-    # one join instead of T of each
+    # one join instead of T of each.  The VECTOR (and its precomputed
+    # norm) rides along on the keyed row: N·T vector-bearing rows
+    # shuffle once into bucket co-partitions, and each collision is
+    # scored INLINE at join emit.  The alternative — skinny pairs,
+    # distinct, then two joins to re-fetch vectors — shuffles
+    # occupancy× more vector payload (measured 141 s / e≈+1.10 at sf5
+    # vs this shape's near-linear cost: the per-pair fold is ~µs while
+    # a pair-row carrying two 64-double arrays is ~1 KB of exchange).
     p_bits = max_planes if target_occupancy else n_planes
     keyed = vectors.select(
         F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
         F.explode(
             F.array(
                 *[
@@ -667,7 +676,7 @@ def lsh_ann_topk(
                 ]
             )
         ).alias("tb"),
-    ).select("vec_id", "tb.t", "tb.bucket")
+    ).select("vec_id", "vec", "nrm", "tb.t", "tb.bucket")
     if target_occupancy:
         n_active = adaptive_planes_sql("cnt", target_occupancy)
         nfr = vectors.agg(F.count(F.lit(1)).alias("cnt")).select(
@@ -677,6 +686,8 @@ def lsh_ann_topk(
         )
         keyed = keyed.crossJoin(F.broadcast(nfr)).select(
             "vec_id",
+            "vec",
+            "nrm",
             "t",
             F.col("bucket")
             .bitwiseAND(F.col("two_p") - 1)
@@ -685,51 +696,24 @@ def lsh_ann_topk(
     # candidates as UNORDERED pairs (a < b): cosine is symmetric —
     # dot(a,b) is the same products in the same index order as
     # dot(b,a) and na·nb == nb·na bitwise — so each pair is scored
-    # once and mirrored afterwards.  Halves the dominant cost (the
-    # per-pair 64-element fold) and halves the distinct's shuffle.
-    cand = (
+    # once and mirrored afterwards.  A pair colliding in several
+    # tables folds once per collision, but every collision computes
+    # the IDENTICAL double (same arrays, same fold order), so the
+    # distinct on (query, nbr, score) still collapses it to one row
+    # and the oracle is unchanged.
+    scored = (
         keyed.alias("a")
         .join(keyed.alias("b"), ["t", "bucket"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("query_id"),
             F.col("b.vec_id").alias("nbr_id"),
-        )
-        .distinct()
-    )
-    # norms precomputed once per VECTOR, not once per pair — the
-    # resulting doubles are the identical folds, so score =
-    # dot/(na·nb) is bit-equal to cosine() and the oracle unchanged
-    v = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("vec"),
-        _norm(F.col(vec_col)).alias("nrm"),
-    )
-    scored = (
-        cand.join(
-            v.select(
-                F.col("vec_id").alias("query_id"),
-                F.col("vec").alias("qv"),
-                F.col("nrm").alias("qn"),
-            ),
-            "query_id",
-        )
-        .join(
-            v.select(
-                F.col("vec_id").alias("nbr_id"),
-                F.col("vec").alias("nv"),
-                F.col("nrm").alias("nn"),
-            ),
-            "nbr_id",
-        )
-        .select(
-            "query_id",
-            "nbr_id",
             (
-                _dot(F.col("qv"), F.col("nv"))
-                / (F.col("qn") * F.col("nn"))
+                _dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
             ).alias("score"),
         )
+        .distinct()
     )
     both = scored.unionByName(
         scored.select(
