@@ -714,6 +714,12 @@ def lsh_ann_topk(
             ).alias("score"),
         )
         .distinct()
+        # materialize once: the mirror union below would otherwise
+        # duplicate the whole scan→bucket→join→score subtree into
+        # both branches (AQE exchange reuse is not guaranteed across
+        # union arms).  Bounded: one skinny (id, id, score) row per
+        # candidate pair — ∝ N·T·occupancy/2.
+        .localCheckpoint()
     )
     both = scored.unionByName(
         scored.select(

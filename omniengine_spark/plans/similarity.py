@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from omniengine_spark.operators import similarity as S
 from omniengine_spark.plans.registry import query
-from omniengine_spark.sources import load_table
+from omniengine_spark.sources import fan_out, load_table
 
 _N_QUERIES = 20  # first N vec_ids serve as the query set
 _K = 5
@@ -136,7 +136,11 @@ _N_CTE = (
     """,
 )
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out: the inline-scored bucket join computes its hyperplane
+    # folds and pair scores BEFORE the first exchange, so the
+    # single-row-group testdata file would serialize all of it onto
+    # one core (a no-op on a real multi-split warehouse scan)
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     out = S.lsh_ann_topk(
         emb,
         "vec_id",
