@@ -46,7 +46,9 @@ _K = 5
     """,
 )
 def sim_bruteforce_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out: encode/gemm work runs before the first exchange — a
+    # single-row-group input file would serialize it onto one core
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.orderBy("vec_id").limit(_N_QUERIES)
     out = S.brute_force_topk(emb, queries, "vec_id", "embedding", k=_K)
     return out.withColumn("rank", F.col("rank").cast("int"))
@@ -221,7 +223,9 @@ _MD5_ID_HASH = """
     """,
 )
 def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out: encode/gemm work runs before the first exchange — a
+    # single-row-group input file would serialize it onto one core
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.orderBy("vec_id").limit(_N_QUERIES)
     out = S.ivf_ann_topk_portable(
         emb, queries, "vec_id", "embedding",
@@ -338,7 +342,9 @@ _PQ_RANK_SQL = f"""
     """,
 )
 def sim_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out: encode/gemm work runs before the first exchange — a
+    # single-row-group input file would serialize it onto one core
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.orderBy("vec_id").limit(_N_QUERIES)
     return S.pq_seeded_topk(
         emb,
@@ -390,7 +396,9 @@ def sim_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out: encode/gemm work runs before the first exchange — a
+    # single-row-group input file would serialize it onto one core
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.orderBy("vec_id").limit(_N_QUERIES)
 
     # coarse quantizer: the PQ seed vectors double as IVF centroids
