@@ -281,3 +281,70 @@ def test_sample_frames_real_pil_crosscheck(spark, monkeypatch):
     monkeypatch.setattr(M, "_PILImage", _BadPIL, raising=False)
     with pytest.raises(Exception, match="frames"):
         M.sample_frames_real(media, stride=2).collect()
+
+
+def test_jaccard_join_matches_naive_across_thresholds(spark):
+    """The q=2 pair-prefix candidate scheme must equal the brute-force
+    all-pairs join at EVERY threshold — including ones where the pair
+    overlap bound o = ceil(t*max) can be 1, which routes tiny shingle
+    sets through the q=1 fallback branch (dead on the main corpus,
+    where every doc has >= 8 shingles)."""
+    from fractions import Fraction
+
+    from omniengine_spark.operators.dedup import (
+        hashed_shingle_docs,
+        jaccard_similarity_join,
+    )
+
+    rows = [
+        # identical single-shingle docs (3 tokens -> 1 shingle):
+        # only a q=1 fallback can pair these at low thresholds
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma"),
+        # single-shingle doc vs its 2-shingle extension (J = 1/2)
+        (3, "alpha beta gamma delta"),
+        # medium docs, near-dup pair (high J)
+        (4, "one two three four five six seven eight nine ten"),
+        (5, "one two three four five six seven eight nine ten extra"),
+        # medium doc sharing a suffix with 4/5 (moderate J)
+        (6, "five six seven eight nine ten eleven twelve"),
+        # unrelated docs
+        (7, "red green blue cyan magenta yellow black white"),
+        (8, "do re mi fa sol la si do re mi"),
+    ] + [
+        # filler so prefixes are real strict subsets of the sets
+        (100 + i, " ".join(f"w{i}k{j}" for j in range(12)))
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    hd = hashed_shingle_docs(docs, "doc_id", "text", 3)
+    a = hd.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    b = hd.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb"))
+    union = F.size("ha") + F.size("hb") - inter
+    naive_all = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    )
+
+    for t in (Fraction(4, 5), Fraction(1, 2), Fraction(1, 3)):
+        got = sorted(
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in jaccard_similarity_join(
+                docs, "doc_id", "text", n=3, threshold=t
+            ).collect()
+        )
+        want = sorted(
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in naive_all.filter(
+                F.col("jaccard") >= float(t)
+            ).collect()
+        )
+        assert got == want, f"threshold {t}: {got} != {want}"
+        assert want, f"threshold {t} matched nothing — fixture too weak"
