@@ -188,7 +188,7 @@ def omni_genesis_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
              'u' || CAST(user_id AS VARCHAR) AS sender,
              'u' || CAST(user_id + 1 AS VARCHAR) AS ref,
              user_id % 5 AS propertyid,
-             CAST(epoch(ts) AS BIGINT) // 86400 AS block,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS block,
              CASE WHEN user_id % 2 = 0
                   THEN CAST(CAST(value AS DECIMAL(38,8)) * 100000000
                             AS BIGINT)
@@ -264,7 +264,7 @@ def x7b_consensus_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
              'u' || CAST(user_id AS VARCHAR) AS sender,
              'u' || CAST(user_id + 1 AS VARCHAR) AS ref,
              user_id % 5 AS propertyid,
-             CAST(epoch(ts) AS BIGINT) // 86400 AS block,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS block,
              CASE WHEN user_id % 2 = 0
                   THEN CAST(CAST(value AS DECIMAL(38,8)) * 100000000
                             AS BIGINT)

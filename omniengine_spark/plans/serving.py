@@ -142,9 +142,9 @@ def serve_address_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tx AS (
       SELECT event_id, user_id,
              CASE WHEN event_type = 'signup' THEN 50 ELSE 0 END AS t,
-             CAST(epoch(ts) AS BIGINT) // 86400 AS d,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
              ROW_NUMBER() OVER (
-               ORDER BY CAST(epoch(ts) AS BIGINT) // 86400, event_id)
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT) // 86400, event_id)
                AS serial
       FROM events WHERE event_type IN ('signup', 'purchase')
     ), touch AS (
