@@ -134,6 +134,14 @@ def jaccard_similarity_join(
     |X| − ⌈t·|X|⌉ + 1 shingles of *both* documents — so joining only
     on those prefixes cannot miss a qualifying pair.  Survivors are
     verified with the exact intersection size.
+
+    Build-time cost note: construction runs an EAGER localCheckpoint
+    of the prefix frame (N·prefix_len skinny rows) — the full shingle
+    scan executes when this function is CALLED, not at first action.
+    Explain-only callers (plan reports, shape tests) pay that scan
+    too; the lineage cut is deliberate (see the inline comment — lazy
+    checkpointing lets Catalyst re-inline the interpreted shingle HOF
+    into all four join branches, measured 7× slower end-to-end).
     """
     t_num, t_den = threshold.numerator, threshold.denominator
 

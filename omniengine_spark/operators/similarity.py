@@ -602,10 +602,14 @@ def adaptive_planes_sql(
     no libm log2 whose last ulp could flip a ceil between engines.
     Ceil-div is ``floor((n + occ-1) / occ.0)`` because the integer-
     division TOKEN differs (Spark ``div``, DuckDB ``//``) while double
-    division of exact-in-double ints is portable."""
+    division of exact-in-double ints is portable.  The ceil-div is
+    clamped to >= 1: an empty input (COUNT(*)=0) would otherwise give
+    m=0 and bin(-1) = 64 ones, exploding the active bit count to 64
+    (and overflowing shiftleft(1, 64) masks downstream); clamped, an
+    empty/tiny corpus falls to the ``floor_bits`` case."""
     m = (
-        f"CAST(floor(((({count_col}) + {occupancy - 1})"
-        f" / {occupancy}.0)) AS BIGINT)"
+        f"greatest(CAST(floor(((({count_col}) + {occupancy - 1})"
+        f" / {occupancy}.0)) AS BIGINT), 1)"
     )
     return f"greatest({floor_bits}, length(bin({m} - 1)))"
 

@@ -45,7 +45,19 @@ def get_spark(
     # On a real cluster this is spark.executor.memory; here one knob
     # sizes the single JVM.  Applies only when this process creates
     # the JVM — a harness-built session keeps the harness's setting.
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # Default derives from physical RAM (60%, capped at 48g): an -Xmx
+    # larger than the machine doesn't fail fast, it grows until the
+    # OS OOM-killer fires mid-job.  SPARK_GRAFT_DRIVER_MEM overrides
+    # (e.g. "8g" for the spill-regime soak).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if not driver_mem:
+        try:
+            phys_gb = (
+                os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+            ) >> 30
+            driver_mem = f"{max(2, min(48, int(phys_gb * 0.6)))}g"
+        except (ValueError, OSError, AttributeError):
+            driver_mem = "8g"
 
     builder = (
         SparkSession.builder.appName(app_name)

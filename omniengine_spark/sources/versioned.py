@@ -18,11 +18,15 @@ Properties:
   once; a concurrent commit cannot change the files under an already-
   resolved version dir (immutability is by construction — commits
   only ever create NEW dirs);
-- commits are crash-safe: data lands in a ``.staging`` dir, is
-  renamed to its final ``v=N`` name, and only then does the manifest
-  swap (write temp + ``os.replace``, atomic on POSIX).  A crash
-  before the manifest swap leaves the table at the previous version
-  with an orphan dir a later commit ignores/overwrites;
+- commits are crash-safe AND writer-safe: each commit first claims
+  its version number with an exclusive ``os.mkdir(v=N)`` (atomic on
+  POSIX — two racing writers get DIFFERENT numbers; nothing ever
+  deletes a directory another writer may own), writes data into the
+  claimed dir, then publishes under a lock file (``O_EXCL`` create)
+  that serializes the manifest read-modify-write.  A crash after the
+  claim but before the manifest swap leaves an orphan ``v=N`` dir
+  readers never see (they resolve only manifest-listed versions);
+  later commits skip past it and ``vacuum`` retires it;
 - migration history travels in the manifest: ``commit`` records a
   description per version, so schema patches (``sources.migrate``)
   and reorg rewrites are the same audit trail.
@@ -38,6 +42,8 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
+from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,6 +73,47 @@ def version_history(path: str) -> list[dict]:
     return _load_manifest(path)["versions"]
 
 
+def _claim_version(path: str, start: int) -> tuple[int, Path]:
+    """Atomically claim the next free version dir via exclusive mkdir.
+
+    ``os.mkdir`` on an existing dir raises, so two racing writers are
+    guaranteed DIFFERENT version numbers and neither ever touches (let
+    alone deletes) a directory the other may be writing into.  Dirs
+    already present — committed versions or crash orphans — are simply
+    skipped past; orphans stay invisible (readers resolve only
+    manifest-listed versions) until ``vacuum`` retires them."""
+    version = start
+    while True:
+        final = Path(path) / f"v={version}"
+        try:
+            os.mkdir(final)
+            return version, final
+        except FileExistsError:
+            version += 1
+
+
+@contextmanager
+def _manifest_lock(path: str, timeout_s: float = 30.0):
+    """Serialize manifest read-modify-write across processes with an
+    ``O_CREAT|O_EXCL`` lock file (atomic on POSIX, incl. NFSv3+).  A
+    stale lock (holder crashed) is broken after ``timeout_s``."""
+    lock = Path(path) / "_manifest.lock"
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            if time.monotonic() > deadline:
+                lock.unlink(missing_ok=True)  # break stale lock
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        lock.unlink(missing_ok=True)
+
+
 def commit(
     df: DataFrame,
     path: str,
@@ -74,24 +121,26 @@ def commit(
     partition_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as the table's next immutable version; returns the
-    new version number.  The manifest swap is the commit point."""
+    new version number.  The manifest swap is the commit point.
+    Concurrent-writer safe: the version dir is claimed exclusively
+    before any data is written, and the manifest update runs under a
+    lock — racing commits land as distinct consecutive versions."""
     Path(path).mkdir(parents=True, exist_ok=True)
-    manifest = _load_manifest(path)
-    version = manifest["current"] + 1
-    final = Path(path) / f"v={version}"
-    staging = Path(str(final) + ".staging")
-    shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(final, ignore_errors=True)  # orphan of a past crash
-    writer = df.write.mode("overwrite")
+    version, final = _claim_version(path, _load_manifest(path)["current"] + 1)
+    # append into the (empty) claimed dir: overwrite would DELETE the
+    # dir first, momentarily releasing the exclusive claim
+    writer = df.write.mode("append")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
-    writer.parquet(str(staging))
-    staging.rename(final)
-    manifest["current"] = version
-    manifest["versions"].append(
-        {"version": version, "description": description}
-    )
-    _store_manifest(path, manifest)
+    writer.parquet(str(final))
+    with _manifest_lock(path):
+        manifest = _load_manifest(path)  # re-read: others may have landed
+        manifest["current"] = max(manifest["current"], version)
+        manifest["versions"].append(
+            {"version": version, "description": description}
+        )
+        manifest["versions"].sort(key=lambda e: e["version"])
+        _store_manifest(path, manifest)
     return version
 
 
