@@ -619,7 +619,26 @@ def simhash_near_pairs(
     chunks = max_hamming + 1
     width = bits // chunks
     fps = simhash(df, id_col, text_col, bits=bits, hasher=hasher)
-    bands = fps.select(
+    bands = _simhash_bands(fps, chunks, width)
+    pairs = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["chunk", "val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def _simhash_bands(fps: DataFrame, chunks: int, width: int) -> DataFrame:
+    """Explode fingerprints into (chunk, val) pigeonhole band keys."""
+    return fps.select(
         "doc_id",
         "simhash64",
         F.explode(
@@ -636,17 +655,89 @@ def simhash_near_pairs(
             )
         ).alias("cc"),
     ).select("doc_id", "simhash64", "cc.chunk", "cc.val")
-    pairs = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["chunk", "val"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64"))
-            ).alias("hamming"),
-        )
-        .distinct()
+
+
+def simhash_near_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    max_hamming: int = 3,
+    bits: int = 64,
+    hasher=None,
+    window: int = 8,
+) -> DataFrame:
+    """Bounded-output SimHash near-dup: per-doc k nearest by Hamming
+    distance, candidates drawn from a sorted-fingerprint sliding
+    window inside each pigeonhole band bucket (Manku et al., WWW'07
+    §4: near-identical fingerprints sort adjacent once a matching
+    chunk pins the high-entropy bits).
+
+    Why not rank over the full band join: on a low-entropy corpus the
+    band buckets themselves are quadratic — `simhash_near_pairs`
+    enumerates ~10× the (already quadratic) true-pair count before
+    any rank could cap it, so wall clock stays Ω(N²) even if the
+    OUTPUT is capped.  Here candidate generation is ``lead(i)`` for
+    i=1..window over each bucket sorted by (fingerprint, doc_id):
+    exactly N·chunks·window candidates — one window shuffle, zero
+    joins — so both output AND work are linear in N by construction.
+
+    The trade is recall: a true pair whose bucket-mates crowd it more
+    than ``window`` positions apart in fingerprint order is missed
+    (exact duplicates are never missed — equal fingerprints are
+    always adjacent).  Every step (band split, sort order, lead
+    offsets, tie-break rank) is deterministic, so the DuckDB oracle
+    reproduces the identical pair set — this is a defined procedure,
+    not a best-effort heuristic.
+
+    Returns (doc_id, nbr_id, hamming, rn) with rn = 1..k ranked by
+    (hamming, nbr_id).
+    """
+    chunks = max_hamming + 1
+    width = bits // chunks
+    fps = simhash(df, id_col, text_col, bits=bits, hasher=hasher)
+    bands = _simhash_bands(fps, chunks, width)
+    w = Window.partitionBy("chunk", "val").orderBy("simhash64", "doc_id")
+    # two projections: window functions can't live under a generator
+    led = bands.select(
+        "doc_id",
+        "simhash64",
+        F.array(
+            *[
+                F.struct(
+                    F.lead("doc_id", i).over(w).alias("nid"),
+                    F.lead("simhash64", i).over(w).alias("nfp"),
+                )
+                for i in range(1, window + 1)
+            ]
+        ).alias("nbrs"),
+    ).select(
+        "doc_id", "simhash64", F.explode("nbrs").alias("nb")
+    ).filter(F.col("nb.nid").isNotNull())
+    # orientation is globally consistent (sort key is chunk-blind), so
+    # least/greatest only canonicalizes — it never splits a pair
+    cand = led.select(
+        F.least("doc_id", "nb.nid").alias("doc_a"),
+        F.greatest("doc_id", "nb.nid").alias("doc_b"),
+        F.bit_count(
+            F.col("simhash64").bitwiseXOR(F.col("nb.nfp"))
+        ).cast("long").alias("hamming"),
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    pairs = cand.filter(F.col("hamming") <= max_hamming).distinct()
+    mirrored = pairs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("nbr_id"),
+        "hamming",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("nbr_id"),
+            "hamming",
+        )
+    )
+    rw = Window.partitionBy("doc_id").orderBy("hamming", "nbr_id")
+    return (
+        mirrored.withColumn(
+            "rn", F.row_number().over(rw).cast("long")
+        ).filter(F.col("rn") <= k)
+    )

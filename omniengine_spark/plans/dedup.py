@@ -148,6 +148,85 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
+# Bounded-output simhash: candidates from lead(1..W) over each band
+# bucket sorted by (fingerprint, doc_id).  W and k must match the
+# Spark operator defaults; every step is deterministic so the oracle
+# rebuilds the identical pair set.
+_SH_W = 8
+_SH_K = 5
+_SH_CHUNKS = 4
+_SH_WIDTH = _SH_BITS // _SH_CHUNKS
+_SH_LEADS = ", ".join(
+    f"{{'nid': lead(doc_id, {i}) OVER w, 'nfp': lead(sh, {i}) OVER w}}"
+    for i in range(1, _SH_W + 1)
+)
+
+
+@query(
+    "dedup_simhash_topk",
+    oracle=f"""
+    WITH posting AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+               AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(list_sum(
+               [CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1
+                     AS BIGINT) << (4 * (15 - i)) for i in range(1, 16)])
+               AS BIGINT) AS h
+      FROM posting
+    ), votes AS (
+      SELECT doc_id, {_SH_VOTES}
+      FROM hashed GROUP BY doc_id
+    ), fp AS (
+      SELECT doc_id, {_SH_FP} AS sh FROM votes
+    ), bands AS (
+      SELECT doc_id, sh, t.ci AS chunk,
+             (sh >> (CAST(t.ci AS INTEGER) * {_SH_WIDTH}))
+               & {(1 << _SH_WIDTH) - 1} AS val
+      FROM fp, range({_SH_CHUNKS}) t(ci)
+    ), led AS (
+      SELECT doc_id, sh, [{_SH_LEADS}] AS nbrs
+      FROM bands
+      WINDOW w AS (PARTITION BY chunk, val ORDER BY sh, doc_id)
+    ), expl AS (
+      SELECT doc_id, sh, unnest(nbrs) AS nb FROM led
+    ), cand AS (
+      SELECT least(doc_id, nb.nid) AS doc_a,
+             greatest(doc_id, nb.nid) AS doc_b,
+             CAST(bit_count(xor(sh, nb.nfp)) AS BIGINT) AS hamming
+      FROM expl WHERE nb.nid IS NOT NULL
+    ), pairs AS (
+      SELECT DISTINCT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+    ), mirrored AS (
+      SELECT doc_a AS doc_id, doc_b AS nbr_id, hamming FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_id, doc_a AS nbr_id, hamming FROM pairs
+    )
+    SELECT doc_id, nbr_id, hamming, rn FROM (
+      SELECT doc_id, nbr_id, hamming,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY hamming, nbr_id
+             ) AS BIGINT) AS rn
+      FROM mirrored
+    ) WHERE rn <= {_SH_K}
+    """,
+)
+def dedup_simhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-output near-dup: per-doc top-k by Hamming distance over
+    sliding-window band candidates — output AND work are O(N·k) even
+    on repetitive corpora where the full pair set is quadratic (the
+    documented scale wall of ``dedup_simhash``)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return D.simhash_near_topk(
+        docs, "doc_id", "text",
+        k=_SH_K, max_hamming=3, bits=_SH_BITS,
+        hasher=D.md5_token_hash, window=_SH_W,
+    )
+
+
 @query(
     "dedup_clusters",
     # transitive closure of the near-dup pair graph; each doc labeled

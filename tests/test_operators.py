@@ -348,3 +348,63 @@ def test_jaccard_join_matches_naive_across_thresholds(spark):
         )
         assert got == want, f"threshold {t}: {got} != {want}"
         assert want, f"threshold {t} matched nothing — fixture too weak"
+
+
+def test_simhash_topk_caps_output_and_keeps_exact_dups(spark):
+    """Bounded-output simhash: (1) per-doc rows are capped at k with
+    rn dense from 1; (2) exact duplicates are NEVER missed — equal
+    fingerprints are adjacent in every bucket's sort order; (3) every
+    emitted pair is a TRUE near pair (hamming verified against the
+    unbounded operator's exact pair set)."""
+    from omniengine_spark.operators.dedup import (
+        md5_token_hash,
+        simhash_near_pairs,
+        simhash_near_topk,
+    )
+
+    base = [
+        "spark shuffles the hash join build side",
+        "spark shuffles the hash join probe side",
+        "a completely different document about ducks",
+        "ducks ducks ducks quack quack quack loudly",
+        "the quick brown fox jumps over the lazy dog",
+    ]
+    rows = []
+    did = 0
+    for rep in range(6):  # 6 exact copies of each base text
+        for t in base:
+            rows.append((did, t))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    k = 3
+    got = simhash_near_topk(
+        docs, "doc_id", "text", k=k, max_hamming=3, bits=60,
+        hasher=md5_token_hash, window=4,
+    ).collect()
+
+    per_doc: dict[int, list] = {}
+    for r in got:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for d, rs in per_doc.items():
+        assert len(rs) <= k
+        assert sorted(x.rn for x in rs) == list(range(1, len(rs) + 1))
+
+    # exact copies: every doc has 5 hamming-0 twins; with k=3 each doc
+    # must report exactly k neighbours, all at hamming 0
+    for d in range(len(rows)):
+        rs = per_doc.get(d, [])
+        assert len(rs) == k, f"doc {d} found {len(rs)} nbrs"
+        assert all(x.hamming == 0 for x in rs)
+
+    # soundness: emitted pairs are a subset of the exact pair set
+    exact = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_pairs(
+            docs, "doc_id", "text", max_hamming=3, bits=60,
+            hasher=md5_token_hash,
+        ).collect()
+    }
+    for r in got:
+        a, b = min(r.doc_id, r.nbr_id), max(r.doc_id, r.nbr_id)
+        assert exact[(a, b)] == r.hamming
