@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MERGEABLE = {"sum", "count", "min", "max"}
@@ -113,3 +113,66 @@ def salted_join(
     ).withColumn("_salt", F.col("_salt").cast("long"))
     out = big_s.join(small_r, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def chunked_running_sum(
+    df: DataFrame,
+    key: str,
+    order_cols: Sequence[str],
+    value_col,
+    chunk_col,
+    out_col: str = "running_value",
+) -> DataFrame:
+    """Skew-safe running (prefix) sum per key: the distributed
+    two-pass scan that replaces ``SUM(...) OVER (PARTITION BY key
+    ORDER BY ... ROWS UNBOUNDED PRECEDING)`` when one key is hot.
+
+    A plain running window puts EVERY row of a key into one task; a
+    key holding 20% of a 100 TB table is a straggler no config can
+    split (AQE splits skewed joins, never window partitions).  The
+    classic fix is chunking along the ORDER dimension:
+
+      pass 1  running sum within (key, chunk) — hot key now spreads
+              over as many tasks as it has chunks
+      offsets per-(key, chunk) totals, then an EXCLUSIVE running sum
+              over chunks per key — a frame of |keys|·|chunks| rows,
+              tiny by construction
+      pass 2  broadcast-join offsets back on (key, chunk), add
+
+    ``chunk_col`` must be a deterministic expression that sorts
+    consistently with ``order_cols`` (a coarse prefix of the order:
+    e.g. ``date_trunc('day', ts)`` when ordering by (ts, id)) —
+    ordering within one chunk plus ordering of chunk totals then
+    reconstructs the exact global prefix order.  Sums must be of an
+    associative exact type (DECIMAL/BIGINT) so regrouping cannot
+    change the result; the output is bit-identical to the single
+    window's.
+    """
+    chunked = df.withColumn("_chunk", chunk_col)
+    w_in = (
+        Window.partitionBy(key, "_chunk")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = chunked.withColumn("_within", F.sum(value_col).over(w_in))
+    totals = chunked.groupBy(key, "_chunk").agg(
+        F.sum(value_col).alias("_chunk_total")
+    )
+    w_off = (
+        Window.partitionBy(key)
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        key,
+        "_chunk",
+        F.coalesce(
+            F.sum("_chunk_total").over(w_off),
+            F.lit(0).cast(totals.schema["_chunk_total"].dataType),
+        ).alias("_offset"),
+    )
+    return (
+        within.join(F.broadcast(offsets), [key, "_chunk"])
+        .withColumn(out_col, F.col("_within") + F.col("_offset"))
+        .drop("_chunk", "_within", "_offset")
+    )

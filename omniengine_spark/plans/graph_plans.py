@@ -42,16 +42,26 @@ _TOPK = 25
 
 def _pagerank_iter_sql(i: int) -> str:
     """One unrolled oracle iteration: contributions floor-divided per
-    out-edge, exact integer neighbor sum, integer damping."""
+    out-edge, exact integer neighbor sum, integer damping.
+
+    The per-src contribution ``rank // outdeg`` is computed in a
+    NODE-sized subquery (deg ⋈ r_i) BEFORE touching the edge list, so
+    each iteration streams the (at sf5: 60M-row) edges through exactly
+    one hash join whose build side is node-sized.  The earlier form
+    joined edges with r_i AND deg separately — two edge-sized join
+    pipelines per iteration — which spilled >79 GB in DuckDB at sf5.
+    Semantics identical: per_edge is constant per src either way."""
     return f"""r{i + 1} AS (
       SELECT n.node,
              CAST({_TELEPORT} + (85 * COALESCE(s.acc, 0)) // 100
                   AS BIGINT) AS rank
       FROM deg n LEFT JOIN (
-        SELECT e.dst AS node, SUM(r.rank // d.outdeg) AS acc
+        SELECT e.dst AS node, SUM(c.per_edge) AS acc
         FROM edges e
-        JOIN r{i} r ON r.node = e.src
-        JOIN deg d ON d.node = e.src
+        JOIN (
+          SELECT d.node, r.rank // d.outdeg AS per_edge
+          FROM deg d JOIN r{i} r ON r.node = d.node
+        ) c ON c.node = e.src
         GROUP BY e.dst
       ) s ON s.node = n.node
     )"""
@@ -59,16 +69,19 @@ def _pagerank_iter_sql(i: int) -> str:
 
 @query(
     "graph_pagerank",
+    # edges/deg MATERIALIZED: each is referenced by every unrolled
+    # iteration — inlined, DuckDB would recompute the orders⋈lineitem
+    # distinct (30M rows at sf5) once per reference
     oracle=f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey AS cust,
                       l.l_suppkey + {_SUPP_OFFSET} AS supp
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    ), edges AS (
+    ), edges AS MATERIALIZED (
       SELECT cust AS src, supp AS dst FROM pairs
       UNION ALL
       SELECT supp AS src, cust AS dst FROM pairs
-    ), deg AS (
+    ), deg AS MATERIALIZED (
       SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src
     ), r0 AS (
       SELECT node, CAST({_SCALE} AS BIGINT) AS rank FROM deg

@@ -572,6 +572,16 @@ def text_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omniengine_spark.sources import fan_out
 
     docs = fan_out(docs)
+    # persist (compressed columnar cache, memory-AND-DISK) rather than
+    # localCheckpoint: the frame is per-(doc, trigram) counts — ~100M
+    # rows at sf5 — and checkpointing it as deserialized row blocks
+    # under 32 concurrent tasks OOMs an 8 GB heap (measured: the
+    # spill-regime soak killed the JVM here).  The cache builds small
+    # compressed batches, evicts to disk under pressure, and still
+    # guarantees the explode is scanned once for both consumers
+    # (model training and the scoring join).
+    from pyspark.storagelevel import StorageLevel
+
     doc_tri = (
         docs.select(
             "doc_id",
@@ -584,7 +594,7 @@ def text_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "tri")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     model = doc_tri.groupBy("tri").agg(
         F.sum("c").alias("corpus_freq")

@@ -86,6 +86,40 @@ def w2_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Same result as w2, computed skew-safely: a hot user (one key with
+# 20% of all rows — tools/gen_testdata.py --zipf) turns the single
+# running window into one straggler task; the chunked two-pass prefix
+# sum spreads it over one task per (user, day).  Oracle is w2's —
+# the operator is exact, so the outputs are bit-identical.
+@query(
+    "w2b_running_value_chunked",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+             AS running_value
+    FROM events
+    """,
+)
+def w2b_running_value_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omniengine_spark.operators.skew import chunked_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    out = chunked_running_sum(
+        ev,
+        key="user_id",
+        order_cols=["ts", "event_id"],
+        value_col=F.col("value").cast(_D),
+        chunk_col=F.date_trunc("day", F.col("ts")),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("running_value").cast("double").alias("running_value"),
+    )
+
+
 # --------------------------------------------------------------------
 # W3 — deterministic global sequence assignment (reference TxDBSerialNum
 # sequence, omniEngine.py:104-106; replaced by replayable row_number).

@@ -110,12 +110,27 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
-    df = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", f"{name}.parquet")
-        .parquet(sf_dir)
-    )
+    path = f"{sf_dir}/{name}.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(raw_schema)
+    # SPARK_GRAFT_STREAM_MAX_FILES caps files per micro-batch — the
+    # throughput-bench knob (tools/stream_bench.py): availableNow
+    # honors source rate limits, so a chunked table drains as a
+    # SEQUENCE of micro-batches instead of one, making sustained
+    # rows/s and per-batch latency measurable.  Unset (the default)
+    # is the production shape: drain as fast as the source allows.
+    max_files = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES")
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", int(max_files))
+    if os.path.isdir(path):
+        # a directory table (chunked stream source, or a laid-out
+        # warehouse rewrite): stream its files directly — the glob
+        # filter below would reject the part-file names
+        df = reader.parquet(path)
+    else:
+        df = reader.option(
+            "pathGlobFilter", f"{name}.parquet"
+        ).parquet(sf_dir)
     for c in TABLES.get(name, {}).get("ts_cols", []):
         dt = df.schema[c].dataType
         if isinstance(dt, T.LongType):

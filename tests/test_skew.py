@@ -115,3 +115,46 @@ def test_funnel_hot_user_bounded(spark, tmp_path):
     got = {r["stage"]: r["n_users"] for r in out.collect()}
     # users 0,1,2 viewed; 0,1 clicked after view; only 0 purchased
     assert got == {"viewed": 3, "clicked": 2, "purchased": 1}
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE's skew-join rule must actually fire on a hot join key —
+    this is the runtime half of the skew story (salting covers
+    aggregation; AQE covers joins).  Thresholds are lowered so a
+    small frame exhibits "skew" by AQE's definition; the assertion is
+    on the FINAL adaptive plan containing a skew=true SMJ after
+    execution."""
+    conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        # hot key 0: 300k of 330k left rows; right side unique keys
+        left = spark.range(330_000).select(
+            F.when(F.col("id") < 300_000, F.lit(0))
+            .otherwise(F.col("id") % 64)
+            .alias("k"),
+            (F.col("id") * 7).alias("payload"),
+        )
+        right = spark.range(64).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        joined = left.join(right, "k").groupBy("tag").count()
+        [row] = joined.collect()
+        assert row["count"] == 330_000
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, f"no skew split in plan:\n{final[:2000]}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

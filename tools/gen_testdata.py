@@ -61,7 +61,22 @@ def _ts_us(base: np.datetime64, offsets_us: np.ndarray) -> pa.Array:
     return pa.array(base + offsets_us.astype("timedelta64[us]"))
 
 
-def gen(sf: float, out: Path, seed: int = 42) -> None:
+def _zipf_choice(
+    r: np.random.Generator, n_keys: int, n: int, s: float
+) -> np.ndarray:
+    """Bounded Zipf(s) over 0..n_keys-1 by inverse-CDF on ranks:
+    P(rank j) ∝ 1/(j+1)^s.  Rank 0 is the hot key — at s=1.2 over 15k
+    users it draws ~19% of ALL rows, the classic hot-entity shape
+    (one celebrity account / one exchange address) that funnels a
+    whole shuffle partition through one reducer."""
+    w = 1.0 / np.arange(1, n_keys + 1, dtype=np.float64) ** s
+    cdf = np.cumsum(w / w.sum())
+    return np.searchsorted(cdf, r.random(n)).astype(np.int64)
+
+
+def gen(
+    sf: float, out: Path, seed: int = 42, zipf_s: float | None = None
+) -> None:
     out.mkdir(parents=True, exist_ok=True)
     n_cust = max(150, round(150_000 * sf))
     n_ord = max(1_500, round(1_500_000 * sf))
@@ -192,10 +207,15 @@ def gen(sf: float, out: Path, seed: int = 42) -> None:
         hi = span_us * (written + n) // n_ev
         offs = np.sort(r.integers(lo, hi, n))
         ks = r.integers(0, 100, n)
+        uid = (
+            _zipf_choice(r, n_users, n, zipf_s)
+            if zipf_s
+            else r.integers(0, n_users, n)
+        )
         ev = pa.table({
             "event_id": np.arange(written, written + n, dtype=np.int64),
             "ts": _ts_us(EPOCH_2024, offs),
-            "user_id": r.integers(0, n_users, n),
+            "user_id": uid,
             "event_type": pa.array(
                 np.array(EVENT_TYPES)[r.integers(0, 5, n)]),
             "value": np.round(
@@ -249,7 +269,8 @@ def gen(sf: float, out: Path, seed: int = 42) -> None:
     }))
 
     (out / "MANIFEST.json").write_text(json.dumps(
-        {"sf": sf, "seed": seed, "generator": "tools/gen_testdata.py"}))
+        {"sf": sf, "seed": seed, "zipf_s": zipf_s,
+         "generator": "tools/gen_testdata.py"}))
 
 
 def main() -> None:
@@ -257,9 +278,13 @@ def main() -> None:
     ap.add_argument("sf", type=float)
     ap.add_argument("outdir", type=Path)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--zipf", type=float, default=None, metavar="S",
+        help="skew events.user_id as bounded Zipf(S) instead of uniform",
+    )
     a = ap.parse_args()
-    print(f"generating sf={a.sf} -> {a.outdir}", flush=True)
-    gen(a.sf, a.outdir, a.seed)
+    print(f"generating sf={a.sf} -> {a.outdir} zipf={a.zipf}", flush=True)
+    gen(a.sf, a.outdir, a.seed, zipf_s=a.zipf)
 
 
 if __name__ == "__main__":
