@@ -171,8 +171,14 @@ def chunked_running_sum(
             F.lit(0).cast(totals.schema["_chunk_total"].dataType),
         ).alias("_offset"),
     )
+    # no broadcast hint: offsets is |keys|·|chunks| rows — small next
+    # to the data but NOT driver-small at scale (75k keys × 30 chunks
+    # = 2.25M rows at sf5; measured 6× slower as a broadcast, whose
+    # build is single-threaded).  The join key (key, chunk) is exactly
+    # the pass-1 partitioning, and AQE still broadcasts when the frame
+    # really is tiny.
     return (
-        within.join(F.broadcast(offsets), [key, "_chunk"])
+        within.join(offsets, [key, "_chunk"])
         .withColumn(out_col, F.col("_within") + F.col("_offset"))
         .drop("_chunk", "_within", "_offset")
     )

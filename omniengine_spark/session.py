@@ -76,6 +76,15 @@ def get_spark(
         )
         # --- scan shaping --------------------------------------------
         .config("spark.sql.parquet.filterPushdown", "true")
+        # write timestamps as INT64 micros, not legacy INT96: INT96
+        # columns carry NO parquet statistics and reject predicate
+        # pushdown, so every date-range filter on engine-written
+        # tables (warehouse sinks, Z-ordered layouts) would scan
+        # everything — measured: zero row-group pruning on a
+        # shipdate-clustered layout until this was set
+        .config(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         # harness parquet carries naive timestamps; read them as UTC
         # TIMESTAMP_LTZ (session tz is pinned to UTC below) so
         # unix_micros, RANGE window frames, and stream watermarks —

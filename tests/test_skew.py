@@ -127,10 +127,17 @@ def test_aqe_splits_skewed_join(spark):
     conf = {
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
-            "64KB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+            "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # the groupBy above the join could reuse the join's hash
+        # partitioning; without force, AQE skips the skew split rather
+        # than invalidate it (extra-shuffle veto)
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        # both thresholds: AQE would otherwise demote the SMJ to a
+        # broadcast join at runtime and there'd be no skew to split
         "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
         "spark.sql.shuffle.partitions": "8",
     }
     saved = {k: spark.conf.get(k, None) for k in conf}

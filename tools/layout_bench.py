@@ -100,41 +100,96 @@ def main() -> None:
     if not args.skip_build:
         build_layout(spark, args.raw, layout, args.files)
 
-    def stages():
-        url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
-        with urllib.request.urlopen(url) as r:
-            return {(s["stageId"], s["attemptId"]): s for s in json.load(r)}
+    def _sql_ids() -> set[int]:
+        # the /sql listing paginates (default length 20): page through
+        # explicitly or later executions silently vanish from deltas
+        ids: set[int] = set()
+        offset = 0
+        while True:
+            url = (f"{ui}/api/v1/applications/{app}/sql"
+                   f"?offset={offset}&length=200")
+            with urllib.request.urlopen(url) as r:
+                page = json.load(r)
+            ids.update(e["id"] for e in page)
+            if len(page) < 200:
+                return ids
+            offset += 200
 
-    def run(name: str, sf_dir: str) -> tuple[float, float]:
-        seen = set(stages())
+    _UNITS = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30,
+              "TiB": 2**40}
+
+    def _parse_size(v: str) -> float:
+        # "10.3 MiB" (sometimes "total (min, med, max)" multi-line —
+        # first line carries the total)
+        head = v.splitlines()[0].strip()
+        num, unit = head.split()[:2]
+        return float(num.replace(",", "")) * _UNITS[unit]
+
+    def _scan_bytes(sql_id: int) -> tuple[float, int, int]:
+        url = f"{ui}/api/v1/applications/{app}/sql/{sql_id}?details=true"
+        with urllib.request.urlopen(url) as r:
+            d = json.load(r)
+        size = files = rows = 0
+        for n in d.get("nodes", []):
+            if not n["nodeName"].startswith("Scan"):
+                continue
+            for m in n["metrics"]:
+                if m["name"] == "size of files read":
+                    size += _parse_size(m["value"])
+                elif m["name"] == "number of files read":
+                    files += int(m["value"].replace(",", ""))
+                elif m["name"] == "number of output rows":
+                    rows += int(m["value"].replace(",", ""))
+        return size, files, rows
+
+    def run(name: str, sf_dir: str) -> tuple[float, float, int, int]:
+        # Pruning metric: the scan nodes' "number of output rows" —
+        # rows MATERIALIZED after parquet row-group/page skipping.
+        # Vanilla Spark opens every file and prunes row groups inside
+        # (planning-time file skipping needs a table format with a
+        # stats manifest — Delta/Iceberg), so "size of files read"
+        # counts all assigned files even when their row groups are
+        # fully skipped, and stage-level inputBytes under-reports
+        # vectorized local-fs reads ~1000x.  Rows materialized is the
+        # honest IO-skipping figure; size/files are recorded context.
+        seen = _sql_ids()
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
         df.select(
             F.xxhash64(*[F.col(c) for c in df.columns]).alias("_h")
         ).agg(F.expr("bit_xor(_h)"), F.count("_h")).collect()
         wall = time.perf_counter() - t0
-        new = [s for k, s in stages().items() if k not in seen]
-        return wall, sum(s["inputBytes"] for s in new) / 1e6
+        size = files = rows = 0
+        for sid in _sql_ids() - seen:
+            s, f, rws = _scan_bytes(sid)
+            size += s
+            files += f
+            rows += rws
+        return wall, size / 1e6, files, rows
 
     names = sorted(k for k in QUERIES if k.startswith("sql_q"))
     rows = []
     for name in names:
         run(name, args.raw)  # warm
-        t_raw, in_raw = run(name, args.raw)
-        t_lay, in_lay = run(name, str(layout))
-        saved = 100.0 * (1 - in_lay / in_raw) if in_raw else 0.0
+        t_raw, in_raw, f_raw, r_raw = run(name, args.raw)
+        t_lay, in_lay, f_lay, r_lay = run(name, str(layout))
+        saved = 100.0 * (1 - r_lay / r_raw) if r_raw else 0.0
         rows.append({
             "plan": name,
             "sec_raw": round(t_raw, 2),
             "sec_layout": round(t_lay, 2),
+            "scan_rows_raw": r_raw,
+            "scan_rows_layout": r_lay,
             "input_raw_mb": round(in_raw, 2),
             "input_layout_mb": round(in_lay, 2),
-            "scan_saved_pct": round(saved, 1),
+            "files_raw": f_raw,
+            "files_layout": f_lay,
+            "rows_pruned_pct": round(saved, 1),
         })
         print(
-            f"{name:36s} raw {in_raw:8.1f}MB {t_raw:6.2f}s"
-            f"   layout {in_lay:8.1f}MB {t_lay:6.2f}s"
-            f"   saved {saved:5.1f}%",
+            f"{name:36s} raw {r_raw:>10,}r {t_raw:6.2f}s"
+            f"   layout {r_lay:>10,}r {t_lay:6.2f}s"
+            f"   pruned {saved:5.1f}%",
             flush=True,
         )
 

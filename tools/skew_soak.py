@@ -96,26 +96,37 @@ def main() -> None:
         ).agg(F.expr("bit_xor(_h)"), F.count("_h")).collect()
         wall = time.perf_counter() - t0
         new = {k: s for k, s in stages().items() if k not in seen}
-        # bottleneck stage: the one whose slowest task is the run's
-        # slowest — that task IS the wall clock on a real cluster
+        # Straggler ratio = max/median of per-task SHUFFLE-READ
+        # RECORDS on the heaviest shuffle stage.  Records, not time:
+        # at this scale reducer tasks are sub-second, so time ratios
+        # measure scheduler noise (measured r≈40-100 on perfectly
+        # UNIFORM keys); record counts are deterministic and directly
+        # expose the key distribution a 1000-executor run would
+        # straggle on.  Scan stages are excluded by construction
+        # (no shuffle read).
         best = None
         for (sid, att), s in new.items():
-            if s["numCompleteTasks"] < 2:
-                continue  # 1-task stages have no straggler notion
+            if s["numCompleteTasks"] < 4 or s["shuffleReadBytes"] <= 0:
+                continue
             q = _get(
                 f"{base}/stages/{sid}/{att}/taskSummary"
                 f"?quantiles=0.0,0.5,1.0"
-            )["executorRunTime"]
-            mx, md = q[2], max(q[1], 1.0)
-            if best is None or mx > best["max_ms"]:
+            )
+            rec = q.get("shuffleReadMetrics", {}).get("readRecords")
+            if not rec:
+                continue
+            mx, md = rec[2], max(rec[1], 1.0)
+            if best is None or mx > best["max_records"]:
                 best = {
-                    "max_ms": mx,
+                    "max_records": mx,
                     "ratio": round(mx / md, 2),
                     "n_tasks": s["numCompleteTasks"],
+                    "max_ms": q["executorRunTime"][2],
                 }
         return {
             "sec": round(wall, 2),
             "straggler": best["ratio"] if best else None,
+            "bottleneck_max_records": best["max_records"] if best else None,
             "bottleneck_max_ms": best["max_ms"] if best else None,
             "bottleneck_tasks": best["n_tasks"] if best else None,
         }
