@@ -246,7 +246,16 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the whole encode → ADC → re-rank pipeline is exactly checkable.
 # ---------------------------------------------------------------------------
 _PQ_M, _PQ_K, _PQ_SUBDIM = 8, 16, 8
+# ADC-shortlist floor; the effective depth is max(floor, N // 40) —
+# ADC ranks through a 16-codeword/subspace quantizer whose cells get
+# DENSER as the corpus grows, so a fixed-depth shortlist starves the
+# exact re-rank (measured recall@5: 0.75 at N=500 → 0.17 at N=100k
+# with depth pinned at 100; the ~2.5%-of-N rule keeps the exact-scan
+# fraction of the original design point).  Integer floor-div on
+# COUNT(*) in BOTH engines, so the oracle stays hash-exact; at the
+# sf0.01 driver gate the adaptive form is the floor, bit-identical.
 _PQ_SHORTLIST = 100
+_PQ_SHORTLIST_DIV = 40
 
 _MD5_ID_LONG = (
     "CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) "
@@ -314,7 +323,10 @@ _PQ_RANK_SQL = f"""
         SELECT *, ROW_NUMBER() OVER (
           PARTITION BY query_id ORDER BY adc DESC, nbr_id) AS srank
         FROM adc
-      ) WHERE srank <= {_PQ_SHORTLIST}
+      ) WHERE srank <= (
+        SELECT greatest({_PQ_SHORTLIST},
+                        count(*) // {_PQ_SHORTLIST_DIV})
+        FROM e)
     ), rr AS (
       SELECT s.query_id, s.nbr_id,
              list_dot_product(qn.nv, nn.nv) AS score
@@ -346,6 +358,10 @@ def sim_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-row-group input file would serialize it onto one core
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.orderBy("vec_id").limit(_N_QUERIES)
+    # COUNT(*)-derived shortlist depth (one bounded build-time action,
+    # same class as the adaptive-planes/centroid formulas) — mirrors
+    # the oracle's greatest(floor, count(*) // div) exactly
+    shortlist = max(_PQ_SHORTLIST, emb.count() // _PQ_SHORTLIST_DIV)
     return S.pq_seeded_topk(
         emb,
         queries,
@@ -355,7 +371,7 @@ def sim_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_codewords=_PQ_K,
         m=_PQ_M,
         dim=64,
-        shortlist=_PQ_SHORTLIST,
+        shortlist=shortlist,
     )
 
 
@@ -447,7 +463,8 @@ def sim_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_codewords=_PQ_K,
         m=_PQ_M,
         dim=64,
-        shortlist=_PQ_SHORTLIST,
+        # same adaptive depth as sim_pq (and the shared oracle CTE)
+        shortlist=max(_PQ_SHORTLIST, emb.count() // _PQ_SHORTLIST_DIV),
         probes=probes,
         lists=lists,
     )

@@ -162,17 +162,34 @@ def read_version(
 def vacuum(path: str, keep_last: int = 2) -> list[int]:
     """Retire all but the newest ``keep_last`` versions (files AND
     manifest entries — history of retired versions keeps only the
-    descriptions under ``retired``).  Returns retired version nos."""
-    manifest = _load_manifest(path)
-    live = manifest["versions"]
-    if len(live) <= keep_last:
-        return []
-    retired, kept = live[:-keep_last], live[-keep_last:]
-    for e in retired:
-        shutil.rmtree(
-            Path(path) / f"v={e['version']}", ignore_errors=True
-        )
-    manifest["versions"] = kept
-    manifest.setdefault("retired", []).extend(retired)
-    _store_manifest(path, manifest)
+    descriptions under ``retired``), plus any orphan ``v=N`` dirs
+    below the current version (claimed by a commit that crashed
+    before its manifest swap; readers never see them).  Returns
+    retired version numbers."""
+    with _manifest_lock(path):
+        manifest = _load_manifest(path)
+        live = manifest["versions"]
+        if len(live) <= keep_last:
+            retired, kept = [], live
+        else:
+            retired, kept = live[:-keep_last], live[-keep_last:]
+        for e in retired:
+            shutil.rmtree(
+                Path(path) / f"v={e['version']}", ignore_errors=True
+            )
+        # orphans: claimed dirs never published.  Only below the
+        # current version — a dir ABOVE it may be a live concurrent
+        # commit that hasn't swapped its manifest yet.
+        known = {e["version"] for e in manifest["versions"]}
+        for d in Path(path).glob("v=*"):
+            try:
+                v = int(d.name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if v <= manifest["current"] and v not in known:
+                shutil.rmtree(d, ignore_errors=True)
+        manifest["versions"] = kept
+        if retired:
+            manifest.setdefault("retired", []).extend(retired)
+        _store_manifest(path, manifest)
     return [e["version"] for e in retired]

@@ -148,3 +148,40 @@ def test_semantic_prune_exact_subset_and_recall_floor(spark):
     assert dropped <= exact_dups, "false positive: dropped a non-dup"
     recall = len(dropped & exact_dups) / len(exact_dups)
     assert recall >= 0.15, f"semantic prune recall {recall:.2f}"
+
+
+def test_ann_recall_floors_at_scale(spark):
+    """Per-SCALE recall floors: the ANN plans adapt their geometry to
+    COUNT(*) (LSH active planes, IVF centroid count), so the smoke-
+    scale floors above do not certify bigger rungs.  Floors pin the
+    measured curve (tools/ann_recall.json, re-runnable via
+    tools/ann_recall.py) with a margin: IVF must HOLD recall as N
+    grows (its sqrt-N centroids are the 100 TB path); LSH/PQ are
+    allowed their measured decline (occupancy pinning / codebook
+    quantization trade recall for bounded scan) but a drop below
+    floor means a regression, not the known trade.  Skips when the
+    generated sf1 rung is absent (driver CI has only sf<=0.1)."""
+    import pathlib
+
+    import pytest
+
+    from omniengine_spark.plans import QUERIES
+
+    sf1 = pathlib.Path(".localdata/sf1")
+    if not (sf1 / "embeddings.parquet").exists():
+        pytest.skip("sf1 rung not generated")
+
+    exact = _topk_sets(
+        QUERIES["sim_bruteforce_cosine_topk"](spark, str(sf1))
+    )
+    floors = {
+        # measured at sf1: IVF 0.88, PQ 0.32, IVF-PQ 0.31, LSH 0.16
+        "sim_ivf_ann_topk": 0.70,
+        "sim_pq_ann_topk": 0.20,
+        "sim_ivfpq_ann_topk": 0.20,
+        "sim_lsh_ann_topk": 0.08,
+    }
+    for name, floor in floors.items():
+        approx = _topk_sets(QUERIES[name](spark, str(sf1)))
+        r = _recall(approx, exact)
+        assert r >= floor, f"{name}@sf1: recall {r:.2f} < floor {floor}"

@@ -420,3 +420,43 @@ def _expect_value_error():
     import pytest
 
     return pytest.raises(ValueError)
+
+
+def test_versioned_commit_claims_skip_orphans(spark, tmp_path):
+    """Crash/concurrency semantics of the versioned warehouse: a
+    claimed-but-never-published version dir (a crashed writer) must
+    (1) never be resolvable by readers, (2) be skipped past by later
+    commits — no writer ever deletes another's claim — and (3) be
+    retired by vacuum only BELOW the current version (above it could
+    be a live concurrent commit mid-write)."""
+    import os
+
+    import pytest
+
+    from omniengine_spark.sources import versioned as V
+
+    tbl = str(tmp_path / "tbl")
+    df1 = spark.range(5).withColumnRenamed("id", "k")
+    assert V.commit(df1, tbl, "v1") == 1
+
+    # simulate a writer that claimed v=2 and crashed before publish
+    os.mkdir(os.path.join(tbl, "v=2"))
+    # ...and a live writer currently holding v=9 (above current)
+    os.mkdir(os.path.join(tbl, "v=9"))
+
+    # next commit skips BOTH claimed dirs instead of destroying them
+    v = V.commit(df1.withColumn("k", F.col("k") + 100), tbl, "next")
+    assert v == 3
+    assert V.current_version(tbl) == 3
+
+    # the orphan is invisible to readers
+    with pytest.raises(ValueError):
+        V.read_version(spark, tbl, 2)
+
+    # vacuum retires the below-current orphan, keeps the live claim
+    V.vacuum(tbl, keep_last=5)
+    assert not os.path.exists(os.path.join(tbl, "v=2"))
+    assert os.path.exists(os.path.join(tbl, "v=9"))
+    # published versions intact
+    assert V.read_version(spark, tbl, 1).count() == 5
+    assert V.read_version(spark, tbl, 3).count() == 5

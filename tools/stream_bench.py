@@ -133,9 +133,11 @@ def main() -> None:
         spark.streams.removeListener(listener)
 
     out = _REPO / "tools" / "stream_bench.json"
-    out.write_text(json.dumps({
+    blob = json.loads(out.read_text()) if out.exists() else {}
+    blob[f"{src.name}/{args.chunks}-batches"] = {
         "sf_dir": str(src), "chunks": args.chunks, "rows": results,
-    }, indent=1))
+    }
+    out.write_text(json.dumps(blob, indent=1))
     print(f"wrote {out}")
 
 
