@@ -122,21 +122,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.lit(_SCALE).cast("long").alias("rank")
     )
     for _ in range(_N_ITERS):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(
-                deg.select(
-                    F.col("node").alias("dnode"), "outdeg"
-                ),
-                edges.src == F.col("dnode"),
-            )
-            .select(
-                "dst",
-                F.expr("`rank` div outdeg").alias("contrib"),
-            )
+        # per-src contribution computed on the NODE-sized frame
+        # (deg ⋈ ranks) BEFORE touching edges, so each iteration
+        # streams the edge list through exactly ONE join whose build
+        # side is node-sized — the same shape as the oracle.  The
+        # earlier two-join form (edges ⋈ ranks, then ⋈ deg) shuffled
+        # the edge list twice per iteration and went super-linear in
+        # the third decade (e=+1.51 at sf5→sf25, ~280M edge rows).
+        per_src = deg.join(ranks, "node").select(
+            F.col("node").alias("snode"),
+            F.expr("`rank` div outdeg").alias("contrib"),
         )
-        acc = contrib.groupBy(F.col("dst").alias("node")).agg(
-            F.sum("contrib").alias("acc")
+        acc = (
+            edges.join(per_src, edges.src == F.col("snode"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("contrib").alias("acc"))
         )
         ranks = deg.join(acc, "node", "left").select(
             "node",

@@ -175,10 +175,11 @@ def test_ann_recall_floors_at_scale(spark):
         QUERIES["sim_bruteforce_cosine_topk"](spark, str(sf1))
     )
     floors = {
-        # measured at sf1: IVF 0.88, PQ 0.32, IVF-PQ 0.31, LSH 0.16
+        # measured at sf1 (post adaptive-shortlist fix): IVF 0.88,
+        # PQ 0.73, IVF-PQ 0.72, LSH 0.16
         "sim_ivf_ann_topk": 0.70,
-        "sim_pq_ann_topk": 0.20,
-        "sim_ivfpq_ann_topk": 0.20,
+        "sim_pq_ann_topk": 0.55,
+        "sim_ivfpq_ann_topk": 0.55,
         "sim_lsh_ann_topk": 0.08,
     }
     for name, floor in floors.items():
