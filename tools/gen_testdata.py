@@ -61,6 +61,81 @@ def _ts_us(base: np.datetime64, offsets_us: np.ndarray) -> pa.Array:
     return pa.array(base + offsets_us.astype("timedelta64[us]"))
 
 
+def _realistic_vocab(n_tokens: int, seed: int) -> np.ndarray:
+    """A ~n_tokens-word vocabulary of pronounceable pseudo-words.
+
+    The driver corpus uses a 31-word vocabulary, so its 3-gram shingle
+    space (31^3 = 29,791) SATURATES by sf5 — every possible shingle
+    exists, band keys stop growing with N, and posting lists grow
+    linearly in N, which makes any signature-join look super-linear.
+    Real corpora have ~> 50k word types (shingle space ~2^40), so band
+    keys keep fragmenting as the corpus grows.  This builds that
+    regime: deterministic syllable-composed tokens, unique by rank.
+    """
+    r = np.random.default_rng(seed)
+    cons = np.array(list("bcdfghjklmnprstvwz"))
+    vows = np.array(list("aeiou"))
+    n_syl = 600
+    syl = np.char.add(
+        np.char.add(cons[r.integers(0, len(cons), n_syl)],
+                    vows[r.integers(0, len(vows), n_syl)]),
+        np.where(r.random(n_syl) < 0.4,
+                 cons[r.integers(0, len(cons), n_syl)], ""),
+    )
+    # 2-3 syllables per word; rank index appended base-36 style via
+    # syllable choice alone can collide, so disambiguate with the rank
+    parts = syl[r.integers(0, n_syl, (n_tokens, 3))]
+    two = r.random(n_tokens) < 0.55
+    words = np.char.add(parts[:, 0], parts[:, 1])
+    words = np.where(two, words, np.char.add(words, parts[:, 2]))
+    # guarantee uniqueness (word types, not surface forms, drive the
+    # shingle space) by suffixing the rank where a collision exists
+    _, first = np.unique(words, return_index=True)
+    dup_mask = np.ones(n_tokens, bool)
+    dup_mask[first] = False
+    if dup_mask.any():
+        idx = np.nonzero(dup_mask)[0]
+        words[idx] = np.char.add(
+            words[idx], np.char.mod("%d", idx))
+    return words
+
+
+def _zipf_word_probs(n_tokens: int, s: float = 1.07) -> np.ndarray:
+    """Zipf-Mandelbrot-ish word frequencies: P(rank j) ∝ 1/(j+1)^s —
+    the classic natural-language law (s≈1 for English)."""
+    w = 1.0 / np.arange(1, n_tokens + 1, dtype=np.float64) ** s
+    return w / w.sum()
+
+
+def _doc_texts(
+    r: np.random.Generator,
+    n_doc: int,
+    vocab: np.ndarray,
+    probs: np.ndarray | None = None,
+) -> list[str]:
+    """Doc bodies: 10-110 words drawn from ``vocab`` (uniform, or by
+    ``probs``), with ~4% planted near-duplicates — identical length
+    distribution and dup rate to the driver corpus so only the
+    vocabulary size varies between the legacy and realistic regimes."""
+    n_words = r.integers(10, 111, n_doc)
+    total = int(n_words.sum())
+    if probs is None:
+        words = vocab[r.integers(0, len(vocab), total)]
+    else:
+        words = vocab[r.choice(len(vocab), total, p=probs)]
+    bounds = np.concatenate([[0], np.cumsum(n_words)])
+    texts = [
+        " ".join(words[bounds[i]:bounds[i + 1]]) for i in range(n_doc)
+    ]
+    n_dup = n_doc // 25
+    dup_src = r.integers(0, n_doc, n_dup)
+    dup_dst = r.integers(0, n_doc, n_dup)
+    for s, d in zip(dup_src, dup_dst):
+        if s != d:
+            texts[d] = texts[s] + " dup"
+    return texts
+
+
 def _zipf_choice(
     r: np.random.Generator, n_keys: int, n: int, s: float
 ) -> np.ndarray:
@@ -229,21 +304,7 @@ def gen(
 
     # --- documents ----------------------------------------------------
     r = np.random.default_rng(seed + 7)
-    vocab = np.array(VOCAB)
-    n_words = r.integers(10, 111, n_doc)
-    total = int(n_words.sum())
-    words = vocab[r.integers(0, len(vocab), total)]
-    bounds = np.concatenate([[0], np.cumsum(n_words)])
-    texts = [
-        " ".join(words[bounds[i]:bounds[i + 1]]) for i in range(n_doc)
-    ]
-    # plant near-duplicates (~4%) so dedup plans have signal at scale
-    n_dup = n_doc // 25
-    dup_src = r.integers(0, n_doc, n_dup)
-    dup_dst = r.integers(0, n_doc, n_dup)
-    for s, d in zip(dup_src, dup_dst):
-        if s != d:
-            texts[d] = texts[s] + " dup"
+    texts = _doc_texts(r, n_doc, np.array(VOCAB))
     _write(out, "documents", pa.table({
         "doc_id": pa.array(np.arange(n_doc, dtype=np.int64)),
         "text": texts,
@@ -273,6 +334,35 @@ def gen(
          "generator": "tools/gen_testdata.py"}))
 
 
+def gen_documents_realistic(
+    sf: float, out: Path, seed: int = 42, vocab_size: int = 50_000
+) -> None:
+    """Write ONLY documents.parquet with the realistic-vocabulary
+    corpus (same schema / length distribution / dup rate as gen(),
+    Zipf(1.07) word frequencies over ``vocab_size`` unique tokens).
+    Symlink the remaining tables from a matching legacy dir to form a
+    complete sf_dir for the signature-dedup soaks."""
+    out.mkdir(parents=True, exist_ok=True)
+    n_doc = max(500, round(50_000 * sf))
+    vocab = _realistic_vocab(vocab_size, seed + 70)
+    probs = _zipf_word_probs(len(vocab))
+    r = np.random.default_rng(seed + 7)
+    texts = _doc_texts(r, n_doc, vocab, probs)
+    _write(out, "documents", pa.table({
+        "doc_id": pa.array(np.arange(n_doc, dtype=np.int64)),
+        "text": texts,
+        "lang": pa.array(np.array(LANGS)[
+            r.choice(len(LANGS), n_doc, p=LANG_P)]),
+        "source": pa.array(
+            [f"src{i}" for i in r.integers(0, 20, n_doc)]),
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+    }))
+    (out / "MANIFEST.json").write_text(json.dumps(
+        {"sf": sf, "seed": seed, "vocab_size": int(vocab_size),
+         "tables": ["documents"],
+         "generator": "tools/gen_testdata.py gen_documents_realistic"}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf", type=float)
@@ -282,7 +372,19 @@ def main() -> None:
         "--zipf", type=float, default=None, metavar="S",
         help="skew events.user_id as bounded Zipf(S) instead of uniform",
     )
+    ap.add_argument(
+        "--realistic-docs", action="store_true",
+        help="write ONLY documents.parquet with a ~50k-token Zipf "
+             "vocabulary (non-saturating shingle space)",
+    )
+    ap.add_argument("--vocab-size", type=int, default=50_000)
     a = ap.parse_args()
+    if a.realistic_docs:
+        print(
+            f"generating realistic-vocab documents sf={a.sf} -> "
+            f"{a.outdir} vocab={a.vocab_size}", flush=True)
+        gen_documents_realistic(a.sf, a.outdir, a.seed, a.vocab_size)
+        return
     print(f"generating sf={a.sf} -> {a.outdir} zipf={a.zipf}", flush=True)
     gen(a.sf, a.outdir, a.seed, zipf_s=a.zipf)
 
