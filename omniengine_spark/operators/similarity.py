@@ -625,6 +625,7 @@ def lsh_ann_topk(
     n_tables: int = 1,
     target_occupancy: int | None = None,
     max_planes: int = 16,
+    n_probes: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k: compare only within LSH buckets,
     unioned over ``n_tables`` independent hash tables.
@@ -651,6 +652,21 @@ def lsh_ann_topk(
     recall contract is per-bucket: holding recall while N grows means
     raising ``n_tables`` (cost stays ∝ N·T); 16 max planes covers
     N ≤ 64·2^16 ≈ 4.2M vectors per partition of the search space.
+
+    ``n_probes`` > 0 adds MULTI-PROBE (Lv et al., VLDB'07): per table,
+    each vector also probes the ``n_probes`` Hamming-adjacent buckets
+    obtained by flipping the active bits with the smallest hyperplane
+    margin |v·h_p| — the bits most likely to disagree with a true
+    neighbor's.  Candidates become the SYMMETRIC CLOSURE of "a's home
+    or probe set contains b's home bucket", so per-table collision
+    probability rises from P(all bits agree) to ~P(≤1 low-margin bit
+    disagrees) at ∝(1+2·n_probes)× candidate cost — recall per
+    candidate beats adding tables (a new table re-pays the full home
+    collision cost for independent bits; a probe reuses the table and
+    targets exactly the likeliest miss).  Margins sort by (|dot|,
+    plane index): double compares, bit-identical on both engines, so
+    the probe set — and therefore the approximate result — remains
+    exactly oracle-checkable.
     """
     # all T bucket keys in ONE scan, exploded to (table, bucket) rows,
     # then a single self-join on the composite key — one shuffle and
@@ -663,24 +679,34 @@ def lsh_ann_topk(
     # vs this shape's near-linear cost: the per-pair fold is ~µs while
     # a pair-row carrying two 64-double arrays is ~1 KB of exchange).
     p_bits = max_planes if target_occupancy else n_planes
-    keyed = vectors.select(
+
+    def dots_arr(t: int) -> Column:
+        planes = deterministic_planes(seed + t, p_bits, dim)
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(c) for c in planes[p]]),
+                        lambda x, h: x.cast("double") * h,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for p in range(p_bits)
+            ]
+        )
+
+    # the p_bits plane dots land in an array column FIRST, so each
+    # fold runs once per (vector, table) and both the bucket bits AND
+    # the probe margins derive from the same stored doubles (the bit
+    # is dot >= 0, exactly hyperplane_bucket_expr's test)
+    dotted = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nrm"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        hyperplane_bucket_expr(
-                            vec_col, p_bits, seed + t, dim
-                        ).alias("bucket"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", "vec", "nrm", "tb.t", "tb.bucket")
+        *[dots_arr(t).alias(f"dots{t}") for t in range(n_tables)],
+    )
     if target_occupancy:
         n_active = adaptive_planes_sql("cnt", target_occupancy)
         nfr = vectors.agg(F.count(F.lit(1)).alias("cnt")).select(
@@ -688,33 +714,136 @@ def lsh_ann_topk(
                 f"shiftleft(CAST(1 AS BIGINT), CAST({n_active} AS INT))"
             ).alias("two_p")
         )
-        keyed = keyed.crossJoin(F.broadcast(nfr)).select(
-            "vec_id",
-            "vec",
-            "nrm",
-            "t",
-            F.col("bucket")
-            .bitwiseAND(F.col("two_p") - 1)
-            .alias("bucket"),
+        dotted = dotted.crossJoin(F.broadcast(nfr))
+    else:
+        dotted = dotted.withColumn(
+            "two_p",
+            F.lit(1 << p_bits).cast("long"),
         )
-    # candidates as UNORDERED pairs (a < b): cosine is symmetric —
-    # dot(a,b) is the same products in the same index order as
-    # dot(b,a) and na·nb == nb·na bitwise — so each pair is scored
-    # once and mirrored afterwards.  A pair colliding in several
-    # tables folds once per collision, but every collision computes
-    # the IDENTICAL double (same arrays, same fold order), so the
-    # distinct on (query, nbr, score) still collapses it to one row
-    # and the oracle is unchanged.
+    # n_active bits = popcount of the mask (two_p - 1 is n_active ones)
+    dotted = dotted.withColumn(
+        "n_act", F.length(F.bin(F.col("two_p") - 1)).cast("int")
+    )
+
+    def home_bucket(t: int) -> Column:
+        b = F.lit(0).cast("long")
+        for p in range(p_bits):
+            b = b.bitwiseOR(
+                F.when(
+                    F.element_at(F.col(f"dots{t}"), p + 1) >= 0,
+                    F.lit(1 << p).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        return b.bitwiseAND(F.col("two_p") - 1)
+
+    for t in range(n_tables):
+        dotted = dotted.withColumn(f"bkt{t}", home_bucket(t))
+
+    def probe_buckets(t: int) -> Column:
+        # (|margin|, plane, mask) structs for the ACTIVE planes only,
+        # sorted ascending — ties impossible past the plane index, so
+        # both engines pick the identical flip set
+        margins = F.filter(
+            F.array(
+                *[
+                    F.struct(
+                        F.abs(
+                            F.element_at(F.col(f"dots{t}"), p + 1)
+                        ).alias("d"),
+                        F.lit(p).alias("p"),
+                        F.lit(1 << p).cast("long").alias("m"),
+                    )
+                    for p in range(p_bits)
+                ]
+            ),
+            lambda x: x["p"] < F.col("n_act"),
+        )
+        return F.transform(
+            F.slice(F.array_sort(margins), 1, n_probes),
+            lambda x: F.col(f"bkt{t}").bitwiseXOR(x["m"]),
+        )
+
+    tb_arrays = [
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    F.col(f"bkt{t}").alias("bucket"),
+                    F.lit(True).alias("home"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+    ]
+    if n_probes > 0:
+        # closure factory, NOT `lambda b, t=t`: F.transform treats a
+        # two-parameter lambda as (element, index) and would pass the
+        # ARRAY INDEX as t — mislabeling every probe's table
+        def probe_struct(tt: int):
+            return lambda b: F.struct(
+                F.lit(tt).alias("t"),
+                b.alias("bucket"),
+                F.lit(False).alias("home"),
+            )
+
+        tb_arrays += [
+            F.transform(probe_buckets(t), probe_struct(t))
+            for t in range(n_tables)
+        ]
+    keyed = dotted.select(
+        "vec_id",
+        "vec",
+        "nrm",
+        F.explode(F.concat(*tb_arrays)).alias("tb"),
+    ).select("vec_id", "vec", "nrm", "tb.t", "tb.bucket", "tb.home")
+    # the index side is a FILTERED projection of the same lineage —
+    # rename its payload columns so the self-join below is
+    # unambiguous by construction (alias-qualified refs against a
+    # filter-of-self resolve wrong: measured 42k spurious + 33k
+    # missing pairs at the sf0.01 gate)
+    index_side = keyed.filter(F.col("home")).select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("vec").alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
+        "t",
+        "bucket",
+    )
+
+    # candidates normalized to UNORDERED pairs (least, greatest):
+    # cosine is symmetric — dot(a,b) is the same products in the same
+    # index order as dot(b,a) and na·nb == nb·na bitwise — so each
+    # discovered pair is scored once and mirrored afterwards.  Home
+    # rows join home rows a < b (each unordered pair emits once);
+    # probe rows join home rows in EITHER id order (b's home landing
+    # in a's probe set says nothing about a's home landing in b's),
+    # normalized at projection.  A pair colliding in several
+    # tables/probes folds once per collision, but every collision
+    # computes the IDENTICAL double (same arrays, same fold order),
+    # so the distinct on (query, nbr, score) still collapses it to
+    # one row and the oracle — the symmetric closure of probe∪home
+    # containment — is unchanged.
     scored = (
-        keyed.alias("a")
-        .join(keyed.alias("b"), ["t", "bucket"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("nbr_id"),
+        keyed.join(index_side, ["t", "bucket"])
+        .filter(
             (
-                _dot(F.col("a.vec"), F.col("b.vec"))
-                / (F.col("a.nrm") * F.col("b.nrm"))
+                F.col("home")
+                & (F.col("vec_id") < F.col("b_vec_id"))
+            )
+            | (
+                (~F.col("home"))
+                & (F.col("vec_id") != F.col("b_vec_id"))
+            )
+        )
+        .select(
+            F.least(F.col("vec_id"), F.col("b_vec_id")).alias(
+                "query_id"
+            ),
+            F.greatest(F.col("vec_id"), F.col("b_vec_id")).alias(
+                "nbr_id"
+            ),
+            (
+                _dot(F.col("vec"), F.col("b_vec"))
+                / (F.col("nrm") * F.col("b_nrm"))
             ).alias("score"),
         )
         .distinct()

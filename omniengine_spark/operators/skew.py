@@ -143,11 +143,21 @@ def chunked_running_sum(
     consistently with ``order_cols`` (a coarse prefix of the order:
     e.g. ``date_trunc('day', ts)`` when ordering by (ts, id)) —
     ordering within one chunk plus ordering of chunk totals then
-    reconstructs the exact global prefix order.  Sums must be of an
-    associative exact type (DECIMAL/BIGINT) so regrouping cannot
-    change the result; the output is bit-identical to the single
-    window's.
+    reconstructs the exact global prefix order.  ``chunk_col`` must
+    also be non-NULL for every row: a NULL chunk groups its rows into
+    a separate partition that the offset window orders FIRST (nulls
+    first), silently breaking the bit-identical-to-single-window
+    guarantee.  Sums must be of an associative exact type
+    (DECIMAL/BIGINT) so regrouping cannot change the result; the
+    output is bit-identical to the single window's.
     """
+    for tmp in ("_chunk", "_within", "_offset", "_chunk_total"):
+        if tmp in df.columns:
+            raise ValueError(
+                f"chunked_running_sum: input already has a {tmp!r} "
+                "column, which would be silently overwritten and "
+                "dropped — rename it first"
+            )
     chunked = df.withColumn("_chunk", chunk_col)
     w_in = (
         Window.partitionBy(key, "_chunk")

@@ -22,6 +22,21 @@ from omniengine_spark.sources import fan_out, load_table
 _N_QUERIES = 20  # first N vec_ids serve as the query set
 _K = 5
 
+# The PQ plans derive their re-rank shortlist depth from COUNT(*) —
+# an EAGER scan at plan-construction time, so explain-only/report
+# callers would otherwise pay a full embeddings read per plan build
+# (twice when both PQ plans are built).  Cached per sf_dir: the
+# bench/driver corpora are immutable, and a wrong cached depth can
+# only change the recall/latency trade, never correctness (the
+# oracle recomputes its own COUNT(*) at query time).
+_EMB_COUNT_CACHE: dict[str, int] = {}
+
+
+def _emb_count(emb: DataFrame, sf_dir: str) -> int:
+    if sf_dir not in _EMB_COUNT_CACHE:
+        _EMB_COUNT_CACHE[sf_dir] = emb.count()
+    return _EMB_COUNT_CACHE[sf_dir]
+
 
 @query(
     "sim_bruteforce_cosine_topk",
@@ -65,8 +80,19 @@ def sim_bruteforce_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # planes are md5-derived from seed 42+t, so the oracle rebuilds
 # identical buckets and the approximate result stays exactly
 # checkable.
+# MULTI-PROBE (round 7): each vector additionally probes the
+# _N_PROBES Hamming-adjacent buckets from flipping its
+# lowest-|margin| active bits; candidates are the symmetric closure
+# of probe∪home containment (operators/similarity.py:lsh_ann_topk).
+# Measured at sf0.1: recall@5 0.26 → 0.60 for ~1.6× wall clock —
+# probes reuse the table's dot folds, so recall-per-candidate beats
+# adding tables.  NOTE: sim_ivf_ann_topk remains the named ANN scale
+# default — it dominates LSH on BOTH recall and latency at every
+# measured rung (tools/ann_recall.json); this plan is the
+# data-independent-index alternative (no seed-vector dependence).
 _N_PLANES = 4
 _N_TABLES = 4
+_N_PROBES = 2
 _DIM = 64
 # occupancy-adaptive bits (operators.similarity.adaptive_planes_sql):
 # all _MAX_PLANES bits are computed, then masked down to
@@ -97,11 +123,45 @@ def _bucket_sql(seed: int) -> str:
 _TABLE_KEYS = ",\n             ".join(
     f"{_bucket_sql(42 + t)} AS k{t}" for t in range(_N_TABLES)
 )
-_TABLE_MATCH = " OR ".join(f"a.k{t} = c.k{t}" for t in range(_N_TABLES))
+
+
+def _probe_sql(seed: int, t: int) -> str:
+    """Multi-probe bucket list for table ``t``: (|margin|, plane,
+    mask) structs over all _MAX_PLANES planes, filtered to the active
+    bits, sorted ascending (ties break on the plane index — both
+    engines compare struct fields left-to-right), first _N_PROBES
+    flipped onto the home key.  Mirrors lsh_ann_topk.probe_buckets
+    exactly: same doubles, same sort, same xor."""
+    planes = S.deterministic_planes(
+        seed=seed, n_planes=_MAX_PLANES, dim=_DIM
+    )
+    structs = ", ".join(
+        f"{{'d': abs(list_dot_product(v, {_plane_lit(planes[p])})),"
+        f" 'p': {p}, 'm': CAST({1 << p} AS BIGINT)}}"
+        for p in range(_MAX_PLANES)
+    )
+    return (
+        f"list_transform(list_sort(list_filter([{structs}], "
+        f"x -> x.p < n_act))[1:{_N_PROBES}], x -> xor(k{t}, x.m))"
+    )
+
+
+_TABLE_PROBES = ",\n             ".join(
+    f"{_probe_sql(42 + t, t)} AS pr{t}" for t in range(_N_TABLES)
+)
+# symmetric closure: a and c collide if their home buckets match in
+# any table OR either one's probe set contains the other's home
+_TABLE_MATCH = " OR ".join(
+    f"a.k{t} = c.k{t}"
+    f" OR list_contains(a.pr{t}, c.k{t})"
+    f" OR list_contains(c.pr{t}, a.k{t})"
+    for t in range(_N_TABLES)
+)
 _N_CTE = (
-    "SELECT CAST(1 AS BIGINT) << CAST("
+    "SELECT two_p, CAST(length(bin(two_p - 1)) AS INT) AS n_act"
+    " FROM (SELECT CAST(1 AS BIGINT) << CAST("
     + S.adaptive_planes_sql("COUNT(*)", _OCCUPANCY)
-    + " AS INT) AS two_p FROM e"
+    + " AS INT) AS two_p FROM e)"
 )
 
 
@@ -116,9 +176,13 @@ _N_CTE = (
       SELECT vec_id, v,
              {_TABLE_KEYS}
       FROM e
+    ), b2 AS (
+      SELECT vec_id, v, {", ".join(f"k{t}" for t in range(_N_TABLES))},
+             {_TABLE_PROBES}
+      FROM b CROSS JOIN n
     ), cand AS (
       SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS nbr_id
-      FROM b a JOIN b c
+      FROM b2 a JOIN b2 c
         ON ({_TABLE_MATCH}) AND a.vec_id <> c.vec_id
     ), scored AS (
       SELECT cand.query_id, cand.nbr_id,
@@ -153,6 +217,7 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tables=_N_TABLES,
         target_occupancy=_OCCUPANCY,
         max_planes=_MAX_PLANES,
+        n_probes=_N_PROBES,
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
 
@@ -359,9 +424,11 @@ def sim_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.orderBy("vec_id").limit(_N_QUERIES)
     # COUNT(*)-derived shortlist depth (one bounded build-time action,
-    # same class as the adaptive-planes/centroid formulas) — mirrors
-    # the oracle's greatest(floor, count(*) // div) exactly
-    shortlist = max(_PQ_SHORTLIST, emb.count() // _PQ_SHORTLIST_DIV)
+    # cached per sf_dir — see _emb_count) — mirrors the oracle's
+    # greatest(floor, count(*) // div) exactly
+    shortlist = max(
+        _PQ_SHORTLIST, _emb_count(emb, sf_dir) // _PQ_SHORTLIST_DIV
+    )
     return S.pq_seeded_topk(
         emb,
         queries,
@@ -464,7 +531,10 @@ def sim_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ_M,
         dim=64,
         # same adaptive depth as sim_pq (and the shared oracle CTE)
-        shortlist=max(_PQ_SHORTLIST, emb.count() // _PQ_SHORTLIST_DIV),
+        shortlist=max(
+            _PQ_SHORTLIST,
+            _emb_count(emb, sf_dir) // _PQ_SHORTLIST_DIV,
+        ),
         probes=probes,
         lists=lists,
     )

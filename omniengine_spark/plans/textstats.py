@@ -552,15 +552,22 @@ _LM_RARE_THRESHOLD = 5
 def text_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trigram fluency score per document.
 
-    Scale shape: ONE explode over character positions (rows = corpus
-    characters, no materialized strings beyond 3 chars), immediately
-    compressed to per-(doc, trigram) counts — the explode is scanned
-    once, and everything downstream (model training AND scoring)
-    re-aggregates those counts.  The model agg keys on the trigram
-    (key space bounded by alphabet³); the trained model — a few
-    million rows regardless of corpus size — broadcasts back for the
-    scoring join, so scoring adds NO wide shuffle at 100 TB.  The
-    per-doc rollup shuffles on doc_id once."""
+    Scale shape: the position explode runs TWICE — once into the
+    model agg, once into the scoring join — and NOTHING is cached.
+    Earlier rounds persisted a per-(doc, trigram) count frame between
+    the branches, but measured it a net loss: documents rarely repeat
+    a trigram (~1.2× compression at 60-word docs), so the cache held
+    ~corpus-characters rows of pure overhead — it OOM'd an 8 GB heap
+    as a localCheckpoint, thrashed as a MEMORY_AND_DISK cache
+    (spill-soak e=+1.34), and pinned executor storage for the rest of
+    the session.  Recomputing one substr explode is cheaper than one
+    disk round-trip of the same rows.  The two branches are then both
+    shuffle-light: the model agg keys on the trigram with map-side
+    combine (per-partition key space bounded by alphabet³), the
+    trained model — a few million rows regardless of corpus size —
+    broadcasts into a map-side join against raw instance rows, and
+    the per-doc rollup's partial agg compresses each partition to its
+    distinct doc_ids before the one real shuffle (on doc_id)."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= 3
     )
@@ -572,36 +579,21 @@ def text_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omniengine_spark.sources import fan_out
 
     docs = fan_out(docs)
-    # persist (compressed columnar cache, memory-AND-DISK) rather than
-    # localCheckpoint: the frame is per-(doc, trigram) counts — ~100M
-    # rows at sf5 — and checkpointing it as deserialized row blocks
-    # under 32 concurrent tasks OOMs an 8 GB heap (measured: the
-    # spill-regime soak killed the JVM here).  The cache builds small
-    # compressed batches, evicts to disk under pressure, and still
-    # guarantees the explode is scanned once for both consumers
-    # (model training and the scoring join).
-    from pyspark.storagelevel import StorageLevel
-
-    doc_tri = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("text") - 2),
-                    lambda i: F.col("text").substr(i, F.lit(3)),
-                )
-            ).alias("tri"),
-        )
-        .groupBy("doc_id", "tri")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    tri_rows = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 2),
+                lambda i: F.col("text").substr(i, F.lit(3)),
+            )
+        ).alias("tri"),
     )
-    model = doc_tri.groupBy("tri").agg(
-        F.sum("c").alias("corpus_freq")
+    model = tri_rows.groupBy("tri").agg(
+        F.count(F.lit(1)).alias("corpus_freq")
     )
-    scored = doc_tri.join(F.broadcast(model), "tri")
-    n_tri = F.sum("c")
-    hits = F.sum(F.col("c") * F.col("corpus_freq"))
+    scored = tri_rows.join(F.broadcast(model), "tri")
+    n_tri = F.count(F.lit(1))
+    hits = F.sum("corpus_freq")
     return scored.groupBy("doc_id").agg(
         n_tri.alias("n_trigrams"),
         hits.alias("corpus_hits"),
@@ -610,7 +602,7 @@ def text_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(
                     F.col("corpus_freq") < _LM_RARE_THRESHOLD,
-                    F.col("c"),
+                    F.lit(1),
                 ).otherwise(F.lit(0))
             ).cast("double")
             / n_tri

@@ -96,17 +96,32 @@ def _claim_version(path: str, start: int) -> tuple[int, Path]:
 def _manifest_lock(path: str, timeout_s: float = 30.0):
     """Serialize manifest read-modify-write across processes with an
     ``O_CREAT|O_EXCL`` lock file (atomic on POSIX, incl. NFSv3+).  A
-    stale lock (holder crashed) is broken after ``timeout_s``."""
+    stale lock (holder crashed) is broken after ``timeout_s``.
+
+    Staleness is gauged by the LOCK FILE's mtime, not by how long
+    this waiter has been waiting: a waiter's own deadline expires
+    even while locks are being legitimately acquired and released
+    around it, after which it would unlink whatever lock exists every
+    poll — including one another process just created — and two
+    writers would run the read-modify-write concurrently.  Breaking a
+    stale lock never grants ownership by itself: every acquisition,
+    including the breaker's, goes through the O_EXCL create, so when
+    several waiters race to break the same dead lock exactly one wins
+    the subsequent create and the rest go back to polling a FRESH
+    (young-mtime) lock they won't break."""
     lock = Path(path) / "_manifest.lock"
-    deadline = time.monotonic() + timeout_s
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.close(fd)
             break
         except FileExistsError:
-            if time.monotonic() > deadline:
-                lock.unlink(missing_ok=True)  # break stale lock
+            try:
+                age = time.time() - lock.stat().st_mtime
+            except OSError:
+                continue  # holder released between open and stat
+            if age > timeout_s:
+                lock.unlink(missing_ok=True)  # break; acquire above
             time.sleep(0.05)
     try:
         yield
@@ -159,13 +174,25 @@ def read_version(
     return spark.read.parquet(str(Path(path) / f"v={v}"))
 
 
-def vacuum(path: str, keep_last: int = 2) -> list[int]:
+def vacuum(
+    path: str, keep_last: int = 2, orphan_ttl_s: float = 3600.0
+) -> list[int]:
     """Retire all but the newest ``keep_last`` versions (files AND
     manifest entries — history of retired versions keeps only the
     descriptions under ``retired``), plus any orphan ``v=N`` dirs
     below the current version (claimed by a commit that crashed
     before its manifest swap; readers never see them).  Returns
-    retired version numbers."""
+    retired version numbers.
+
+    Orphan deletion is AGE-GATED on the dir's mtime: "below current
+    and not in the manifest" alone does not prove abandonment — a
+    slow in-flight commit's claimed dir drops below ``current`` the
+    moment a faster concurrent writer publishes a higher version, and
+    sweeping it would delete a directory another writer is actively
+    writing into (and let it later publish a corrupt version).  A
+    claimed dir younger than ``orphan_ttl_s`` is left alone; parquet
+    task writes keep refreshing the dir's mtime, so only a commit
+    dead for the full TTL qualifies."""
     with _manifest_lock(path):
         manifest = _load_manifest(path)
         live = manifest["versions"]
@@ -187,6 +214,11 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
             except ValueError:
                 continue
             if v <= manifest["current"] and v not in known:
+                try:
+                    if time.time() - d.stat().st_mtime < orphan_ttl_s:
+                        continue  # possibly a live in-flight commit
+                except OSError:
+                    continue
                 shutil.rmtree(d, ignore_errors=True)
         manifest["versions"] = kept
         if retired:

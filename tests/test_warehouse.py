@@ -453,8 +453,13 @@ def test_versioned_commit_claims_skip_orphans(spark, tmp_path):
     with pytest.raises(ValueError):
         V.read_version(spark, tbl, 2)
 
-    # vacuum retires the below-current orphan, keeps the live claim
+    # a YOUNG below-current claim is protected by the orphan TTL: it
+    # may be a slow in-flight commit that a faster writer overtook —
+    # "below current and unpublished" alone does not prove it is dead
     V.vacuum(tbl, keep_last=5)
+    assert os.path.exists(os.path.join(tbl, "v=2"))
+    # once the claim has been dead past the TTL, vacuum retires it
+    V.vacuum(tbl, keep_last=5, orphan_ttl_s=0.0)
     assert not os.path.exists(os.path.join(tbl, "v=2"))
     assert os.path.exists(os.path.join(tbl, "v=9"))
     # published versions intact
