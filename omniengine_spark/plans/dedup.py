@@ -72,8 +72,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_lsh",
-    # Same oracle as the exact join: LSH at 32×2 bands + exact verify
-    # equals the exact result with P(miss) ≈ 6e-15 at the threshold.
+    # Same oracle as the exact join: LSH at 32×4 bands + exact verify
+    # equals the exact result with P(miss) ≈ 5e-8 at the threshold
+    # (planted dups sit at J≈0.95+, miss ≈ 1e-12).  Round 7 moved
+    # 32×2 → 32×4: 2-row bands collide ∝ E[J²] over RANDOM pairs,
+    # which on any corpus with correlated content (Zipf vocabularies
+    # share common words) makes candidate mass quadratic — measured
+    # e=+1.87 in candidates sf5→sf25 on the realistic-vocab corpus vs
+    # e=+1.00 at 4-row bands (tools/scale_soak_rv.json, diagnostics
+    # in COVERAGE.md).  The 2× signature cost buys a ~47× candidate
+    # cut at sf25.
     oracle=_SHINGLE_CTE
     + """
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -91,8 +99,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         n=3,
-        num_hashes=64,
-        band_rows=2,
+        num_hashes=128,
+        band_rows=4,
         threshold=Fraction(4, 5),
     )
 
@@ -260,7 +268,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     pairs = D.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3,
-        num_hashes=64, band_rows=2, threshold=Fraction(4, 5),
+        num_hashes=128, band_rows=4, threshold=Fraction(4, 5),
     )
     return D.connected_components(docs, pairs, "doc_id")
 
@@ -314,17 +322,32 @@ _SEM_K_SQL = _sem_k_sql()
                           s.cluster ASC) AS arank
         FROM nm n CROSS JOIN seeds s
       ) WHERE arank = 1
+    ), caps AS (
+      SELECT greatest(64, CAST(ceil(
+        4.0 * COUNT(*) / ({_SEM_K_SQL})) AS BIGINT)) AS cap
+      FROM e
+    ), asg2 AS (
+      -- cluster-mass cap: members ordered by the RAW stored first
+      -- coordinate (no arithmetic — both engines compare identical
+      -- parquet bytes), chunked into cap-sized sub-buckets; pairs
+      -- compare within (cluster, sub) only
+      SELECT vec_id, v, nrm, cluster,
+             CAST(floor((ROW_NUMBER() OVER (
+               PARTITION BY cluster ORDER BY v[1] ASC, vec_id ASC
+             ) - 1) / (SELECT cap FROM caps)) AS BIGINT) AS sub
+      FROM asg
     )
     SELECT a.vec_id,
            a.cluster,
            NOT EXISTS (
-             SELECT 1 FROM asg b
+             SELECT 1 FROM asg2 b
              WHERE b.cluster = a.cluster
+               AND b.sub = a.sub
                AND b.vec_id < a.vec_id
                AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
                      >= {_SEM_TAU}
            ) AS is_kept
-    FROM asg a
+    FROM asg2 a
     """,
 )
 def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:

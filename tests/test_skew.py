@@ -165,3 +165,35 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_running_sum_auto_branches_are_bit_identical(spark):
+    """running_sum_auto's two branches (plain window / chunked
+    two-pass) must produce the SAME rows — forced via the threshold
+    knob so both paths execute regardless of what the probe would
+    pick — and both must collide with the chunked operator's own
+    output.  Also pins the temp-column collision guard."""
+    from omniengine_spark.operators.skew import (
+        chunked_running_sum,
+        running_sum_auto,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    kw = dict(
+        key="user_id",
+        order_cols=["ts", "event_id"],
+        value_col=F.col("value").cast("decimal(18,4)"),
+        chunk_col=F.date_trunc("day", F.col("ts")),
+    )
+    cols = ["event_id", "user_id", "running_value"]
+    plain = running_sum_auto(ev, hot_share_threshold=1.1, **kw)
+    chunked = running_sum_auto(ev, hot_share_threshold=0.0, **kw)
+    assert _sorted_rows(plain.select(*cols)) == _sorted_rows(
+        chunked.select(*cols)
+    )
+    direct = chunked_running_sum(ev, **kw)
+    assert _sorted_rows(chunked.select(*cols)) == _sorted_rows(
+        direct.select(*cols)
+    )
+    with pytest.raises(ValueError, match="_chunk"):
+        chunked_running_sum(ev.withColumn("_chunk", F.lit(1)), **kw)

@@ -313,3 +313,53 @@ def test_exactly_once_sink_survives_multiple_batches(
     expected = load_table(spark, SF_SMOKE, "events").count()
     cleanup(path)
     assert total == expected
+
+
+def test_timer_expiry_chunking_invariant(spark):
+    """x12's drained result must not depend on HOW the stream is
+    micro-batched, provided the source honors in-order delivery (the
+    contract a bus partition provides; the 1 h watermark tolerates
+    1 h of disorder).  Round 6's stream bench measured 13,819 vs
+    14,996 output rows at 20 vs 5 chunks over identical input — root
+    cause was the STAGING, not the operator: repartitionByRange write
+    tasks finish in arbitrary order, FileStreamSource consumes by
+    (mtime, path), so whole time ranges arrived beyond-watermark late
+    and were dropped by contract.  With mtime-ordered chunks the
+    fold is chunking-invariant: this pins 1 file vs 4 time-ordered
+    files delivering one-per-micro-batch."""
+    import os
+
+    from omniengine_spark.streaming.jobs import offer_expiry_with_timers
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    qs = ev.select(
+        F.percentile_approx("ts", 0.25).alias("a"),
+        F.percentile_approx("ts", 0.5).alias("b"),
+        F.percentile_approx("ts", 0.75).alias("c"),
+    ).collect()[0]
+    t1, t2, t3 = qs["a"], qs["b"], qs["c"]
+    sf_dir = scratch_dir("x12-chunking")
+    ev_dir = os.path.join(sf_dir, "events.parquet")
+    parts = [
+        ev.filter(F.col("ts") <= F.lit(t1)),
+        ev.filter((F.col("ts") > F.lit(t1)) & (F.col("ts") <= F.lit(t2))),
+        ev.filter((F.col("ts") > F.lit(t2)) & (F.col("ts") <= F.lit(t3))),
+        ev.filter(F.col("ts") > F.lit(t3)),
+    ]
+    for part in parts:
+        part.coalesce(1).write.mode("append").parquet(ev_dir)
+        time.sleep(1.1)  # distinct mtimes → in-order delivery
+
+    def rows(sf):
+        out = offer_expiry_with_timers(spark, sf, horizon_minutes=30)
+        return sorted(map(tuple, out.collect()))
+
+    single = rows(SF_SMOKE)
+    os.environ["SPARK_GRAFT_STREAM_MAX_FILES"] = "1"
+    try:
+        chunked = rows(sf_dir)
+    finally:
+        os.environ.pop("SPARK_GRAFT_STREAM_MAX_FILES", None)
+    assert single, "expiry fold emitted nothing on the fixture"
+    assert chunked == single
+    cleanup(sf_dir)

@@ -67,6 +67,24 @@ def main() -> None:
             .write.mode("overwrite")
             .parquet(str(ev_dir))
         )
+        # The file stream consumes by (modTime, path), but write TASKS
+        # finish in arbitrary order — so part-00017 can carry an
+        # earlier mtime than part-00003 and the "feed" delivers time
+        # ranges OUT OF ORDER.  The watermark then jumps ahead on the
+        # early-delivered late range and genuinely-old chunks arrive
+        # as beyond-watermark late data, which stateful plans DROP by
+        # contract (chunk spans here are ~36 h ≫ the 1 h tolerance) —
+        # measured as the 13,819-vs-14,996 row x12 discrepancy in
+        # round 6.  Stamp mtimes in range (=time) order so the staged
+        # source honors the in-order-delivery contract a real bus
+        # partition provides.
+        parts = sorted(
+            p for p in ev_dir.iterdir()
+            if p.name.startswith("part-")
+        )
+        base = time.time() - len(parts) - 60
+        for i, p in enumerate(parts):
+            os.utime(p, (base + i, base + i))
         for f in src.glob("*.parquet"):
             dst = staged / f.name
             if f.name != "events.parquet" and not dst.exists():
