@@ -121,6 +121,7 @@ def main() -> None:
     ap.add_argument(
         "--measure-one", default=None, help=argparse.SUPPRESS
     )
+    ap.add_argument("plans", nargs="*")
     args = ap.parse_args()
     small, big, ratio = args.small, args.big, args.ratio
 
