@@ -154,19 +154,56 @@ def load_tables(
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def _effective_parquet_splits(df: DataFrame) -> int | None:
+    """TRUE scan parallelism of a parquet-backed frame: the total
+    row-group count across its input files (footer metadata only,
+    driver-side, ~ms per file).  Spark's split count is byte-range
+    arithmetic — a 2.5 GB file yields ~32 splits at 78 MB each — but
+    a split only produces rows if a ROW GROUP STARTS inside it, so a
+    file written as one giant row group feeds exactly one task no
+    matter how many splits cover it.  Returns None when the input
+    isn't introspectable (non-parquet, remote scheme, many files —
+    ≥64 files have plenty of groups by construction)."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — non-file-backed plans
+        return None
+    if not files or len(files) >= 64:
+        return None
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in files:
+        if not f.startswith("file:") or not f.endswith(".parquet"):
+            return None
+        try:
+            total += pq.ParquetFile(f[len("file:"):]).metadata.num_row_groups
+        except Exception:  # noqa: BLE001 — unreadable footer
+            return None
+    return total
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session's core count when the
-    input has fewer splits than cores.
+    input has fewer EFFECTIVE splits than cores.
 
-    The testdata tables are single-row-group parquet files — one
-    input split each, which serializes CPU-heavy per-row work
-    (shingling, minhash, trigram explode) onto one core no matter
-    the master.  On a real warehouse the scan has thousands of
-    row-group splits and this is a no-op by the partition-count
-    guard.  Only safe where downstream is order-free (signatures,
-    aggregations) — never before ordered folds or serial stamping.
+    The testdata tables are few-row-group parquet files, which
+    serializes CPU-heavy per-row work (shingling, minhash, trigram
+    explode) onto one or two cores no matter the master.  On a real
+    warehouse the scan has thousands of row-group splits and this is
+    a no-op by the guard.  The guard checks BOTH Spark's split count
+    AND the files' actual row-group count: split count alone is
+    fooled by big single-row-group files (a 2.5 GB / 2-row-group
+    documents file shows ≥32 byte-range splits, but 30 of them
+    contain no row-group start and read zero rows — measured as a
+    12-minute two-task straggler on the 1.25M-doc minhash soak while
+    30 cores idled).  Only safe where downstream is order-free
+    (signatures, aggregations) — never before ordered folds or
+    serial stamping.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
-        return df
+        eff = _effective_parquet_splits(df)
+        if eff is None or eff >= target:
+            return df
     return df.repartition(target)

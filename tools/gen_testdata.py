@@ -52,8 +52,19 @@ EPOCH_2024 = np.datetime64("2024-01-01T00:00:00", "us")
 EPOCH_1995 = np.datetime64("1995-01-01", "D")
 
 
+# Bounded row groups: pyarrow's default writes ~1Mi-row groups, so a
+# 250k-row documents table lands in ONE row group — and a Spark split
+# only yields rows if a row group STARTS inside it, so every
+# CPU-heavy scan (shingling, minhash, embedding folds) serialized
+# onto 1-2 tasks while 30 cores idled (measured: a 12-minute
+# straggler on the 1.25M-doc minhash soak).  64k rows ≈ 10-30 MB
+# groups across these schemas — real-warehouse-shaped.
+ROW_GROUP = 65_536
+
+
 def _write(out: Path, name: str, table: pa.Table) -> None:
-    pq.write_table(table, out / f"{name}.parquet", compression="snappy")
+    pq.write_table(table, out / f"{name}.parquet", compression="snappy",
+                   row_group_size=ROW_GROUP)
     print(f"  {name}: {table.num_rows} rows", flush=True)
 
 
@@ -259,7 +270,7 @@ def gen(
                 (EPOCH_1995 + (o_days[okey] + ship_off)
                  .astype("timedelta64[D]")).astype("datetime64[us]")),
         }, schema=li_schema)
-        writer.write_table(li)
+        writer.write_table(li, row_group_size=ROW_GROUP)
         written += n
     writer.close()
     print(f"  lineitem: {written} rows", flush=True)
@@ -297,7 +308,7 @@ def gen(
                 np.maximum(0.01, r.exponential(50.0, n)), 2),
             "props": pa.array([f'{{"k": {k}}}' for k in ks]),
         }, schema=ev_schema)
-        writer.write_table(ev)
+        writer.write_table(ev, row_group_size=ROW_GROUP)
         written += n
     writer.close()
     print(f"  events: {written} rows", flush=True)
@@ -316,6 +327,16 @@ def gen(
     }))
 
     # --- embeddings (clustered gaussians, 64-dim) ---------------------
+    _gen_embeddings(out, n_emb, seed)
+
+    (out / "MANIFEST.json").write_text(json.dumps(
+        {"sf": sf, "seed": seed, "zipf_s": zipf_s,
+         "generator": "tools/gen_testdata.py"}))
+
+
+def _gen_embeddings(out: Path, n_emb: int, seed: int) -> None:
+    """Clustered-gaussian 64-dim embeddings, identical at any entry
+    point (same seed offset as the full gen())."""
     r = np.random.default_rng(seed + 8)
     labels = r.integers(0, 10, n_emb).astype(np.int32)
     centers = r.normal(0.0, 0.05, (10, 64))
@@ -329,9 +350,12 @@ def gen(
         "label": pa.array(labels),
     }))
 
-    (out / "MANIFEST.json").write_text(json.dumps(
-        {"sf": sf, "seed": seed, "zipf_s": zipf_s,
-         "generator": "tools/gen_testdata.py"}))
+
+def gen_embeddings_only(sf: float, out: Path, seed: int = 42) -> None:
+    """Write ONLY embeddings.parquet at ``sf`` — lets the sf25 ANN /
+    SemDeDup soak rungs exist without regenerating 150M lineitem rows."""
+    out.mkdir(parents=True, exist_ok=True)
+    _gen_embeddings(out, max(500, round(20_000 * sf)), seed)
 
 
 def gen_documents_realistic(
@@ -378,7 +402,18 @@ def main() -> None:
              "vocabulary (non-saturating shingle space)",
     )
     ap.add_argument("--vocab-size", type=int, default=50_000)
+    ap.add_argument(
+        "--embeddings-only", action="store_true",
+        help="write ONLY embeddings.parquet (sf25 ANN/SemDeDup rungs "
+             "without the 150M-row lineitem regen)",
+    )
     a = ap.parse_args()
+    if a.embeddings_only:
+        print(
+            f"generating embeddings-only sf={a.sf} -> {a.outdir}",
+            flush=True)
+        gen_embeddings_only(a.sf, a.outdir, a.seed)
+        return
     if a.realistic_docs:
         print(
             f"generating realistic-vocab documents sf={a.sf} -> "
