@@ -148,11 +148,27 @@ def jaccard_similarity_join(
 
     docs = hashed_shingle_docs(df, id_col, text_col, n)
 
-    # Prefix filtering is correct under ANY fixed global shingle order;
-    # hash order is computable per row (sort + slice, no df-frequency
-    # join, no window, no extra shuffle).  Joining on the 64-bit hash
-    # keeps shuffle rows narrow; hash collisions only ever ADD
-    # candidates, never drop pairs.
+    # Prefix filtering is correct under ANY fixed global shingle
+    # order.  Rounds 1-6 used hash order (computable per row: sort +
+    # slice, no extra shuffle); round 7's realistic-vocabulary soak
+    # measured it BUCKET-BOUND on Zipfian corpora (e≈+1.5 at the
+    # 250k→1.25M-doc decade): a hot shingle lands in a doc's prefix
+    # with probability prefix_len/|doc| regardless of its corpus
+    # frequency, so a shingle shared by m docs seeds Θ((m·L/|d|)²)
+    # candidate pairs and the head of the Zipf curve dominates the
+    # join.  The classic AllPairs/PPJoin remedy — order the universe
+    # by GLOBAL DOCUMENT FREQUENCY ascending (ties by hash) — makes
+    # each doc's prefix its RAREST shingles: a shingle with df=m can
+    # only bucket m docs if it survives to all their prefixes, which
+    # frequency-ascending order makes rare by construction.  Cost:
+    # one linear df-aggregate over the posting rows plus re-collecting
+    # each doc's ordered array (both shuffles linear in corpus size,
+    # ~N·|d| skinny rows) — bought back many times over at scale.
+    # (df, h) is a consistent global total order because df is a
+    # global property of the shingle; both engines sort the identical
+    # (BIGINT, BIGINT) pairs, so the prefix sets — and therefore the
+    # candidate superset — stay deterministic.  Hash collisions only
+    # ever ADD candidates, never drop pairs.
     #
     # q=2 PAIR-prefix: the single-hash scheme is bucket-bound — when
     # the shingle space saturates (low-entropy corpora: S possible
@@ -173,11 +189,6 @@ def jaccard_similarity_join(
     # ``pre`` carries the q=3 prefix — ONE element longer than q=2's
     # (n − ⌈t·n⌉ + 3); the q=2/q=1 layers filter down to their own
     # lengths, so one frame serves every layer.
-    prefix_len3 = (
-        F.size("hs")
-        - F.expr(f"({t_num} * size(hs) + {t_den} - 1) div {t_den}")
-        + 3
-    )
     # localCheckpoint: ``pre`` feeds every join branch below.  Left
     # lazy, Catalyst re-inlines the interpreted shingle HOF into
     # every branch — and worse, pushes derived filters beneath the
@@ -185,11 +196,33 @@ def jaccard_similarity_join(
     # re-evaluating it per corpus row (the documented shingle_docs
     # trap; measured 7× on the end-to-end plan).  The frame is
     # bounded: N·prefix_len skinny rows.
-    pre = (
-        docs.select(
+    inst = docs.select("doc_id", F.explode_outer("hs").alias("h"))
+    dfreq = inst.groupBy("h").agg(F.count(F.lit(1)).alias("dfr"))
+    ranked = (
+        inst.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("dfr", "h")).alias("rh"))
+        .select(
             "doc_id",
-            F.size("hs").alias("n_sh"),
-            F.posexplode_outer(F.slice("hs", F.lit(1), prefix_len3)),
+            F.size("rh").alias("n_sh"),
+            # array_sort on (dfr, h) structs = the global
+            # frequency-ascending order, decided per doc on a tiny
+            # in-memory array (no window sort over the corpus)
+            F.transform(F.array_sort("rh"), lambda s: s["h"]).alias(
+                "hs_ord"
+            ),
+        )
+    )
+    prefix_len3o = (
+        F.size("hs_ord")
+        - F.expr(f"({t_num} * size(hs_ord) + {t_den} - 1) div {t_den}")
+        + 3
+    )
+    pre = (
+        ranked.select(
+            "doc_id",
+            "n_sh",
+            F.posexplode_outer(F.slice("hs_ord", F.lit(1), prefix_len3o)),
         )
         .select("doc_id", "n_sh", "pos", F.col("col").alias("h"))
         .localCheckpoint()

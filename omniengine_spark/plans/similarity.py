@@ -202,6 +202,18 @@ _N_CTE = (
     """,
 )
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DEMOTED for scale — ``sim_ivf_ann_topk`` is the named ANN
+    # default (COVERAGE.md §ANN).  Hyperplane LSH on CLUSTERED
+    # embeddings is bucket-bound: random hyperplanes through
+    # correlated data leave a constant FRACTION of each cluster in
+    # one bucket, so candidate mass grows ~N² whatever the plane
+    # count (round-6 recall 0.16/0.10 at sf1/sf5; round-7 multi-probe
+    # lifts recall ~2.3× but the rv soak still measured e=+1.01
+    # sf1→sf5 with the suite's worst absolute latency, and the
+    # 500k-vector rung exceeds any reasonable budget).  Kept as the
+    # LOW-LATENCY/small-N path and as the oracle-checked reference
+    # implementation of multi-probe LSH.
+    #
     # fan_out: the inline-scored bucket join computes its hyperplane
     # folds and pair scores BEFORE the first exchange, so the
     # single-row-group testdata file would serialize all of it onto
