@@ -4,6 +4,8 @@ see: stub dispatch, empty/degenerate inputs, exact-arithmetic rules.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -413,3 +415,40 @@ def test_simhash_topk_caps_output_and_keeps_exact_dups(spark):
     for r in got:
         a, b = min(r.doc_id, r.nbr_id), max(r.doc_id, r.nbr_id)
         assert exact[(a, b)] == r.hamming
+
+
+def test_fan_out_detects_single_row_group_files(spark):
+    """fan_out must repartition a BIG single-row-group parquet file
+    even when Spark's byte-range split count looks sufficient: a split
+    only produces rows if a row group STARTS inside it, so a 1-group
+    file feeds exactly one task no matter how many splits cover it
+    (round-7 root cause of the 12-minute minhash straggler)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from omniengine_spark.sources.catalog import (
+        _effective_parquet_splits,
+        fan_out,
+    )
+    from omniengine_spark.sources.sinks import cleanup, scratch_dir
+
+    d = scratch_dir("fanout-rg")
+    Path(d).mkdir(parents=True, exist_ok=True)
+    path = f"{d}/one_group.parquet"
+    n = 200_000
+    # ~40 MB of incompressible data in ONE row group: many byte-range
+    # splits at the session's maxPartitionBytes, one effective split
+    tbl = pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "pad": pa.array([f"x{i:09d}" * 20 for i in range(n)]),
+    })
+    pq.write_table(tbl, path, compression="none",
+                   row_group_size=n)
+    df = spark.read.parquet(path)
+    assert _effective_parquet_splits(df) == 1
+    target = spark.sparkContext.defaultParallelism
+    out = fan_out(df)
+    assert out.rdd.getNumPartitions() >= min(target, 2)
+    # the repartitioned frame still carries every row exactly once
+    assert out.count() == n
+    cleanup(d)
