@@ -182,8 +182,11 @@ def jaccard_similarity_join(
     # ≤ |X| − o + i).  With q=2 the join key becomes an ORDERED PAIR
     # of prefix hashes — the key space squares to ~S²/2, so the same
     # candidate formula Θ(P²/S²) collapses by a factor of S.  Because
-    # ``hs`` is sorted-distinct, both docs emit a shared (h1 < h2)
-    # pair identically — no canonicalization join needed.  Per-doc
+    # ``hs_ord`` is a consistent global total order, both docs emit
+    # the shared pair in the same (df, h)-ascending order — no
+    # canonicalization join needed (the pair is ordered by position
+    # in the global df-ascending ranking, not by raw hash value).
+    # Per-doc
     # o ≥ ⌈t·|X|⌉ bounds the pair-level o = ⌈t·max(|A|,|B|)⌉ from
     # below, so per-doc prefix lengths stay valid.
     # ``pre`` carries the q=3 prefix — ONE element longer than q=2's
@@ -196,7 +199,15 @@ def jaccard_similarity_join(
     # re-evaluating it per corpus row (the documented shingle_docs
     # trap; measured 7× on the end-to-end plan).  The frame is
     # bounded: N·prefix_len skinny rows.
-    inst = docs.select("doc_id", F.explode_outer("hs").alias("h"))
+    # localCheckpoint: ``inst`` feeds BOTH the dfreq aggregate and the
+    # join side of ``ranked`` — left lazy, the interpreted shingle HOF
+    # is re-evaluated in two extra full passes before ``pre``'s own
+    # checkpoint (the documented HOF re-evaluation trap, measured 7×
+    # on this family).  The frame is N·|d| skinny (long, long) rows.
+    inst = (
+        docs.select("doc_id", F.explode_outer("hs").alias("h"))
+        .localCheckpoint()
+    )
     dfreq = inst.groupBy("h").agg(F.count(F.lit(1)).alias("dfr"))
     ranked = (
         inst.join(dfreq, "h")

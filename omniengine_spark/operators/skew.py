@@ -194,6 +194,35 @@ def chunked_running_sum(
     )
 
 
+def probe_running_sum_strategy(
+    df: DataFrame,
+    key: str,
+    hot_share_threshold: float = 0.10,
+    sample_fraction: float = 0.02,
+    seed: int = 42,
+) -> str:
+    """The sampled top-key-share probe behind ``running_sum_auto``,
+    exposed so callers (and measurement tools) read the DECISION
+    directly instead of inferring it from optimized-plan text — any
+    future join in either branch would silently flip such a guess.
+    Returns ``"chunked"`` or ``"plain"``."""
+    probe = (
+        df.select(key)
+        .sample(fraction=sample_fraction, seed=seed)
+        .groupBy(key)
+        .count()
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
+        .first()
+    )
+    hot = (
+        probe is not None
+        and probe["n"] is not None
+        and probe["n"] > 0
+        and probe["mx"] / probe["n"] >= hot_share_threshold
+    )
+    return "chunked" if hot else "plain"
+
+
 def running_sum_auto(
     df: DataFrame,
     key: str,
@@ -228,21 +257,10 @@ def running_sum_auto(
     default to the plain window — correct, because small frames have
     no straggler problem.
     """
-    probe = (
-        df.select(key)
-        .sample(fraction=sample_fraction, seed=seed)
-        .groupBy(key)
-        .count()
-        .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
-        .first()
+    decision = probe_running_sum_strategy(
+        df, key, hot_share_threshold, sample_fraction, seed
     )
-    hot = (
-        probe is not None
-        and probe["n"] is not None
-        and probe["n"] > 0
-        and probe["mx"] / probe["n"] >= hot_share_threshold
-    )
-    if hot:
+    if decision == "chunked":
         return chunked_running_sum(
             df, key, order_cols, value_col, chunk_col, out_col
         )

@@ -170,14 +170,20 @@ def _effective_parquet_splits(df: DataFrame) -> int | None:
         return None
     if not files or len(files) >= 64:
         return None
+    import urllib.parse
+
     import pyarrow.parquet as pq
 
     total = 0
     for f in files:
         if not f.startswith("file:") or not f.endswith(".parquet"):
             return None
+        # inputFiles() returns percent-encoded URIs (spaces, non-ASCII
+        # → %xx); decode, or the footer read fails and the guard
+        # silently deactivates for exactly the files it should fix
+        path = urllib.parse.unquote(urllib.parse.urlparse(f).path)
         try:
-            total += pq.ParquetFile(f[len("file:"):]).metadata.num_row_groups
+            total += pq.ParquetFile(path).metadata.num_row_groups
         except Exception:  # noqa: BLE001 — unreadable footer
             return None
     return total

@@ -3,30 +3,40 @@
 The reference keeps ONE mutable state and answers "what did the book
 say at block H" only by re-deriving it (``sql.py:85-218`` reorg undo
 walks state backwards row by row).  Here every commit is an immutable
-version directory under the table root plus an atomically-replaced
-manifest — the Delta/Iceberg snapshot pattern reduced to its parquet
+version directory under the table root plus a linearizable manifest
+log — the Delta/Iceberg snapshot pattern reduced to its parquet
 essentials:
 
     table/
-      _manifest.json      {"current": 3, "versions": [...]}
+      _manifest.1.json    {"current": 1, "versions": [...]}
+      _manifest.2.json    ... (highest sequence number is the truth)
       v=1/ ... parquet ...
       v=2/ ...
-      v=3/ ...
 
 Properties:
 - readers pin a snapshot: ``read_version(path)`` resolves the manifest
   once; a concurrent commit cannot change the files under an already-
   resolved version dir (immutability is by construction — commits
   only ever create NEW dirs);
-- commits are crash-safe AND writer-safe: each commit first claims
-  its version number with an exclusive ``os.mkdir(v=N)`` (atomic on
-  POSIX — two racing writers get DIFFERENT numbers; nothing ever
-  deletes a directory another writer may own), writes data into the
-  claimed dir, then publishes under a lock file (``O_EXCL`` create)
-  that serializes the manifest read-modify-write.  A crash after the
-  claim but before the manifest swap leaves an orphan ``v=N`` dir
-  readers never see (they resolve only manifest-listed versions);
-  later commits skip past it and ``vacuum`` retires it;
+- commits are crash-safe AND writer-safe WITHOUT a lock: each commit
+  first claims its version number with an exclusive ``os.mkdir(v=N)``
+  (atomic on POSIX — two racing writers get DIFFERENT numbers;
+  nothing ever deletes a directory another writer may own), writes
+  data into the claimed dir, then publishes by compare-and-swap: the
+  manifest is an append-only LOG of ``_manifest.<seq>.json`` files
+  and a publisher may only create sequence ``seq+1`` of the manifest
+  it read.  The create is atomic-with-content (write a private tmp,
+  ``os.link`` it into place — link fails with EEXIST if someone else
+  won the sequence), so losers re-read the winner's manifest and
+  retry with THEIR update re-applied on top: lost updates are
+  impossible by construction.  Rounds 6-7 hardened a timeout-broken
+  lock file for this (stale-mtime gauge, O_EXCL re-acquire) but any
+  break-a-stale-lock protocol retains a stat→unlink TOCTOU window in
+  which a freshly-acquired lock can be unlinked; the CAS log has no
+  lock to break.  A crash after the claim but before the manifest
+  CAS leaves an orphan ``v=N`` dir readers never see (they resolve
+  only manifest-listed versions); later commits skip past it and
+  ``vacuum`` retires it;
 - migration history travels in the manifest: ``commit`` records a
   description per version, so schema patches (``sources.migrate``)
   and reorg rewrites are the same audit trail.
@@ -39,30 +49,90 @@ honest cost of snapshotting without a file-level manifest format.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
+import re
 import shutil
 import time
-from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+# legacy single-file manifest (pre-CAS tables): read-only fallback
 _MANIFEST = "_manifest.json"
+_SEQ_RE = re.compile(r"^_manifest\.(\d+)\.json$")
+# manifest-log files older than the newest KEEP are GC'd after each
+# successful publish; readers that lose the (list → read-max) race
+# fall back one sequence, so KEEP ≫ 1 makes that fallback bounded-
+# stale rather than empty
+_KEEP_MANIFESTS = 8
+_TMP_COUNTER = itertools.count()
+
+
+def _manifest_log(path: str) -> list[tuple[int, Path]]:
+    """(seq, file) pairs of the manifest log, ascending by seq."""
+    out = []
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return []
+    for name in names:
+        m = _SEQ_RE.match(name)
+        if m:
+            out.append((int(m.group(1)), Path(path) / name))
+    out.sort()
+    return out
+
+
+def _load_manifest_seq(path: str) -> tuple[dict, int]:
+    """Current manifest + its log sequence number (0 = no log yet).
+
+    Reads the HIGHEST sequence; if that file vanished between the
+    listing and the read (GC keeps only the newest _KEEP_MANIFESTS),
+    falls back to the next-highest — a bounded-stale snapshot, which
+    is correct for readers (snapshot semantics) and harmless for
+    writers (their CAS on a stale sequence fails and they re-read)."""
+    for seq, p in reversed(_manifest_log(path)):
+        try:
+            return json.loads(p.read_text()), seq
+        except (OSError, json.JSONDecodeError):
+            continue
+    legacy = Path(path) / _MANIFEST
+    if legacy.exists():
+        return json.loads(legacy.read_text()), 0
+    return {"current": 0, "versions": []}, 0
 
 
 def _load_manifest(path: str) -> dict:
-    mf = Path(path) / _MANIFEST
-    if not mf.exists():
-        return {"current": 0, "versions": []}
-    return json.loads(mf.read_text())
+    return _load_manifest_seq(path)[0]
 
 
-def _store_manifest(path: str, manifest: dict) -> None:
-    mf = Path(path) / _MANIFEST
-    tmp = mf.with_suffix(".json.tmp")
+def _publish_manifest(path: str, manifest: dict, expect_seq: int) -> bool:
+    """Compare-and-swap publish: create ``_manifest.<expect_seq+1>``
+    atomically WITH its content (private tmp + ``os.link`` — link is
+    the POSIX atomic fail-if-exists primitive that, unlike O_EXCL
+    create + write, can never expose a half-written file as the
+    newest manifest).  Returns False when another publisher won the
+    sequence; the caller re-reads and retries on top of the winner."""
+    seq = expect_seq + 1
+    target = Path(path) / f"_manifest.{seq}.json"
+    tmp = Path(path) / (
+        f"_manifest.tmp.{os.getpid()}.{next(_TMP_COUNTER)}"
+    )
     tmp.write_text(json.dumps(manifest))
-    os.replace(tmp, mf)  # atomic publish
+    try:
+        os.link(tmp, target)
+        won = True
+    except FileExistsError:
+        won = False
+    finally:
+        tmp.unlink(missing_ok=True)
+    if won:
+        for old_seq, p in _manifest_log(path):
+            if old_seq <= seq - _KEEP_MANIFESTS:
+                p.unlink(missing_ok=True)
+    return won
 
 
 def current_version(path: str) -> int:
@@ -92,41 +162,23 @@ def _claim_version(path: str, start: int) -> tuple[int, Path]:
             version += 1
 
 
-@contextmanager
-def _manifest_lock(path: str, timeout_s: float = 30.0):
-    """Serialize manifest read-modify-write across processes with an
-    ``O_CREAT|O_EXCL`` lock file (atomic on POSIX, incl. NFSv3+).  A
-    stale lock (holder crashed) is broken after ``timeout_s``.
-
-    Staleness is gauged by the LOCK FILE's mtime, not by how long
-    this waiter has been waiting: a waiter's own deadline expires
-    even while locks are being legitimately acquired and released
-    around it, after which it would unlink whatever lock exists every
-    poll — including one another process just created — and two
-    writers would run the read-modify-write concurrently.  Breaking a
-    stale lock never grants ownership by itself: every acquisition,
-    including the breaker's, goes through the O_EXCL create, so when
-    several waiters race to break the same dead lock exactly one wins
-    the subsequent create and the rest go back to polling a FRESH
-    (young-mtime) lock they won't break."""
-    lock = Path(path) / "_manifest.lock"
+def _publish_version(path: str, version: int, description: str) -> None:
+    """CAS-loop the claimed version into the manifest log.  Losers of
+    a sequence race re-read the winner's manifest and re-apply their
+    entry on top, so no concurrent publish can drop another's entry
+    (the lost-update failure a timeout-broken lock can't rule out)."""
     while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-            break
-        except FileExistsError:
-            try:
-                age = time.time() - lock.stat().st_mtime
-            except OSError:
-                continue  # holder released between open and stat
-            if age > timeout_s:
-                lock.unlink(missing_ok=True)  # break; acquire above
-            time.sleep(0.05)
-    try:
-        yield
-    finally:
-        lock.unlink(missing_ok=True)
+        manifest, seq = _load_manifest_seq(path)
+        if any(e["version"] == version for e in manifest["versions"]):
+            return  # already published (idempotent under retry)
+        manifest["current"] = max(manifest["current"], version)
+        manifest["versions"] = sorted(
+            manifest["versions"]
+            + [{"version": version, "description": description}],
+            key=lambda e: e["version"],
+        )
+        if _publish_manifest(path, manifest, seq):
+            return
 
 
 def commit(
@@ -136,10 +188,11 @@ def commit(
     partition_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as the table's next immutable version; returns the
-    new version number.  The manifest swap is the commit point.
+    new version number.  The manifest-log CAS is the commit point.
     Concurrent-writer safe: the version dir is claimed exclusively
-    before any data is written, and the manifest update runs under a
-    lock — racing commits land as distinct consecutive versions."""
+    before any data is written, and racing publishes serialize through
+    the sequence CAS — commits land as distinct consecutive versions
+    and no publish can erase another's entry."""
     Path(path).mkdir(parents=True, exist_ok=True)
     version, final = _claim_version(path, _load_manifest(path)["current"] + 1)
     # append into the (empty) claimed dir: overwrite would DELETE the
@@ -148,14 +201,7 @@ def commit(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(str(final))
-    with _manifest_lock(path):
-        manifest = _load_manifest(path)  # re-read: others may have landed
-        manifest["current"] = max(manifest["current"], version)
-        manifest["versions"].append(
-            {"version": version, "description": description}
-        )
-        manifest["versions"].sort(key=lambda e: e["version"])
-        _store_manifest(path, manifest)
+    _publish_version(path, version, description)
     return version
 
 
@@ -181,8 +227,15 @@ def vacuum(
     manifest entries — history of retired versions keeps only the
     descriptions under ``retired``), plus any orphan ``v=N`` dirs
     below the current version (claimed by a commit that crashed
-    before its manifest swap; readers never see them).  Returns
+    before its manifest CAS; readers never see them).  Returns
     retired version numbers.
+
+    The pruned manifest is CAS-published FIRST, then files are
+    deleted: a crash between the two leaves unreferenced dirs that
+    the next vacuum's orphan sweep retires, never a manifest entry
+    pointing at deleted files.  Two concurrent vacuums serialize
+    through the CAS — the loser re-reads the already-pruned manifest
+    and finds nothing left to retire.
 
     Orphan deletion is AGE-GATED on the dir's mtime: "below current
     and not in the manifest" alone does not prove abandonment — a
@@ -193,35 +246,37 @@ def vacuum(
     claimed dir younger than ``orphan_ttl_s`` is left alone; parquet
     task writes keep refreshing the dir's mtime, so only a commit
     dead for the full TTL qualifies."""
-    with _manifest_lock(path):
-        manifest = _load_manifest(path)
+    while True:
+        manifest, seq = _load_manifest_seq(path)
         live = manifest["versions"]
         if len(live) <= keep_last:
             retired, kept = [], live
         else:
             retired, kept = live[:-keep_last], live[-keep_last:]
-        for e in retired:
-            shutil.rmtree(
-                Path(path) / f"v={e['version']}", ignore_errors=True
-            )
-        # orphans: claimed dirs never published.  Only below the
-        # current version — a dir ABOVE it may be a live concurrent
-        # commit that hasn't swapped its manifest yet.
-        known = {e["version"] for e in manifest["versions"]}
-        for d in Path(path).glob("v=*"):
-            try:
-                v = int(d.name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if v <= manifest["current"] and v not in known:
-                try:
-                    if time.time() - d.stat().st_mtime < orphan_ttl_s:
-                        continue  # possibly a live in-flight commit
-                except OSError:
-                    continue
-                shutil.rmtree(d, ignore_errors=True)
-        manifest["versions"] = kept
+        new_manifest = dict(manifest)
+        new_manifest["versions"] = kept
         if retired:
-            manifest.setdefault("retired", []).extend(retired)
-        _store_manifest(path, manifest)
+            new_manifest["retired"] = manifest.get("retired", []) + retired
+        if _publish_manifest(path, new_manifest, seq):
+            break
+    for e in retired:
+        shutil.rmtree(
+            Path(path) / f"v={e['version']}", ignore_errors=True
+        )
+    # orphans: claimed dirs never published.  Only below the current
+    # version — a dir ABOVE it may be a live concurrent commit that
+    # hasn't CAS'd its manifest yet.
+    known = {e["version"] for e in new_manifest["versions"]}
+    for d in Path(path).glob("v=*"):
+        try:
+            v = int(d.name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if v <= new_manifest["current"] and v not in known:
+            try:
+                if time.time() - d.stat().st_mtime < orphan_ttl_s:
+                    continue  # possibly a live in-flight commit
+            except OSError:
+                continue
+            shutil.rmtree(d, ignore_errors=True)
     return [e["version"] for e in retired]

@@ -465,3 +465,61 @@ def test_versioned_commit_claims_skip_orphans(spark, tmp_path):
     # published versions intact
     assert V.read_version(spark, tbl, 1).count() == 5
     assert V.read_version(spark, tbl, 3).count() == 5
+
+
+def _stress_writer(args):
+    """One racing warehouse writer: claim → write marker → CAS
+    publish, M times.  Module-level so multiprocessing can pickle it;
+    pure file-protocol (no Spark) — it exercises the exact claim +
+    publish code paths ``commit`` uses around the parquet write."""
+    import pathlib
+
+    from omniengine_spark.sources import versioned as V
+
+    tbl, writer_id, n_commits = args
+    out = []
+    for i in range(n_commits):
+        ver, d = V._claim_version(tbl, V.current_version(tbl) + 1)
+        (pathlib.Path(d) / "marker.txt").write_text(f"{writer_id}:{i}")
+        V._publish_version(tbl, ver, f"w{writer_id}c{i}")
+        out.append(ver)
+    return out
+
+
+def test_versioned_concurrent_publish_no_lost_versions(tmp_path):
+    """N writer processes × M commits race the manifest CAS: every
+    claimed version must appear in the final manifest exactly once —
+    the lost-update invariant that a timeout-broken lock file cannot
+    guarantee (its stat→unlink break window can hand two writers the
+    same read-modify-write).  The CAS log makes losing an entry
+    impossible by construction; this pins it empirically."""
+    import multiprocessing as mp
+    import os
+
+    from omniengine_spark.sources import versioned as V
+
+    tbl = str(tmp_path / "tbl")
+    os.makedirs(tbl)
+    n_writers, n_commits = 8, 12
+    ctx = mp.get_context("fork")
+    with ctx.Pool(n_writers) as pool:
+        claimed = pool.map(
+            _stress_writer,
+            [(tbl, w, n_commits) for w in range(n_writers)],
+        )
+    all_claimed = sorted(v for vs in claimed for v in vs)
+    # distinct claims (exclusive mkdir guarantees it)
+    assert len(set(all_claimed)) == n_writers * n_commits
+    history = V.version_history(tbl)
+    published = [e["version"] for e in history]
+    # no lost manifest versions, exactly once each, sorted history
+    assert published == all_claimed
+    assert V.current_version(tbl) == max(all_claimed)
+    # every published version's data survived publication intact
+    for e in history[:5] + history[-5:]:
+        marker = os.path.join(tbl, f"v={e['version']}", "marker.txt")
+        assert os.path.exists(marker)
+    # vacuum under the same manifest state stays consistent
+    retired = V.vacuum(tbl, keep_last=3, orphan_ttl_s=0.0)
+    assert retired == all_claimed[:-3]
+    assert [e["version"] for e in V.version_history(tbl)] == all_claimed[-3:]

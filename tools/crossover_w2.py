@@ -68,7 +68,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from omniengine_spark.operators.skew import (
-        chunked_running_sum, running_sum_auto)
+        chunked_running_sum, probe_running_sum_strategy)
     from omniengine_spark.session import get_spark
 
     spark = get_spark(app_name="crossover-w2", shuffle_partitions=32)
@@ -119,17 +119,11 @@ def main() -> None:
                     _timed(hash_action, builder(ev))
                     for _ in range(args.runs)
                 )
-            # which branch would the auto probe pick? (probe only —
-            # rebuilds the frame, picks by sampled top-key share)
-            picked = running_sum_auto(
-                ev, "user_id", ["ts", "event_id"],
-                F.col("value").cast(_D),
-                F.date_trunc("day", F.col("ts")),
-            )
-            # the chunked branch's plan contains a join; the plain
-            # branch is a single window over the scan
-            auto_is_chunked = "Join" in picked._jdf.queryExecution() \
-                .optimizedPlan().toString()
+            # which branch would the auto probe pick?  Read the
+            # decision from the probe itself — inferring it from
+            # optimized-plan text ("Join" substring) breaks the moment
+            # either branch gains a join or Catalyst rewrites one in.
+            auto_pick = probe_running_sum_strategy(ev, "user_id")
             row = {
                 "rows": n,
                 "hot_share": p,
@@ -137,7 +131,7 @@ def main() -> None:
                 "chunked_sec": round(times["chunked"], 2),
                 "chunked_over_plain": round(
                     times["chunked"] / times["plain"], 2),
-                "auto_picks": "chunked" if auto_is_chunked else "plain",
+                "auto_picks": auto_pick,
             }
             grid.append(row)
             print(
