@@ -1068,6 +1068,30 @@ def adaptive_clusters_sql(count_col: str = "cnt", floor_k: int = 16) -> str:
     )
 
 
+def coarse_cells_sql(k_sql: str, floor_kc: int = 4) -> str:
+    """Coarse-cell count for the two-level SemDeDup quantizer, as an
+    SQL fragment valid on both engines: kc = max(floor_kc, ceil(√k)).
+    sqrt/ceil are IEEE correctly-rounded on exact-in-double integers,
+    so Python's ``max(floor_kc, math.ceil(math.sqrt(k)))`` derives
+    the identical kc and the oracle rebuilds the identical two-level
+    index."""
+    return (
+        f"greatest({floor_kc}, "
+        f"CAST(ceil(sqrt(CAST(({k_sql}) AS DOUBLE))) AS BIGINT))"
+    )
+
+
+def _pyfold_dot(a, b) -> float:
+    """Sequential left-to-right double fold — the SAME IEEE operation
+    sequence as Spark's ``aggregate`` lambda and DuckDB's
+    ``list_dot_product``, so near-tie quantizer decisions made on the
+    driver agree bit-for-bit with both engines."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
 def semantic_prune(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -1076,6 +1100,7 @@ def semantic_prune(
     threshold: float = 0.4,
     min_clusters: int = 16,
     max_cluster: int | None = None,
+    debug_frames: dict | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: bucket embeddings by nearest
     centroid, compare pairs ONLY within a bucket, drop every vector
@@ -1090,24 +1115,35 @@ def semantic_prune(
     in-cluster pairs, keep/drop — is exactly reproducible by a SQL
     oracle.
 
+    Assignment is TWO-LEVEL (round 8): vectors pick one of
+    kc = max(4, ⌈√k⌉) coarse cells first (N·kc gemm), then refine
+    against only that cell's fine centroids (expected k/kc ≈ √k) —
+    N·2√k FLOPs instead of the flat N·k, which round 7 measured as
+    the operator's last super-linear term (e=+1.57 rv5→rv25 at
+    k=√(N/2), i.e. N^1.5 FLOPs; two-level is N^1.25).  Coarse cells
+    are a PREFIX of the same md5 seed ranking, and the fine→coarse
+    map (k·kc dots, driver-side) uses the same near-tie exact-fold
+    discipline, so the whole index stays oracle-reproducible.
+
     Exactness under BLAS (the cosine_pair_join discipline): both hot
-    loops — the N·k assignment and the Σ|c|² in-cluster pair scan —
-    were interpreted zip_with/aggregate folds (~7 µs per 64-dim dot:
-    Spark's higher-order lambdas never enter codegen), which
-    dominated the plan 35× over the shuffles.  Both now run as numpy
-    gemms whose values only PRUNE with a safety margin (gemm error
-    ≲ d·ε ≈ 1e-13 ≪ the 1e-9 margin); every DECISION the oracle can
-    see is still made by the exact sequential fold: near-threshold
-    pairs are re-verified with ``_dot``, and near-tie argmax rows
-    (top1−top2 gap ≤ 2·margin) fall back to the exact fold argmax —
-    so the SQL oracle reproduces the identical result at any sf.
+    loops — the two-level assignment and the Σ|c|² in-cluster pair
+    scan — were interpreted zip_with/aggregate folds (~7 µs per
+    64-dim dot: Spark's higher-order lambdas never enter codegen),
+    which dominated the plan 35× over the shuffles.  Both now run as
+    numpy gemms whose values only PRUNE with a safety margin (gemm
+    error ≲ d·ε ≈ 1e-13 ≪ the 1e-9 margin); every DECISION the
+    oracle can see is still made by the exact sequential fold:
+    near-threshold pairs are re-verified with ``_dot``, and near-tie
+    argmax rows (top1−top2 gap ≤ 2·margin at EITHER level) fall back
+    to the exact two-level fold argmax — so the SQL oracle
+    reproduces the identical result at any sf.
 
     Plan shape: one bounded centroid collect (k ≤ √(N/2) — at larger
     N ship centroids as a broadcast join instead), one Arrow
-    mapInPandas assignment, one (cluster)-keyed applyInPandas pair
-    scan (row-blocked so task memory stays bounded on hot clusters),
-    one exact-verify join, one anti-join verdict.  Output:
-    (id, cluster, is_kept).
+    mapInPandas two-level assignment, one (cluster)-keyed
+    applyInPandas pair scan (row-blocked so task memory stays bounded
+    on hot clusters), one exact-verify join, one anti-join verdict.
+    Output: (id, cluster, is_kept).
 
     ``n_clusters=None`` scales k with the data
     (``adaptive_clusters_sql``: max(16, ceil(sqrt(N/2)))) — a fixed k
@@ -1148,12 +1184,16 @@ def semantic_prune(
             # the pair scan only to cap·N = N^1.5 (measured e=+1.58
             # sf5→sf25 — the √N-SemDeDup DESIGN exponent, not an
             # imbalance artifact).  A constant cap makes pair mass
-            # ≤ cap·N, linear by construction; the N·k assignment
-            # stays N^1.5 FLOPs but is dense BLAS in mapInPandas
-            # (~10 s at 500k×707×64) — at true 100 TB scale the
-            # assignment needs a coarse-quantizer level (IVF-style),
-            # the documented scale path.
+            # ≤ cap·N, linear by construction; the assignment side
+            # is handled by the two-level coarse quantizer below
+            # (N·2√k instead of N·k FLOPs — round 7 measured the
+            # flat N·k gemm at e=+1.57 rv5→rv25, the last
+            # super-linear term in the operator).
             max_cluster = 1024
+    import math
+
+    kc = max(4, math.ceil(math.sqrt(n_clusters)))
+
     h = md5_token_hash(F.col(id_col).cast("string"))
     seeds = (
         vectors.select(
@@ -1163,7 +1203,9 @@ def semantic_prune(
         )
         .orderBy("h", "cluster")
         .limit(n_clusters)
-        .select("cluster", "cvec", _norm(F.col("cvec")).alias("cnrm"))
+        .select(
+            "cluster", "cvec", "h", _norm(F.col("cvec")).alias("cnrm")
+        )
     )
     v = vectors.select(
         F.col(id_col).alias("vid"),
@@ -1172,12 +1214,77 @@ def semantic_prune(
     )
 
     margin = 1e-9
-    srows = sorted(seeds.collect(), key=lambda r: r["cluster"])
-    c_ids = [int(r["cluster"]) for r in srows]
-    c_mat = np.stack(
-        [np.asarray(r["cvec"], dtype=np.float64) for r in srows]
+
+    # -- two-level coarse quantizer (the 100 TB assignment path) ----
+    # Fine centroids: first k of the md5 seed ranking (as before).
+    # Coarse cells: the first kc = max(4, ⌈√k⌉) of the SAME ranking —
+    # a prefix, so one seed scan serves both levels.  Each FINE
+    # centroid is assigned to its nearest coarse cell (k·kc dots,
+    # driver-side); each VECTOR picks its coarse cell (N·kc gemm)
+    # then refines against only that cell's fine centroids (expected
+    # k/kc ≈ √k each) — N·2√k FLOPs total instead of the flat N·k
+    # that measured e=+1.57 at the rv5→rv25 decade.  Every level's
+    # tie rule is (cosine DESC, id ASC), and near-tie decisions (gap
+    # ≤ 2·margin) fall back to exact sequential folds, so the SQL
+    # oracle rebuilds the identical two-level index.  The recall
+    # trade (a vector may refine in a cell that doesn't hold its
+    # globally-nearest fine centroid) is standard IVF practice and
+    # SemDeDup's in-cluster scan is itself a recall heuristic.
+    srows = sorted(
+        seeds.collect(), key=lambda r: (r["h"], r["cluster"])
     )
-    c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+    coarse = srows[:kc]
+    co_ids = [int(r["cluster"]) for r in coarse]
+    co_raw = [list(map(float, r["cvec"])) for r in coarse]
+    co_nrm = [math.sqrt(_pyfold_dot(x, x)) for x in co_raw]
+    co_mat = np.stack([np.asarray(x) for x in co_raw])
+    co_mat /= np.linalg.norm(co_mat, axis=1, keepdims=True)
+
+    def _exact_argmax(vec, nrm, cand_ids, cand_raw, cand_nrm):
+        """(sim desc, id asc) winner by the exact sequential fold —
+        the decision procedure the oracle states."""
+        best_id, best_sim = None, None
+        for cid, craw, cn in zip(cand_ids, cand_raw, cand_nrm):
+            s = _pyfold_dot(vec, craw) / (nrm * cn)
+            if best_sim is None or s > best_sim or (
+                s == best_sim and cid < best_id
+            ):
+                best_id, best_sim = cid, s
+        return best_id
+
+    # fine → coarse cell: gemm + near-tie exact fold recheck
+    fine_cell: dict[int, int] = {}
+    for r in srows:
+        fv = np.asarray(r["cvec"], dtype=np.float64)
+        fn = np.linalg.norm(fv)
+        sims = (co_mat @ fv) / fn
+        order = np.argsort(-sims, kind="stable")
+        if len(sims) > 1 and (
+            sims[order[0]] - sims[order[1]] <= 2 * margin
+        ):
+            fraw = list(map(float, r["cvec"]))
+            fnrm = math.sqrt(_pyfold_dot(fraw, fraw))
+            cell = _exact_argmax(fraw, fnrm, co_ids, co_raw, co_nrm)
+        else:
+            cell = co_ids[int(order[0])]
+        fine_cell[int(r["cluster"])] = cell
+
+    # non-empty cells only (a coarse id that attracted no fine
+    # centroid — possible under exact ties — must not win vectors)
+    seed_vec = {
+        int(r["cluster"]): np.asarray(r["cvec"], dtype=np.float64)
+        for r in srows
+    }
+    cells = sorted(set(fine_cell.values()))
+    cell_mat = co_mat[[co_ids.index(c) for c in cells]]
+    cell_fine: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for cell in cells:
+        members = sorted(
+            c for c, cc in fine_cell.items() if cc == cell
+        )
+        fmat = np.stack([seed_vec[c] for c in members])
+        fmat /= np.linalg.norm(fmat, axis=1, keepdims=True)
+        cell_fine[cell] = (np.asarray(members, dtype=np.int64), fmat)
 
     asg_schema = T.StructType(
         [
@@ -1188,7 +1295,7 @@ def semantic_prune(
     )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids = np.asarray(c_ids, dtype=np.int64)
+        cell_arr = np.asarray(cells, dtype=np.int64)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1196,43 +1303,90 @@ def semantic_prune(
                 [np.asarray(x, dtype=np.float64) for x in pdf["vec"]]
             )
             vm /= np.linalg.norm(vm, axis=1, keepdims=True)
-            sims = vm @ c_mat.T
-            # rows sorted by cluster asc → argmax's first-max IS the
-            # (sim desc, cluster asc) winner
-            top = np.argmax(sims, axis=1)
-            if sims.shape[1] > 1:
-                part = np.partition(sims, -2, axis=1)
-                gap = part[:, -1] - part[:, -2]
+            csims = vm @ cell_mat.T
+            # cells sorted asc → argmax's first-max IS the
+            # (sim desc, ccell asc) winner
+            ctop = np.argmax(csims, axis=1)
+            if csims.shape[1] > 1:
+                cpart = np.partition(csims, -2, axis=1)
+                cgap = cpart[:, -1] - cpart[:, -2]
             else:
-                gap = np.full(len(vm), np.inf)
+                cgap = np.full(len(vm), np.inf)
+            out = np.empty(len(vm), dtype=np.int64)
+            fgap = np.empty(len(vm))
+            for ci in np.unique(ctop):
+                rows = np.nonzero(ctop == ci)[0]
+                fids, fmat = cell_fine[int(cell_arr[ci])]
+                fs = vm[rows] @ fmat.T
+                out[rows] = fids[np.argmax(fs, axis=1)]
+                if fs.shape[1] > 1:
+                    fpart = np.partition(fs, -2, axis=1)
+                    fgap[rows] = fpart[:, -1] - fpart[:, -2]
+                else:
+                    fgap[rows] = np.inf
             yield pd.DataFrame(
                 {
                     "vid": pdf["vid"].to_numpy(),
-                    "cluster": ids[top],
-                    "certain": gap > 2 * margin,
+                    "cluster": out,
+                    "certain": (cgap > 2 * margin)
+                    & (fgap > 2 * margin),
                 }
             )
 
     rough = v.select("vid", "vec").mapInPandas(assign, asg_schema)
     certain = rough.filter(F.col("certain")).select("vid", "cluster")
     # near-tie rows (measure-zero on continuous data): exact fold
-    # argmax, the decision procedure the oracle states
+    # argmax at BOTH levels, the decision procedure the oracle states
+    spark = vectors.sparkSession
     unc = rough.filter(~F.col("certain")).select("vid")
+    vunc = v.join(unc, "vid")
+    fmap = spark.createDataFrame(
+        [(int(c), int(cc)) for c, cc in sorted(fine_cell.items())],
+        "cluster long, ccell long",
+    )
+    fine_df = seeds.join(F.broadcast(fmap), "cluster")
+    coarse_df = fine_df.select(
+        F.col("ccell").alias("cell_id")
+    ).distinct().join(
+        seeds.select(
+            F.col("cluster").alias("cell_id"),
+            F.col("cvec").alias("ccvec"),
+            F.col("cnrm").alias("ccnrm"),
+        ),
+        "cell_id",
+    )
+    ex_coarse = (
+        vunc.crossJoin(F.broadcast(coarse_df))
+        .select(
+            "vid",
+            "cell_id",
+            (
+                _dot(F.col("vec"), F.col("ccvec"))
+                / (F.col("nrm") * F.col("ccnrm"))
+            ).alias("csim"),
+        )
+        .groupBy("vid")
+        .agg(
+            F.max_by(
+                "cell_id", F.struct(F.col("csim"), -F.col("cell_id"))
+            ).alias("ccell")
+        )
+    )
     exact_best = (
-        v.join(unc, "vid")
-        .crossJoin(F.broadcast(seeds))
+        vunc.join(ex_coarse, "vid")
+        .join(F.broadcast(fine_df), "ccell")
         .select(
             "vid",
             "cluster",
             (
                 _dot(F.col("vec"), F.col("cvec"))
                 / (F.col("nrm") * F.col("cnrm"))
-            ).alias("csim"),
+            ).alias("fsim"),
         )
         .groupBy("vid")
         .agg(
             F.max_by(
-                "cluster", F.struct(F.col("csim"), -F.col("cluster"))
+                "cluster", F.struct(F.col("fsim"), -F.col("cluster"))
             ).alias("cluster")
         )
     )
@@ -1251,15 +1405,27 @@ def semantic_prune(
     else:
         assigned = assigned.withColumn("sub", F.lit(0).cast("long"))
 
-    # in-cluster candidate pairs: one gemm per cluster, row-blocked so
-    # a hot cluster's sims tile stays ≤ block·|c| doubles per task
+    # In-cluster pair scan: one gemm per (cluster, sub), row-blocked
+    # so a hot cluster's sims tile stays ≤ block·|c| doubles per
+    # task.  The gemm ALREADY computes every candidate's cosine, so
+    # pairs clearly above threshold (sim ≥ t + margin: the fold can't
+    # disagree — gemm error ≲ d·ε ≈ 1e-13 ≪ 1e-9) are reduced to
+    # UNIQUE dropped ids inside the pandas group; only the near-
+    # threshold band [t−margin, t+margin) — measure-zero on
+    # continuous data — is emitted as pairs for the exact-fold
+    # verify join.  Round 8 measured the old emit-every-candidate-
+    # pair-then-join form at 60.5M pair rows → two 33 GB SMJ
+    # shuffles → 140 s at the rv25 rung (the pair MASS was already
+    # capped; the pair TRAFFIC wasn't); per-group reduction bounds
+    # the stage output by bucket membership (≤ N rows) instead.
     pair_schema = T.StructType(
         [
             T.StructField("vid", T.LongType()),
             T.StructField("b_vid", T.LongType()),
         ]
     )
-    cut = threshold - margin
+    cut_lo = threshold - margin
+    cut_hi = threshold + margin
     block = 4096
 
     def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1272,31 +1438,56 @@ def semantic_prune(
             [np.asarray(x, dtype=np.float64) for x in pdf["vec"]]
         )[order]
         vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+        sure = np.zeros(m, dtype=bool)  # row i has a certain mate
         hi_out, lo_out = [], []
         for s in range(0, m, block):
             e = min(s + block, m)
             sims = vm[s:e] @ vm.T
-            ii, jj = np.nonzero(sims >= cut)
+            ii, jj = np.nonzero(sims >= cut_lo)
             keep = jj < (ii + s)  # lower-id mate only, no self
-            hi_out.append(ids[ii[keep] + s])
-            lo_out.append(ids[jj[keep]])
+            ii, jj = ii[keep], jj[keep]
+            band = sims[ii, jj] < cut_hi
+            sure[ii[~band] + s] = True  # bool store dedups for free
+            hi_out.append(ids[ii[band] + s])
+            lo_out.append(ids[jj[band]])
+        border_hi = (
+            np.concatenate(hi_out)
+            if hi_out
+            else np.array([], dtype=np.int64)
+        )
+        border_lo = (
+            np.concatenate(lo_out)
+            if lo_out
+            else np.array([], dtype=np.int64)
+        )
+        n_sure = int(sure.sum())
+        # NULL b_vid marks a certain drop (no verify needed); the
+        # nullable Int64 dtype survives the Arrow long conversion
+        bv = pd.array(
+            np.concatenate(
+                [np.zeros(n_sure, dtype=np.int64), border_lo]
+            ),
+            dtype="Int64",
+        )
+        bv[:n_sure] = pd.NA
         return pd.DataFrame(
             {
-                "vid": np.concatenate(hi_out)
-                if hi_out
-                else np.array([], dtype=np.int64),
-                "b_vid": np.concatenate(lo_out)
-                if lo_out
-                else np.array([], dtype=np.int64),
+                "vid": np.concatenate([ids[sure], border_hi]),
+                "b_vid": bv,
             }
         )
 
     cand = assigned.select("vid", "vec", "cluster", "sub").groupBy(
         "cluster", "sub"
     ).applyInPandas(cluster_pairs, pair_schema)
-    # exact verification: the threshold decision is the fold's
-    droppers = (
-        cand.join(
+    sure_drops = cand.filter(F.col("b_vid").isNull()).select(
+        F.col("vid").alias("drop_vid")
+    )
+    # exact verification of the near-threshold band: the threshold
+    # decision is the fold's
+    border_drops = (
+        cand.filter(F.col("b_vid").isNotNull())
+        .join(
             v.select(
                 F.col("vid").alias("b_vid"),
                 F.col("vec").alias("b_vec"),
@@ -1311,8 +1502,13 @@ def semantic_prune(
             >= F.lit(threshold)
         )
         .select(F.col("vid").alias("drop_vid"))
-        .distinct()
     )
+    droppers = sure_drops.unionByName(border_drops).distinct()
+    if debug_frames is not None:
+        debug_frames.update(
+            rough=rough, best=best, assigned=assigned, cand=cand,
+            droppers=droppers,
+        )
     return assigned.join(
         droppers, assigned["vid"] == droppers["drop_vid"], "left"
     ).select(

@@ -293,7 +293,14 @@ def _sem_k_sql() -> str:
     return adaptive_clusters_sql("COUNT(*)", floor_k=_SEM_K)
 
 
+def _sem_kc_sql() -> str:
+    from omniengine_spark.operators.similarity import coarse_cells_sql
+
+    return coarse_cells_sql(_sem_k_sql(), floor_kc=4)
+
+
 _SEM_K_SQL = _sem_k_sql()
+_SEM_KC_SQL = _sem_kc_sql()
 # Constant sub-bucket cap for the in-cluster pair scan: pair mass is
 # ≤ cap·N by construction (linear in N).  1024 never binds at the
 # sf0.01/sf0.1 gates (max observed cluster ≪ 1024), so the capped
@@ -310,22 +317,57 @@ _SEM_CAP = 1024
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
     ), hh AS (
       SELECT vec_id, v, {_SEM_MD5_LONG} AS h FROM e
+    ), rseeds AS (
+      SELECT vec_id AS cluster, v AS cv,
+             sqrt(list_dot_product(v, v)) AS cnrm,
+             ROW_NUMBER() OVER (ORDER BY h, vec_id) AS srn
+      FROM hh
     ), seeds AS (
-      SELECT cluster, cv, cnrm FROM (
-        SELECT vec_id AS cluster, v AS cv,
-               sqrt(list_dot_product(v, v)) AS cnrm,
-               ROW_NUMBER() OVER (ORDER BY h, vec_id) AS srn
-        FROM hh
-      ) WHERE srn <= (SELECT {_SEM_K_SQL} FROM e)
-    ), asg AS (
-      SELECT vec_id, v, nrm, cluster FROM (
-        SELECT n.vec_id, n.v, n.nrm, s.cluster,
+      SELECT cluster, cv, cnrm FROM rseeds
+      WHERE srn <= (SELECT {_SEM_K_SQL} FROM e)
+    ), cseeds AS (
+      -- two-level quantizer: the kc = max(4, ceil(sqrt(k))) coarse
+      -- cells are a PREFIX of the same md5 seed ranking
+      SELECT cluster AS ccell, cv AS ccv, cnrm AS ccnrm FROM rseeds
+      WHERE srn <= (SELECT {_SEM_KC_SQL} FROM e)
+    ), fcell AS (
+      -- each FINE centroid's coarse cell (k*kc dots)
+      SELECT cluster, ccell FROM (
+        SELECT f.cluster, c.ccell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY f.cluster
+                 ORDER BY list_dot_product(f.cv, c.ccv)
+                            / (f.cnrm * c.ccnrm) DESC,
+                          c.ccell ASC) AS r
+        FROM seeds f CROSS JOIN cseeds c
+      ) WHERE r = 1
+    ), cells AS (
+      -- only cells holding at least one fine centroid may win rows
+      SELECT DISTINCT c.ccell, c.ccv, c.ccnrm
+      FROM cseeds c JOIN fcell f ON f.ccell = c.ccell
+    ), vcell AS (
+      -- vector -> coarse cell (N*kc dots)
+      SELECT vec_id, v, nrm, ccell FROM (
+        SELECT n.vec_id, n.v, n.nrm, c.ccell,
                ROW_NUMBER() OVER (
                  PARTITION BY n.vec_id
-                 ORDER BY list_dot_product(n.v, s.cv) / (n.nrm * s.cnrm)
-                            DESC,
+                 ORDER BY list_dot_product(n.v, c.ccv)
+                            / (n.nrm * c.ccnrm) DESC,
+                          c.ccell ASC) AS r
+        FROM nm n CROSS JOIN cells c
+      ) WHERE r = 1
+    ), asg AS (
+      -- refine within the cell's fine centroids (N*~sqrt(k) dots)
+      SELECT vec_id, v, nrm, cluster FROM (
+        SELECT vc.vec_id, vc.v, vc.nrm, s.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vc.vec_id
+                 ORDER BY list_dot_product(vc.v, s.cv)
+                            / (vc.nrm * s.cnrm) DESC,
                           s.cluster ASC) AS arank
-        FROM nm n CROSS JOIN seeds s
+        FROM vcell vc
+        JOIN fcell f ON f.ccell = vc.ccell
+        JOIN seeds s ON s.cluster = f.cluster
       ) WHERE arank = 1
     ), asg2 AS (
       -- cluster-mass cap: members ordered by the RAW stored first
