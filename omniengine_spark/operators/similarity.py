@@ -452,92 +452,18 @@ def ivf_ann_topk_portable(
     (TakeOrderedAndProject, k·d floats broadcast back); assignment is
     a broadcast cross join N×n_clusters with one narrow shuffle for
     the per-vector argmax window.
+
+    Round 8 split the lifecycle stages into ``operators.ann_index``
+    (build / assign / query over a PERSISTED index); this one-shot
+    form is their composition — same expressions, same tie rules, so
+    the same SQL oracle checks both paths.
     """
-    h = md5_token_hash(F.col(id_col).cast("string"))
-    seeds = (
-        vectors.select(
-            F.col(id_col).alias("cluster"),
-            F.col(vec_col).alias("cvec"),
-            h.alias("h"),
-        )
-        .orderBy("h", "cluster")
-        .limit(n_clusters)
-        .select("cluster", "cvec")
-    )
-    # per-row norms hoisted out of the per-pair cosine (identical
-    # folds → bit-identical scores, oracle unchanged)
-    v = vectors.select(
-        F.col(id_col).alias("nbr_id"),
-        F.col(vec_col).alias("nbr_vec"),
-        _norm(F.col(vec_col)).alias("nbr_nrm"),
-    )
-    seeds = seeds.select(
-        "cluster", "cvec", _norm(F.col("cvec")).alias("cnrm")
-    )
-    wa = Window.partitionBy("nbr_id").orderBy(
-        F.col("csim").desc(), F.col("cluster").asc()
-    )
-    lists = (
-        v.crossJoin(F.broadcast(seeds))
-        .select(
-            "nbr_id",
-            "nbr_vec",
-            "nbr_nrm",
-            "cluster",
-            (
-                _dot(F.col("nbr_vec"), F.col("cvec"))
-                / (F.col("nbr_nrm") * F.col("cnrm"))
-            ).alias("csim"),
-        )
-        .withColumn("arank", F.row_number().over(wa))
-        .filter(F.col("arank") == 1)
-        .select("nbr_id", "nbr_vec", "nbr_nrm", "cluster")
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("query_vec"),
-        _norm(F.col(vec_col)).alias("query_nrm"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("csim").desc(), F.col("cluster").asc()
-    )
-    probes = (
-        q.crossJoin(F.broadcast(seeds))
-        .select(
-            "query_id",
-            "query_vec",
-            "query_nrm",
-            "cluster",
-            (
-                _dot(F.col("query_vec"), F.col("cvec"))
-                / (F.col("query_nrm") * F.col("cnrm"))
-            ).alias("csim"),
-        )
-        .withColumn("arank", F.row_number().over(wq))
-        .filter(F.col("arank") <= nprobe)
-        .select("query_id", "query_vec", "query_nrm", "cluster")
-    )
-    # each vector sits in exactly one list (arank == 1), so a query
-    # meets each neighbor at most once — no dedup shuffle needed
-    scored = (
-        probes.join(lists, "cluster")
-        .filter(F.col("query_id") != F.col("nbr_id"))
-        .select(
-            "query_id",
-            "nbr_id",
-            (
-                _dot(F.col("query_vec"), F.col("nbr_vec"))
-                / (F.col("query_nrm") * F.col("nbr_nrm"))
-            ).alias("score"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("nbr_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "nbr_id", "rank", "score")
+    from omniengine_spark.operators import ann_index as AI
+
+    seeds = AI.seeded_centroids(vectors, id_col, vec_col, n_clusters)
+    lists = AI.assign_lists(vectors, seeds, id_col, vec_col)
+    return AI.query_index(
+        queries, seeds, lists, id_col, vec_col, k=k, nprobe=nprobe
     )
 
 

@@ -65,6 +65,18 @@ def scratch_dir(label: str) -> str:
     )
 
 
+def stable_scratch_dir(label: str) -> str:
+    """Scratch path that is STABLE within this process (no uuid
+    suffix): the home of persisted artifacts that amortize across
+    calls — e.g. the IVF index tables a query plan builds once and
+    then only reads.  Same pid-scoped pruning contract as
+    ``scratch_dir`` (siblings of dead owners are retired); distinct
+    processes get distinct dirs, so concurrent gate/bench runs never
+    share (or clobber) an index."""
+    _SCRATCH.mkdir(exist_ok=True)
+    return str(_SCRATCH / f"p{os.getpid()}-{label}")
+
+
 def cleanup(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
 

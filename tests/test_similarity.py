@@ -220,3 +220,42 @@ def test_ann_recall_floors_at_scale(spark):
         approx = _topk_sets(QUERIES[name](spark, str(sf1)))
         r = _recall(approx, exact)
         assert r >= floor, f"{name}@sf1: recall {r:.2f} < floor {floor}"
+
+
+def test_ivf_index_append_equals_full_rebuild(spark):
+    """The persistent-index invariant: assigning a new shard against
+    FROZEN centroids and unioning with the existing lists yields the
+    SAME index as assigning the whole corpus against those centroids
+    in one shot — per-vector assignment is independent, so append is
+    exact, not an approximation.  Also pins that the persisted-index
+    query plan returns exactly the one-shot plan's result (same
+    oracle contract, served from parquet)."""
+    from pyspark.sql import functions as F
+
+    from omniengine_spark.operators import ann_index as AI
+    from omniengine_spark.plans import QUERIES
+    from omniengine_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    shard = emb.filter(F.col("vec_id") % 10 == 7)
+
+    cents = AI.seeded_centroids(base, "vec_id", "embedding", 16)
+    appended = AI.assign_lists(base, cents, "vec_id", "embedding").unionByName(
+        AI.assign_lists(shard, cents, "vec_id", "embedding")
+    )
+    rebuilt = AI.assign_lists(emb, cents, "vec_id", "embedding")
+    a = {(r["cluster"], r["nbr_id"]) for r in appended.collect()}
+    b = {(r["cluster"], r["nbr_id"]) for r in rebuilt.collect()}
+    assert a == b and len(a) == emb.count()
+
+    # persisted-index query == one-shot rebuild query, row for row
+    def rows(df):
+        return {
+            (r["query_id"], r["nbr_id"], r["rank"], r["score"])
+            for r in df.collect()
+        }
+
+    assert rows(QUERIES["sim_ivf_index_query"](spark, SF_SMOKE)) == rows(
+        QUERIES["sim_ivf_ann_topk"](spark, SF_SMOKE)
+    )
