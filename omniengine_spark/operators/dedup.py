@@ -495,10 +495,31 @@ def minhash_lsh_pairs(
     exactly, so the output equals the exact similarity join with
     overwhelming probability while only ever shuffling signatures.
     """
+    band_entries = minhash_band_entries(
+        df, id_col, text_col, n, num_hashes, band_rows
+    )
+    cand = band_candidates(band_entries, band_entries, threshold)
+    docs = hashed_shingle_docs(df, id_col, text_col, n)
+    return _verify_jaccard(cand, docs, threshold)
+
+
+def minhash_band_entries(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    band_rows: int = 2,
+) -> DataFrame:
+    """Banded signature rows (doc_id, n_sh, band, bucket) — the
+    JOINABLE form of the MinHash index, and the thing an incremental
+    pipeline PERSISTS: signatures are a pure function of document
+    content, so entries computed today band-join exactly against
+    entries stored last month (``plans.dedup.dedup_incremental_shard``
+    rides on this)."""
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
     num_bands = num_hashes // band_rows
-
-    band_entries = sigs.select(  # sig[i] is post-agg array indexing
+    return sigs.select(  # sig[i] is post-agg array indexing
         "doc_id",
         "n_sh",
         F.explode(
@@ -519,19 +540,30 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc_id", "n_sh", "bb.band", "bb.bucket")
 
-    # Band candidates are inherently ∝ N²·P(random band collision) —
-    # the LSH scale lever is band_rows (collision P ≈ E[J^r]) traded
-    # against the miss bound (1−t^r)^b.  What IS free: the PPJoin
-    # length filter as a join residual — J ≥ t ⟹ t·|B| ≤ |A| — which
-    # discards size-mismatched random collisions before their shingle
-    # arrays are ever shuffled into the exact verify (sizes on this
-    # corpus are ~uniform 8–108 shingles, so ~4 of 5 random band
-    # collisions die here).
+
+def band_candidates(
+    a: DataFrame, b: DataFrame, threshold: Fraction
+) -> DataFrame:
+    """Distinct candidate pairs from a band-bucket join of two
+    band-entry frames (same frame = the classic self-join; disjoint
+    frames = shard-vs-corpus, where the caller unions BOTH
+    orientations since the a<b residual keeps only pairs whose lower
+    id sits in ``a``).  Pairs always emit in (least, greatest) doc-id
+    order, so candidates from different frame pairings union cleanly.
+
+    Band candidates are inherently ∝ N²·P(random band collision) —
+    the LSH scale lever is band_rows (collision P ≈ E[J^r]) traded
+    against the miss bound (1−t^r)^b.  What IS free: the PPJoin
+    length filter as a join residual — J ≥ t ⟹ t·|B| ≤ |A| — which
+    discards size-mismatched random collisions before their shingle
+    arrays are ever shuffled into the exact verify (sizes on this
+    corpus are ~uniform 8–108 shingles, so ~4 of 5 random band
+    collisions die here)."""
     t_num, t_den = threshold.numerator, threshold.denominator
-    cand = (
-        band_entries.alias("a")
+    return (
+        a.alias("a")
         .join(
-            band_entries.alias("b"),
+            b.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -544,8 +576,6 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    docs = hashed_shingle_docs(df, id_col, text_col, n)
-    return _verify_jaccard(cand, docs, threshold)
 
 
 def connected_components(

@@ -413,3 +413,111 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_clusters=None, threshold=_SEM_TAU, min_clusters=_SEM_K,
         max_cluster=_SEM_CAP,
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus dedup — the operating mode of a production
+# training-data pipeline: each new crawl shard dedups AGAINST the
+# existing corpus without rescanning it.  The corpus's banded MinHash
+# index (operators/dedup.py:minhash_band_entries) and its already-
+# verified pair set persist as versioned warehouse tables; a new
+# shard costs |shard| signatures + a band-join against the stored
+# entries + a within-shard band-join.  Because signatures are a pure
+# function of document content, stored-entry ∪ shard-entry banding
+# finds EXACTLY the pairs a one-shot run over the union finds — the
+# oracle below is the same exact all-pairs Jaccard as
+# dedup_minhash_lsh, so that equality IS the gate.
+# Reference analogue: the seen-tx skip (sql.py:382-384) generalized
+# from tx identity to content identity.
+# ---------------------------------------------------------------------------
+_INC_SHARD_MOD, _INC_SHARD_REM = 10, 7
+_INC_HASHES, _INC_BAND_ROWS = 128, 4
+
+
+@query(
+    "dedup_incremental_shard",
+    oracle=_SHINGLE_CTE
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    """,
+)
+def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a new shard (doc_id % 10 = 7) against the persisted
+    corpus index (doc_id % 10 ≠ 7) and return the COMPLETE pair set:
+    stored corpus pairs ∪ shard-vs-corpus ∪ within-shard.  Equals the
+    one-shot dedup_minhash_lsh over the union by construction; the
+    exact all-pairs oracle checks it."""
+    from pathlib import Path
+
+    from omniengine_spark.sources.sinks import stable_scratch_dir
+    from omniengine_spark.sources.versioned import (
+        commit,
+        read_version,
+        version_history,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    corpus = docs.filter(
+        F.col("doc_id") % _INC_SHARD_MOD != _INC_SHARD_REM
+    )
+    shard = docs.filter(
+        F.col("doc_id") % _INC_SHARD_MOD == _INC_SHARD_REM
+    )
+    thresh = Fraction(4, 5)
+
+    root = stable_scratch_dir(f"minhash-corpus-{Path(sf_dir).name}")
+    bpath, ppath = f"{root}/band_entries", f"{root}/pairs"
+    n_corpus = corpus.count()
+    tag = f"minhash bands {_INC_HASHES}x{_INC_BAND_ROWS} n={n_corpus}"
+
+    def _current(path: str) -> bool:
+        hist = version_history(path)
+        return bool(hist) and hist[-1]["description"] == tag
+
+    if not (_current(bpath) and _current(ppath)):
+        # corpus ingest day: index + self-dedup once, persist both
+        commit(
+            D.minhash_band_entries(
+                corpus, "doc_id", "text",
+                n=3, num_hashes=_INC_HASHES, band_rows=_INC_BAND_ROWS,
+            ),
+            bpath,
+            tag,
+        )
+        commit(
+            D.minhash_lsh_pairs(
+                corpus, "doc_id", "text",
+                n=3, num_hashes=_INC_HASHES,
+                band_rows=_INC_BAND_ROWS, threshold=thresh,
+            ),
+            ppath,
+            tag,
+        )
+
+    stored_entries = read_version(spark, bpath)
+    stored_pairs = read_version(spark, ppath)
+    shard_entries = D.minhash_band_entries(
+        shard, "doc_id", "text",
+        n=3, num_hashes=_INC_HASHES, band_rows=_INC_BAND_ROWS,
+    )
+    # shard-vs-corpus needs both orientations (the a<b residual keeps
+    # only pairs whose LOWER id sits on the left frame)
+    cand = (
+        D.band_candidates(shard_entries, stored_entries, thresh)
+        .unionByName(
+            D.band_candidates(stored_entries, shard_entries, thresh)
+        )
+        .unionByName(
+            D.band_candidates(shard_entries, shard_entries, thresh)
+        )
+        .distinct()
+    )
+    new_pairs = D._verify_jaccard(
+        cand, D.hashed_shingle_docs(docs, "doc_id", "text", 3), thresh
+    )
+    return stored_pairs.unionByName(new_pairs)
