@@ -28,8 +28,12 @@ Properties:
   it read.  The create is atomic-with-content (write a private tmp,
   ``os.link`` it into place — link fails with EEXIST if someone else
   won the sequence), so losers re-read the winner's manifest and
-  retry with THEIR update re-applied on top: lost updates are
-  impossible by construction.  Rounds 6-7 hardened a timeout-broken
+  retry with THEIR update re-applied on top.  Because GC vacates old
+  sequence slots, a winning link alone is not the commit point: the
+  publisher re-lists the log and retracts its link if any HIGHER
+  sequence already exists (the GC-slot ABA a stalled writer could
+  otherwise exploit to publish an invisible manifest) — with that
+  guard, lost updates are impossible by construction.  Rounds 6-7 hardened a timeout-broken
   lock file for this (stale-mtime gauge, O_EXCL re-acquire) but any
   break-a-stale-lock protocol retains a stat→unlink TOCTOU window in
   which a freshly-acquired lock can be unlinked; the CAS log has no
@@ -114,7 +118,23 @@ def _publish_manifest(path: str, manifest: dict, expect_seq: int) -> bool:
     the POSIX atomic fail-if-exists primitive that, unlike O_EXCL
     create + write, can never expose a half-written file as the
     newest manifest).  Returns False when another publisher won the
-    sequence; the caller re-reads and retries on top of the winner."""
+    sequence; the caller re-reads and retries on top of the winner.
+
+    ABA guard: GC vacates sequence slots older than the newest
+    _KEEP_MANIFESTS, so a writer that read sequence S and then stalled
+    past the GC horizon can ``os.link`` into the long-vacated S+1 slot
+    and believe it won — while readers (who resolve the HIGHEST
+    sequence) never see its manifest: a silent lost update.  The link
+    therefore isn't the commit point on its own — after a winning
+    link we re-list the log, and if ANY higher sequence already
+    exists the link landed on a dead branch: unlink it and report the
+    CAS as lost (the caller re-reads and retries; ``_publish_version``
+    is idempotent, so a retry whose entry already rode a concurrent
+    winner's manifest returns without duplicating it).  The re-list
+    can also demote a LEGITIMATE win that a faster successor already
+    built upon — that successor read our manifest before extending
+    it, so our update is embedded in the surviving chain and the
+    spurious retry is a no-op."""
     seq = expect_seq + 1
     target = Path(path) / f"_manifest.{seq}.json"
     tmp = Path(path) / (
@@ -129,6 +149,14 @@ def _publish_manifest(path: str, manifest: dict, expect_seq: int) -> bool:
     finally:
         tmp.unlink(missing_ok=True)
     if won:
+        newest = max(
+            (s for s, _ in _manifest_log(path)), default=seq
+        )
+        if newest > seq:
+            # dead-branch link (GC'd slot, or a successor landed
+            # between our link and this re-list): retract and lose
+            target.unlink(missing_ok=True)
+            return False
         for old_seq, p in _manifest_log(path):
             if old_seq <= seq - _KEEP_MANIFESTS:
                 p.unlink(missing_ok=True)

@@ -523,3 +523,52 @@ def test_versioned_concurrent_publish_no_lost_versions(tmp_path):
     retired = V.vacuum(tbl, keep_last=3, orphan_ttl_s=0.0)
     assert retired == all_claimed[:-3]
     assert [e["version"] for e in V.version_history(tbl)] == all_claimed[-3:]
+
+
+def test_versioned_publish_gc_aba_guard(tmp_path):
+    """A writer that read sequence S, then stalled while enough newer
+    manifests landed that GC vacated the S+1 slot, must NOT win by
+    linking into the vacated slot: readers resolve the HIGHEST
+    sequence, so that 'win' would be an invisible manifest — the lost
+    update the module docstring rules out.  The publish must detect
+    the higher surviving sequence, retract its link, and report the
+    CAS as lost so the caller retries on top of the real chain."""
+    import os
+
+    from omniengine_spark.sources import versioned as V
+
+    tbl = str(tmp_path / "tbl")
+    os.makedirs(tbl)
+
+    # writer A reads the manifest at sequence 1
+    V._publish_version(tbl, 1, "v1")
+    stale_manifest, stale_seq = V._load_manifest_seq(tbl)
+    assert stale_seq == 1
+
+    # meanwhile other writers publish far past the GC horizon:
+    # sequence 2's file is GC'd once _KEEP_MANIFESTS newer ones exist
+    for v in range(2, 2 + V._KEEP_MANIFESTS + 3):
+        V._publish_version(tbl, v, f"v{v}")
+    assert not os.path.exists(os.path.join(tbl, "_manifest.2.json"))
+    newest_before = max(s for s, _ in V._manifest_log(tbl))
+
+    # writer A wakes up and CASes on its stale read: the S+1 slot is
+    # vacant, so the raw os.link succeeds — the guard must demote it
+    stale_manifest["current"] = 999
+    stale_manifest["versions"].append(
+        {"version": 999, "description": "stale-branch"}
+    )
+    assert V._publish_manifest(tbl, stale_manifest, stale_seq) is False
+    # the dead-branch file was retracted, the real chain is untouched
+    assert not os.path.exists(os.path.join(tbl, "_manifest.2.json"))
+    assert max(s for s, _ in V._manifest_log(tbl)) == newest_before
+    assert V.current_version(tbl) == 2 + V._KEEP_MANIFESTS + 2
+    assert all(
+        e["description"] != "stale-branch"
+        for e in V.version_history(tbl)
+    )
+
+    # the full retry loop lands the update on top of the winner chain
+    V._publish_version(tbl, 999, "retried")
+    assert V.current_version(tbl) == 999
+    assert V.version_history(tbl)[-1]["description"] == "retried"
