@@ -418,17 +418,18 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Incremental corpus dedup — the operating mode of a production
 # training-data pipeline: each new crawl shard dedups AGAINST the
-# existing corpus without rescanning it.  The corpus's banded MinHash
-# index (operators/dedup.py:minhash_band_entries) and its already-
-# verified pair set persist as versioned warehouse tables; a new
-# shard costs |shard| signatures + a band-join against the stored
-# entries + a within-shard band-join.  Because signatures are a pure
-# function of document content, stored-entry ∪ shard-entry banding
-# finds EXACTLY the pairs a one-shot run over the union finds — the
-# oracle below is the same exact all-pairs Jaccard as
-# dedup_minhash_lsh, so that equality IS the gate.
-# Reference analogue: the seen-tx skip (sql.py:382-384) generalized
-# from tx identity to content identity.
+# existing corpus without rescanning it, then commits itself back so
+# the NEXT shard sees it.  The full index state — band entries,
+# verified pairs, hashed shingle sets — persists as three versioned
+# warehouse tables (operators/minhash_index.py); a shard ingest costs
+# |shard| signatures + a band-join against stored entries + an exact
+# verify pruned to candidate-touched ids + shard-sized delta commits.
+# Because signatures are a pure function of document content,
+# stored-entry ∪ shard-entry banding finds EXACTLY the pairs a
+# one-shot run over the union finds — the oracle below is the same
+# exact all-pairs Jaccard as dedup_minhash_lsh, so that equality IS
+# the gate.  Reference analogue: the seen-tx skip (sql.py:382-384)
+# generalized from tx identity to content identity.
 # ---------------------------------------------------------------------------
 _INC_SHARD_MOD, _INC_SHARD_REM = 10, 7
 _INC_HASHES, _INC_BAND_ROWS = 128, 4
@@ -448,17 +449,24 @@ _INC_HASHES, _INC_BAND_ROWS = 128, 4
 )
 def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup a new shard (doc_id % 10 = 7) against the persisted
-    corpus index (doc_id % 10 ≠ 7) and return the COMPLETE pair set:
-    stored corpus pairs ∪ shard-vs-corpus ∪ within-shard.  Equals the
-    one-shot dedup_minhash_lsh over the union by construction; the
-    exact all-pairs oracle checks it."""
-    from pathlib import Path
+    corpus index (doc_id % 10 ≠ 7), COMMIT the shard back as delta
+    versions of all three index tables (so the next shard ingests
+    against corpus∪shard without any rewrite), and return the
+    complete post-ingest pair set read from the committed snapshot.
+    Equals the one-shot dedup_minhash_lsh over the union by
+    construction; the exact all-pairs oracle checks it.
 
-    from omniengine_spark.sources.sinks import stable_scratch_dir
-    from omniengine_spark.sources.versioned import (
-        commit,
-        read_version,
-        version_history,
+    Scale shape per ingest: the ONLY document scan is the shard
+    filter; corpus shingle sets come from the persisted ``shingles``
+    table semi-joined down to candidate-touched ids (round 8
+    re-shingled the entire corpus here), and the three commits write
+    shard-sized deltas via ``versioned.commit(base_version=...)``.
+    The corpus build (one full scan, ever) runs once per dataset
+    content fingerprint."""
+    from omniengine_spark.operators import minhash_index as MI
+    from omniengine_spark.sources.sinks import (
+        dataset_fingerprint,
+        stable_scratch_dir,
     )
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
@@ -469,55 +477,27 @@ def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % _INC_SHARD_MOD == _INC_SHARD_REM
     )
     thresh = Fraction(4, 5)
-
-    root = stable_scratch_dir(f"minhash-corpus-{Path(sf_dir).name}")
-    bpath, ppath = f"{root}/band_entries", f"{root}/pairs"
-    n_corpus = corpus.count()
-    tag = f"minhash bands {_INC_HASHES}x{_INC_BAND_ROWS} n={n_corpus}"
-
-    def _current(path: str) -> bool:
-        hist = version_history(path)
-        return bool(hist) and hist[-1]["description"] == tag
-
-    if not (_current(bpath) and _current(ppath)):
-        # corpus ingest day: index + self-dedup once, persist both
-        commit(
-            D.minhash_band_entries(
-                corpus, "doc_id", "text",
-                n=3, num_hashes=_INC_HASHES, band_rows=_INC_BAND_ROWS,
-            ),
-            bpath,
-            tag,
-        )
-        commit(
-            D.minhash_lsh_pairs(
-                corpus, "doc_id", "text",
-                n=3, num_hashes=_INC_HASHES,
-                band_rows=_INC_BAND_ROWS, threshold=thresh,
-            ),
-            ppath,
-            tag,
-        )
-
-    stored_entries = read_version(spark, bpath)
-    stored_pairs = read_version(spark, ppath)
-    shard_entries = D.minhash_band_entries(
-        shard, "doc_id", "text",
+    params = dict(
         n=3, num_hashes=_INC_HASHES, band_rows=_INC_BAND_ROWS,
+        threshold=thresh,
     )
-    # shard-vs-corpus needs both orientations (the a<b residual keeps
-    # only pairs whose LOWER id sits on the left frame)
-    cand = (
-        D.band_candidates(shard_entries, stored_entries, thresh)
-        .unionByName(
-            D.band_candidates(stored_entries, shard_entries, thresh)
+
+    # freshness keys on CONTENT (abs path + file stats), not basename
+    # + row count: two same-named count-equal datasets in one process
+    # must not reuse each other's persisted index
+    fp = dataset_fingerprint(sf_dir, "documents.parquet")
+    root = stable_scratch_dir(f"minhash-corpus-{fp}")
+    base_tag = f"minhash {_INC_HASHES}x{_INC_BAND_ROWS} corpus {fp}"
+    shard_tag = f"{base_tag} +shard{_INC_SHARD_REM}"
+
+    state = MI.latest_tag(root)
+    if state not in (base_tag, shard_tag):
+        MI.build_index(
+            spark, root, corpus, "doc_id", "text",
+            tag=base_tag, **params,
         )
-        .unionByName(
-            D.band_candidates(shard_entries, shard_entries, thresh)
-        )
-        .distinct()
+    # idempotent: a replay whose shard is already the committed state
+    # returns the stored pairs without recomputing or re-committing
+    return MI.ingest_shard(
+        spark, root, shard, "doc_id", "text", tag=shard_tag, **params
     )
-    new_pairs = D._verify_jaccard(
-        cand, D.hashed_shingle_docs(docs, "doc_id", "text", 3), thresh
-    )
-    return stored_pairs.unionByName(new_pairs)

@@ -77,6 +77,32 @@ def stable_scratch_dir(label: str) -> str:
     return str(_SCRATCH / f"p{os.getpid()}-{label}")
 
 
+def dataset_fingerprint(sf_dir: str, *tables: str) -> str:
+    """Short content tag binding a persisted index to its INPUT data:
+    md5 of the dataset dir's absolute path plus each named table
+    file's (name, size, mtime_ns).  Freshness keyed on
+    ``Path(sf_dir).name`` + row count alone lets two datasets with
+    the same basename and equal counts silently reuse each other's
+    persisted index, and a count-equal content change is invisible;
+    the fingerprint makes both a cache miss.  File stats, not a data
+    read — O(1) regardless of table size."""
+    import hashlib
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    for t in sorted(tables):
+        p = Path(sf_dir) / t
+        files = sorted(p.rglob("*")) if p.is_dir() else [p]
+        for f in files:
+            try:
+                st = f.stat()
+            except OSError:
+                continue
+            h.update(
+                f"{f.name}:{st.st_size}:{st.st_mtime_ns}".encode()
+            )
+    return h.hexdigest()[:16]
+
+
 def cleanup(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
 

@@ -190,19 +190,26 @@ def _claim_version(path: str, start: int) -> tuple[int, Path]:
             version += 1
 
 
-def _publish_version(path: str, version: int, description: str) -> None:
+def _publish_version(
+    path: str,
+    version: int,
+    description: str,
+    base_version: int | None = None,
+) -> None:
     """CAS-loop the claimed version into the manifest log.  Losers of
     a sequence race re-read the winner's manifest and re-apply their
     entry on top, so no concurrent publish can drop another's entry
     (the lost-update failure a timeout-broken lock can't rule out)."""
+    entry = {"version": version, "description": description}
+    if base_version is not None:
+        entry["base"] = base_version
     while True:
         manifest, seq = _load_manifest_seq(path)
         if any(e["version"] == version for e in manifest["versions"]):
             return  # already published (idempotent under retry)
         manifest["current"] = max(manifest["current"], version)
         manifest["versions"] = sorted(
-            manifest["versions"]
-            + [{"version": version, "description": description}],
+            manifest["versions"] + [entry],
             key=lambda e: e["version"],
         )
         if _publish_manifest(path, manifest, seq):
@@ -214,14 +221,32 @@ def commit(
     path: str,
     description: str,
     partition_cols: list[str] | None = None,
+    base_version: int | None = None,
 ) -> int:
     """Write ``df`` as the table's next immutable version; returns the
     new version number.  The manifest-log CAS is the commit point.
     Concurrent-writer safe: the version dir is claimed exclusively
     before any data is written, and racing publishes serialize through
     the sequence CAS — commits land as distinct consecutive versions
-    and no publish can erase another's entry."""
+    and no publish can erase another's entry.
+
+    ``base_version`` makes the commit a DELTA: the new version's
+    content is ``base_version``'s content plus ``df`` (the manifest
+    entry records the base; readers assemble the chain of data dirs).
+    This is how an incremental pipeline grows a table at shard cost —
+    a snapshot commit rewrites the whole table, a delta commit writes
+    only the new rows, and both read back through the same
+    ``read_version``.  Deltas are append-only by construction (a
+    version dir is immutable); row deletion still requires a snapshot
+    rewrite, the honest cost of parquet-level versioning."""
     Path(path).mkdir(parents=True, exist_ok=True)
+    if base_version is not None:
+        known = {e["version"] for e in _load_manifest(path)["versions"]}
+        if base_version not in known:
+            raise ValueError(
+                f"delta base {base_version} not in table history"
+                f" {sorted(known)}"
+            )
     version, final = _claim_version(path, _load_manifest(path)["current"] + 1)
     # append into the (empty) claimed dir: overwrite would DELETE the
     # dir first, momentarily releasing the exclusive claim
@@ -229,23 +254,36 @@ def commit(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(str(final))
-    _publish_version(path, version, description)
+    _publish_version(path, version, description, base_version)
     return version
+
+
+def _version_dirs(path: str, manifest: dict, v: int) -> list[str]:
+    """Data dirs composing version ``v``'s content: its own dir plus
+    the transitive delta-base chain, base-first."""
+    by_ver = {e["version"]: e for e in manifest["versions"]}
+    if v not in by_ver:
+        raise ValueError(
+            f"version {v} not in table history {sorted(by_ver)}"
+        )
+    chain, cur = [], v
+    while cur is not None:
+        chain.append(str(Path(path) / f"v={cur}"))
+        cur = by_ver[cur].get("base")
+    return chain[::-1]
 
 
 def read_version(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Snapshot read: the manifest's current version, or any retained
-    historical version — reorg forensics as a first-class scan."""
+    historical version — reorg forensics as a first-class scan.  A
+    delta version reads as the union of its base chain's data dirs
+    (one multi-path parquet scan — Spark splits and prunes across the
+    dirs exactly as it would one dir)."""
     manifest = _load_manifest(path)
     v = manifest["current"] if version is None else version
-    known = {e["version"] for e in manifest["versions"]}
-    if v not in known:
-        raise ValueError(
-            f"version {v} not in table history {sorted(known)}"
-        )
-    return spark.read.parquet(str(Path(path) / f"v={v}"))
+    return spark.read.parquet(*_version_dirs(path, manifest, v))
 
 
 def vacuum(
@@ -281,6 +319,24 @@ def vacuum(
             retired, kept = [], live
         else:
             retired, kept = live[:-keep_last], live[-keep_last:]
+            # a delta version's content lives partly in its base
+            # chain: kept versions pin their transitive bases (the
+            # bases stay readable history, not retired files)
+            by_ver = {e["version"]: e for e in live}
+            pinned: set[int] = set()
+            for e in kept:
+                cur = e.get("base")
+                while cur is not None and cur not in pinned:
+                    pinned.add(cur)
+                    cur = by_ver[cur].get("base")
+            if pinned:
+                kept = sorted(
+                    kept + [e for e in retired if e["version"] in pinned],
+                    key=lambda e: e["version"],
+                )
+                retired = [
+                    e for e in retired if e["version"] not in pinned
+                ]
         new_manifest = dict(manifest)
         new_manifest["versions"] = kept
         if retired:

@@ -482,3 +482,117 @@ def test_incremental_shard_dedup_equals_one_shot(spark):
         p for p in inc if p[0] % 10 == 7 or p[1] % 10 == 7
     ]
     assert cross_or_shard, "fixture has no shard-side pairs (vacuous)"
+
+
+def _pair_set(df):
+    return {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+        for r in df.collect()
+    }
+
+
+def test_minhash_index_two_shard_loop(spark, tmp_path):
+    """The incremental loop, not just one ingest: shard B is deduped
+    against corpus∪A because ingesting A committed it back into the
+    persisted index.  Final pairs == one-shot minhash_lsh_pairs over
+    corpus∪A∪B; every ingest lands as a DELTA version (manifest entry
+    records its base, the version dir holds only shard-sized data)."""
+    from fractions import Fraction
+
+    from omniengine_spark.operators import dedup as D
+    from omniengine_spark.operators import minhash_index as MI
+    from omniengine_spark.sources import load_table
+    from omniengine_spark.sources import versioned as V
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(~(F.col("doc_id") % 10).isin(7, 8))
+    shard_a = docs.filter(F.col("doc_id") % 10 == 7)
+    shard_b = docs.filter(F.col("doc_id") % 10 == 8)
+    root = str(tmp_path / "idx")
+    params = dict(
+        n=3, num_hashes=128, band_rows=4, threshold=Fraction(4, 5)
+    )
+
+    MI.build_index(
+        spark, root, corpus, "doc_id", "text", tag="base", **params
+    )
+    MI.ingest_shard(
+        spark, root, shard_a, "doc_id", "text", tag="base +A", **params
+    )
+    after_b = MI.ingest_shard(
+        spark, root, shard_b, "doc_id", "text", tag="base +B", **params
+    )
+    one_shot = D.minhash_lsh_pairs(docs, "doc_id", "text", **params)
+    assert _pair_set(after_b) == _pair_set(one_shot)
+    # non-vacuous: at least one surviving pair touches each shard
+    # (shard B's pairs exist only because A was committed back)
+    pairs = _pair_set(after_b)
+    assert any(a % 10 == 7 or b % 10 == 7 for a, b, _ in pairs)
+    assert any(a % 10 == 8 or b % 10 == 8 for a, b, _ in pairs)
+
+    # each table carries base → +A → +B, the ingests as deltas
+    epath, ppath, spath = MI.index_paths(root)
+    for path in (epath, ppath, spath):
+        hist = V.version_history(path)
+        assert [e["description"] for e in hist] == [
+            "base", "base +A", "base +B",
+        ]
+        assert "base" not in hist[0]
+        assert hist[1]["base"] == hist[0]["version"]
+        assert hist[2]["base"] == hist[1]["version"]
+
+    # idempotent replay: same tag returns stored pairs, no new version
+    replay = MI.ingest_shard(
+        spark, root, shard_b, "doc_id", "text", tag="base +B", **params
+    )
+    assert _pair_set(replay) == pairs
+    assert len(V.version_history(ppath)) == 3
+
+    # a delta version's dir holds ONLY its shard's entries
+    import os
+    n_shard_a = shard_a.count()
+    delta_dir = os.path.join(
+        epath, f"v={V.version_history(epath)[1]['version']}"
+    )
+    delta_rows = spark.read.parquet(delta_dir)
+    assert delta_rows.select("doc_id").distinct().count() == n_shard_a
+
+    # vacuum pins the delta chain: keep_last=1 may not retire the
+    # bases the current version still reads through
+    retired = V.vacuum(epath, keep_last=1, orphan_ttl_s=0.0)
+    assert retired == []
+    assert V.read_version(spark, epath).count() > 0
+
+
+def test_ingest_verify_prunes_to_candidates(spark, tmp_path):
+    """The exact-verify stage of a shard ingest must read shingle
+    sets ONLY for candidate-touched docs — from the persisted index
+    via a semi-join, never by re-shingling the corpus (the round-8
+    form re-scanned the entire corpus per ingest)."""
+    from fractions import Fraction
+
+    from omniengine_spark.operators import minhash_index as MI
+    from omniengine_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    shard = docs.filter(F.col("doc_id") % 10 == 7)
+    root = str(tmp_path / "idx")
+    params = dict(
+        n=3, num_hashes=128, band_rows=4, threshold=Fraction(4, 5)
+    )
+    MI.build_index(
+        spark, root, corpus, "doc_id", "text", tag="base", **params
+    )
+    _, _, verify_docs, new_pairs = MI._ingest_frames(
+        spark, root, shard, "doc_id", "text", **params
+    )
+    # the verify input is candidate-pruned: a handful of docs, not
+    # the corpus (band collisions at threshold 0.8 are rare)
+    n_verify, n_docs = verify_docs.count(), docs.count()
+    assert n_verify < 0.5 * n_docs
+    # the pruning is a semi-join against the PERSISTED shingle table
+    qe = new_pairs._jdf.queryExecution()
+    assert "LeftSemi" in qe.optimizedPlan().toString()
+    files = new_pairs.inputFiles()
+    assert any(f"/{MI.SHINGLES}/" in f for f in files)
