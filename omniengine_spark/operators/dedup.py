@@ -204,6 +204,13 @@ def jaccard_similarity_join(
     # is re-evaluated in two extra full passes before ``pre``'s own
     # checkpoint (the documented HOF re-evaluation trap, measured 7×
     # on this family).  The frame is N·|d| skinny (long, long) rows.
+    # Trade-offs accepted at this site: the checkpoint is EAGER (a
+    # Spark job runs when this function is CALLED, which explain-only
+    # callers also pay), and local checkpoint blocks are
+    # non-replicated — an executor loss during the downstream joins
+    # fails the job instead of recomputing lineage.  On a long-lived
+    # 100 TB cluster prefer reliable ``checkpoint()`` to an HDFS dir;
+    # locally the job-restart cost is trivial and the 7× win stands.
     inst = (
         docs.select("doc_id", F.explode_outer("hs").alias("h"))
         .localCheckpoint()
@@ -573,6 +580,36 @@ def band_candidates(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def band_candidates_cross(
+    small: DataFrame, big: DataFrame, threshold: Fraction
+) -> DataFrame:
+    """Cross-frame band candidates in ONE join: both orientations of
+    ``band_candidates(a, b) ∪ band_candidates(b, a)`` collapse into a
+    single (band, bucket) join with ids normalized to (least,
+    greatest) — one scan of the big frame instead of two, which
+    matters when ``big`` is a persisted corpus index and ``small`` a
+    freshly-ingested shard.  The caller broadcasts ``small`` when its
+    size is known; the PPJoin length residual is symmetric, so it
+    filters identically to the two-orientation form."""
+    t_num, t_den = threshold.numerator, threshold.denominator
+    return (
+        small.alias("a")
+        .join(
+            big.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("a.n_sh") * t_num <= F.col("b.n_sh") * t_den)
+            & (F.col("b.n_sh") * t_num <= F.col("a.n_sh") * t_den),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
         )
         .distinct()
     )

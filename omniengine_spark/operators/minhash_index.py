@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 from omniengine_spark.operators.dedup import (
     _verify_jaccard,
     band_candidates,
+    band_candidates_cross,
     hashed_shingle_docs,
     minhash_band_entries,
 )
@@ -64,6 +65,12 @@ from omniengine_spark.sources.versioned import (
     read_version,
     version_history,
 )
+
+# a shard delta smaller than this on disk gets an explicit broadcast
+# hint into the band join / verify semi-join (parquet-backed sizes
+# make the hint safe to gate on); bigger shards fall back to the
+# shuffle join — still shard-proportional, just not map-side
+_BROADCAST_BYTES = 64 << 20
 
 ENTRIES, PAIRS, SHINGLES = "band_entries", "pairs", "shingles"
 
@@ -116,7 +123,26 @@ def build_index(
     commit(pairs, ppath, tag)
 
 
-def _ingest_frames(
+def _dir_bytes(path: str) -> int:
+    from pathlib import Path
+    from urllib.parse import unquote, urlparse
+
+    if "://" in path or path.startswith("file:"):
+        path = unquote(urlparse(path).path)
+    return sum(
+        f.stat().st_size for f in Path(path).rglob("*") if f.is_file()
+    )
+
+
+def _maybe_broadcast(df: DataFrame, delta_dir: str) -> DataFrame:
+    return (
+        F.broadcast(df)
+        if _dir_bytes(delta_dir) < _BROADCAST_BYTES
+        else df
+    )
+
+
+def _commit_shard_frames(
     spark: SparkSession,
     root: str,
     shard: DataFrame,
@@ -126,47 +152,89 @@ def _ingest_frames(
     n: int,
     num_hashes: int,
     band_rows: int,
-    threshold: Fraction,
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
-    """The lazy ingest pipeline: (shard_entries, shard_shingles,
-    verify_docs, new_pairs).  Exposed separately so tests can assert
-    the plan SHAPE — in particular that ``verify_docs`` is the
-    persisted shingle table semi-joined to candidate ids, never a
-    corpus re-shingle."""
+    tag: str,
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """Compute the shard's band entries + shingle sets ONCE, commit
+    them as delta versions, and hand back (entries, shingles,
+    base_entries_version, base_shingles_version) with the shard
+    frames re-read from their just-written delta dirs: parquet-backed
+    frames carry accurate size stats, so the band join and verify
+    semi-join can broadcast a small shard instead of shuffling the
+    corpus index.  Idempotent per table: a crash-retry whose tag
+    already heads a table's history reuses that delta instead of
+    committing a duplicate."""
     epath, _, spath = index_paths(root)
-    stored_entries = read_version(spark, epath)
-    stored_shingles = read_version(spark, spath)
 
-    shard_entries = minhash_band_entries(
-        shard, id_col, text_col, n, num_hashes, band_rows
+    def _delta(path: str, frame_fn) -> tuple[DataFrame, int]:
+        hist = version_history(path)
+        if hist and hist[-1]["description"] == tag:
+            ver, base = hist[-1]["version"], hist[-1]["base"]
+        else:
+            base = current_version(path)
+            ver = commit(frame_fn(), path, tag, base_version=base)
+        return spark.read.parquet(f"{path}/v={ver}"), base
+
+    entries_pq, base_e = _delta(
+        epath,
+        lambda: minhash_band_entries(
+            shard, id_col, text_col, n, num_hashes, band_rows
+        ),
     )
-    shard_shingles = hashed_shingle_docs(shard, id_col, text_col, n)
+    shingles_pq, base_s = _delta(
+        spath,
+        lambda: hashed_shingle_docs(shard, id_col, text_col, n),
+    )
+    return entries_pq, shingles_pq, base_e, base_s
 
-    # shard-vs-corpus needs both orientations (the a<b residual keeps
-    # only pairs whose LOWER id sits on the left frame), plus the
-    # within-shard self-join; all three emit (least, greatest) pairs
-    # so the union dedups cleanly
+
+def _ingest_plan(
+    spark: SparkSession,
+    root: str,
+    shard_entries: DataFrame,
+    shard_shingles: DataFrame,
+    base_entries: int,
+    base_shingles: int,
+    threshold: Fraction,
+) -> tuple[DataFrame, DataFrame]:
+    """The lazy shard-vs-corpus pipeline over ALREADY-COMMITTED shard
+    deltas: (verify_docs, new_pairs).  Exposed separately so tests
+    can assert the exact production plan shape — in particular that
+    ``verify_docs`` is the persisted shingle table semi-joined to
+    candidate ids, never a corpus re-shingle."""
+    epath, _, spath = index_paths(root)
+    stored_entries = read_version(spark, epath, base_entries)
+    stored_shingles = read_version(spark, spath, base_shingles)
+    e_files = shard_entries.inputFiles()
+    small_e = (
+        _maybe_broadcast(shard_entries, e_files[0].rsplit("/", 1)[0])
+        if e_files
+        else F.broadcast(shard_entries)  # empty shard: trivially small
+    )
+
+    # one normalized cross join (single scan of the corpus index,
+    # shard side broadcast when small) plus the within-shard
+    # self-join; both emit (least, greatest) pairs so distinct dedups
     cand = (
-        band_candidates(shard_entries, stored_entries, threshold)
-        .unionByName(
-            band_candidates(stored_entries, shard_entries, threshold)
-        )
+        band_candidates_cross(small_e, stored_entries, threshold)
         .unionByName(
             band_candidates(shard_entries, shard_entries, threshold)
         )
         .distinct()
     )
     # exact-verify reads shingle sets ONLY for candidate-touched docs:
-    # stored sets from the persisted index, shard sets from the frame
-    # just computed — the raw corpus documents are never touched
-    cand_ids = cand.select(
-        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-    ).distinct()
+    # stored sets from the persisted index semi-joined to the (tiny,
+    # broadcast) candidate id set, shard sets from the committed
+    # delta — the raw corpus documents are never touched
+    cand_ids = F.broadcast(
+        cand.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        ).distinct()
+    )
     verify_docs = stored_shingles.unionByName(shard_shingles).join(
         cand_ids, "doc_id", "left_semi"
     )
     new_pairs = _verify_jaccard(cand, verify_docs, threshold)
-    return shard_entries, shard_shingles, verify_docs, new_pairs
+    return verify_docs, new_pairs
 
 
 def ingest_shard(
@@ -187,21 +255,18 @@ def ingest_shard(
     no table rewrite), and return the complete post-ingest pair set
     read from the committed snapshot.  Idempotent per ``tag``: a
     replay whose tag is already the newest committed state returns
-    the stored pairs without recomputing or re-committing."""
+    the stored pairs without recomputing or re-committing, and a
+    crash-retry reuses whichever per-table deltas already landed."""
     epath, ppath, spath = index_paths(root)
     if latest_tag(root) == tag:
         return read_version(spark, ppath)
 
-    shard_entries, shard_shingles, _, new_pairs = _ingest_frames(
+    entries_pq, shingles_pq, base_e, base_s = _commit_shard_frames(
         spark, root, shard, id_col, text_col,
-        n=n, num_hashes=num_hashes, band_rows=band_rows,
-        threshold=threshold,
+        n=n, num_hashes=num_hashes, band_rows=band_rows, tag=tag,
     )
-    commit(
-        shard_entries, epath, tag, base_version=current_version(epath)
-    )
-    commit(
-        shard_shingles, spath, tag, base_version=current_version(spath)
+    _, new_pairs = _ingest_plan(
+        spark, root, entries_pq, shingles_pq, base_e, base_s, threshold
     )
     commit(new_pairs, ppath, tag, base_version=current_version(ppath))
     return read_version(spark, ppath)

@@ -114,9 +114,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("outdeg")
     )
     # materialize the edge list + degrees once; three iterations of
-    # join → exact integer sum → damping reuse them
-    edges = edges.localCheckpoint()
-    deg = deg.localCheckpoint()
+    # join → exact integer sum → damping reuse them.  DISK_ONLY, not
+    # localCheckpoint: the eager row-format MEMORY_AND_DISK blocks of
+    # a checkpointed 60M-row edge frame crowd unified memory in the
+    # spill regime (the 8 GB soak measured e=+1.36 with 2.9 GB disk
+    # spill from exactly this), while the columnar DISK_ONLY cache
+    # keeps execution memory for the per-iteration sort/agg and costs
+    # ~nothing when the frame is small; it is also lazy, so
+    # explain-only callers don't pay a materialization job
+    from pyspark.storagelevel import StorageLevel
+
+    edges = edges.persist(StorageLevel.DISK_ONLY)
+    deg = deg.persist(StorageLevel.DISK_ONLY)
 
     ranks = deg.select(
         "node", F.lit(_SCALE).cast("long").alias("rank")

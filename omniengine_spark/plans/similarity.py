@@ -250,11 +250,14 @@ _MD5_ID_HASH = """
 """
 
 
-def _ivf_oracle(seed_where: str = "") -> str:
+def _ivf_oracle(seed_where: str = "", k_sql: str = "16") -> str:
     """The portable-IVF oracle, parameterized by an optional
     restriction on which vectors may SEED centroids (the append
-    plan freezes centroids to the base corpus).  Assignment, probing,
-    and rescoring are always over the full table."""
+    plan freezes centroids to the base corpus) and by the centroid
+    count (a constant for the one-shot plan; the persisted-index
+    plans pass the adaptive max(16, ceil(sqrt(N/2))) as a subquery
+    over the seed-eligible set).  Assignment, probing, and rescoring
+    are always over the full table."""
     return f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -262,7 +265,7 @@ def _ivf_oracle(seed_where: str = "") -> str:
       SELECT vec_id, v, {_MD5_ID_HASH} AS h FROM e {seed_where}
     ), seeds AS (
       SELECT vec_id AS cluster, v AS cvec FROM hh ORDER BY h, cluster
-      LIMIT 16
+      LIMIT ({k_sql})
     ), asg AS (
       SELECT e.vec_id AS nbr_id, e.v AS nbr_vec, s.cluster,
              ROW_NUMBER() OVER (
@@ -571,11 +574,35 @@ def sim_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # prunable: lists are partitioned BY cluster on disk) instead of
 # re-assigning N vectors per query.
 # ---------------------------------------------------------------------------
-_IVF_IDX_K = 16
+_IVF_IDX_K_FLOOR = 16
 _IVF_IDX_NPROBE = 4
 # the append plan freezes centroids to the BASE corpus (vec_id % 10
 # <> 7); the shard (% 10 = 7) is assigned to those frozen centroids
 _IVF_APPEND_SHARD_MOD, _IVF_APPEND_SHARD_REM = 10, 7
+
+
+def _ivf_idx_k(n_seed: int) -> int:
+    """Adaptive centroid count for the persisted index: the same
+    max(16, ceil(sqrt(N/2))) the SemDeDup path uses
+    (operators/similarity.py:adaptive_clusters_sql) — a fixed k makes
+    inverted lists grow ∝ N and every probe rescans them; √N-scaled
+    lists keep probe cost ∝ √N.  N is the SEED-eligible count (the
+    append plan freezes centroids at base-corpus time)."""
+    import math
+
+    return max(_IVF_IDX_K_FLOOR, math.ceil(math.sqrt(n_seed / 2.0)))
+
+
+def _ivf_idx_k_sql(seed_filter: str = "") -> str:
+    """The identical k as a DuckDB subquery over the seed set."""
+    from omniengine_spark.operators.similarity import (
+        adaptive_clusters_sql,
+    )
+
+    return (
+        f"SELECT {adaptive_clusters_sql('count(*)', _IVF_IDX_K_FLOOR)}"
+        f" FROM embeddings {seed_filter}"
+    )
 
 
 def _ivf_index_tables(
@@ -599,11 +626,23 @@ def _ivf_index_tables(
     )
 
     label = "ivf-append" if base_only else "ivf-index"
-    root = stable_scratch_dir(f"{label}-{Path(sf_dir).name}")
+    # freshness keys on CONTENT (abs path + file stats), not dir
+    # basename + row count: two same-named count-equal datasets in
+    # one process must not reuse each other's persisted index
+    from omniengine_spark.sources.sinks import dataset_fingerprint
+
+    fp = dataset_fingerprint(sf_dir, "embeddings.parquet")
+    root = stable_scratch_dir(f"{label}-{fp}")
     cpath, lpath = f"{root}/centroids", f"{root}/lists"
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     n = _emb_count(emb, sf_dir)
-    tag = f"{label} k={_IVF_IDX_K} n={n}"
+    base = emb.filter(
+        F.col("vec_id") % _IVF_APPEND_SHARD_MOD
+        != _IVF_APPEND_SHARD_REM
+    )
+    n_seed = _emb_count(base, f"{sf_dir}|base") if base_only else n
+    k = _ivf_idx_k(n_seed)
+    tag = f"{label} k={k} n={n} fp={fp}"
 
     def _current(path: str) -> bool:
         hist = version_history(path)
@@ -611,16 +650,12 @@ def _ivf_index_tables(
 
     if not (_current(cpath) and _current(lpath)):
         if base_only:
-            base = emb.filter(
-                F.col("vec_id") % _IVF_APPEND_SHARD_MOD
-                != _IVF_APPEND_SHARD_REM
-            )
             shard = emb.filter(
                 F.col("vec_id") % _IVF_APPEND_SHARD_MOD
                 == _IVF_APPEND_SHARD_REM
             )
             cents = AI.seeded_centroids(
-                base, "vec_id", "embedding", _IVF_IDX_K
+                base, "vec_id", "embedding", k
             )
             commit(cents, cpath, tag)
             commit(
@@ -630,16 +665,25 @@ def _ivf_index_tables(
                 partition_cols=["cluster"],
             )
             # assign-only append against the PERSISTED centroids —
-            # the committed snapshot is base lists ∪ shard lists;
-            # version 1 stays readable as the pre-append index
-            pcents = read_version(spark, cpath)
-            appended = read_version(spark, lpath).unionByName(
-                AI.assign_lists(shard, pcents, "vec_id", "embedding")
+            # the shard lands as a DELTA version over the base lists:
+            # the write is shard-sized, readers of CURRENT assemble
+            # base ∪ shard, and version 1 stays readable as the
+            # pre-append index (index time travel)
+            from omniengine_spark.sources.versioned import (
+                current_version,
             )
-            commit(appended, lpath, tag, partition_cols=["cluster"])
+
+            pcents = read_version(spark, cpath)
+            commit(
+                AI.assign_lists(shard, pcents, "vec_id", "embedding"),
+                lpath,
+                tag,
+                partition_cols=["cluster"],
+                base_version=current_version(lpath),
+            )
         else:
             cents = AI.seeded_centroids(
-                emb, "vec_id", "embedding", _IVF_IDX_K
+                emb, "vec_id", "embedding", k
             )
             commit(cents, cpath, tag)
             commit(
@@ -671,7 +715,7 @@ def _ivf_index_tables(
       SELECT vec_id, v, {_MD5_ID_HASH} AS h FROM e
     ), seeds AS (
       SELECT vec_id AS cluster, v AS cvec FROM hh ORDER BY h, cluster
-      LIMIT {_IVF_IDX_K}
+      LIMIT ({_ivf_idx_k_sql()})
     ), asg AS (
       SELECT e.vec_id, s.cluster,
              ROW_NUMBER() OVER (
@@ -696,10 +740,11 @@ def sim_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_ivf_index_query",
-    # identical result contract to sim_ivf_ann_topk — same oracle —
-    # but served from the persisted index tables instead of a
-    # rebuild: the list scan reads nprobe of k cluster partitions.
-    oracle=_ivf_oracle(),
+    # identical result contract to sim_ivf_ann_topk — same probe/
+    # rescore oracle, adaptive k — but served from the persisted
+    # index tables instead of a rebuild: the list scan reads nprobe
+    # of k cluster partitions.
+    oracle=_ivf_oracle(k_sql=_ivf_idx_k_sql()),
 )
 def sim_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query the PERSISTED IVF index (build-once, query-many): the
@@ -727,7 +772,13 @@ def sim_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_similarity.py pins that equality directly).
     oracle=_ivf_oracle(
         seed_where=f"WHERE vec_id % {_IVF_APPEND_SHARD_MOD}"
-        f" <> {_IVF_APPEND_SHARD_REM}"
+        f" <> {_IVF_APPEND_SHARD_REM}",
+        # k is frozen WITH the centroids: adaptive over the base
+        # subset, not the appended total
+        k_sql=_ivf_idx_k_sql(
+            f"WHERE vec_id % {_IVF_APPEND_SHARD_MOD}"
+            f" <> {_IVF_APPEND_SHARD_REM}"
+        ),
     ),
 )
 def sim_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -302,3 +302,23 @@ def x14_stream_exactly_once_sink(
     per-block transaction).  The oracle checks the read-back
     warehouse against the batch truth."""
     return S.exactly_once_warehouse_sink(spark, sf_dir)
+
+
+@query(
+    "x17_socket_stream",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM (SELECT event_id, event_type FROM events
+          ORDER BY event_id LIMIT 1000)
+    GROUP BY event_type
+    """,
+)
+def x17_socket_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A LIVE localhost TCP socket plays the message bus (in-process
+    server thread → Spark socket source → stateful aggregate): the
+    integer-exact per-type counts/id-sums must equal the batch truth
+    over the served rows, so lost or duplicated deliveries hash-fail.
+    Closes SURVEY §2.1's 'live bus source' gap without external
+    infra."""
+    return S.socket_event_counts(spark, sf_dir)

@@ -283,7 +283,16 @@ def read_version(
     dirs exactly as it would one dir)."""
     manifest = _load_manifest(path)
     v = manifest["current"] if version is None else version
-    return spark.read.parquet(*_version_dirs(path, manifest, v))
+    dirs = _version_dirs(path, manifest, v)
+    if len(dirs) == 1:
+        return spark.read.parquet(dirs[0])
+    # multi-dir chain: anchor partition discovery at the table root
+    # so a partitionBy layout (e.g. cluster=) stays ONE partition
+    # column across all delta dirs — one relation, so dynamic
+    # partition pruning still prunes the union.  The version dirs
+    # themselves parse as a synthetic ``v`` partition column, dropped
+    # here (a DATA column named ``v`` is therefore reserved).
+    return spark.read.option("basePath", path).parquet(*dirs).drop("v")
 
 
 def vacuum(

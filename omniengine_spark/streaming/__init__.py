@@ -12,6 +12,7 @@ from omniengine_spark.streaming.jobs import (
     stream_static_enrichment,
     run_available_now,
     sessionize_with_state,
+    socket_event_counts,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "stream_static_enrichment",
     "run_available_now",
     "sessionize_with_state",
+    "socket_event_counts",
 ]

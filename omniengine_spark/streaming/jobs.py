@@ -499,3 +499,112 @@ def exactly_once_warehouse_sink(
             F.sum("cents").cast("long").alias("total_cents"),
         )
     )
+
+
+def socket_event_counts(
+    spark: SparkSession, sf_dir: str, n_rows: int = 1000
+) -> DataFrame:
+    """LIVE message-bus source: Spark's TCP socket stream fed by an
+    in-process server thread — the S1 streaming variant the chunked
+    file stream approximates, over a real network connection instead
+    of arriving files (reference: the cron pull loop,
+    installOmniEngineCronJob.py:36, as a push stream).
+
+    The server plays the bus: it serves the first ``n_rows`` events
+    as ``event_id,event_type`` lines over one localhost connection
+    and holds the socket open until the stream has drained them.
+    The query aggregates counts + id-sums per type (integer-exact),
+    so the batch oracle checks that delivery was EXACTLY the served
+    set — at-least-once delivery or a dropped tail would hash-fail.
+
+    Scale notes: the socket source is single-connection by design
+    (Spark keeps it for tests/demos); a production bus is Kafka with
+    partition-parallel readers, but source choice is config — every
+    transformation below the source line is unchanged.
+    """
+    import socket
+    import threading
+    import time
+
+    from omniengine_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(n_rows)
+        .select("event_id", "event_type")
+        .collect()
+    )
+    payload = "".join(
+        f"{r['event_id']},{r['event_type']}\n" for r in rows
+    ).encode()
+    expected = len(rows)
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    drained = threading.Event()
+
+    def serve() -> None:
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(payload)
+            # keep the connection open until the reader drained it:
+            # the socket source treats EOF as end-of-stream and a
+            # premature close can drop the buffered tail
+            drained.wait(timeout=120)
+
+    threading.Thread(target=serve, daemon=True).start()
+
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", "127.0.0.1")
+        .option("port", port)
+        .load()
+    )
+    parsed = lines.select(
+        F.split("value", ",").alias("f")
+    ).select(
+        F.col("f")[0].cast("long").alias("event_id"),
+        F.col("f")[1].alias("event_type"),
+    )
+    agg = parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("sum_ids"),
+    )
+
+    name = f"omni_stream_sink_{next(_SINK_COUNTER)}"
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            # drain loop: TCP delivery into the source buffer is
+            # asynchronous, so processAllAvailable alone can return
+            # before the tail arrived — poll until the sink holds
+            # exactly the served row count
+            deadline = time.monotonic() + 90
+            while time.monotonic() < deadline:
+                q.processAllAvailable()
+                got = (
+                    spark.table(name)
+                    .agg(F.sum("n_events"))
+                    .collect()[0][0]
+                )
+                if got == expected:
+                    break
+                time.sleep(0.2)
+            else:
+                raise TimeoutError(
+                    f"socket stream drained {got}/{expected} rows"
+                )
+        finally:
+            drained.set()
+            q.stop()
+            srv.close()
+    return spark.table(name)

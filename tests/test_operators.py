@@ -584,8 +584,13 @@ def test_ingest_verify_prunes_to_candidates(spark, tmp_path):
     MI.build_index(
         spark, root, corpus, "doc_id", "text", tag="base", **params
     )
-    _, _, verify_docs, new_pairs = MI._ingest_frames(
-        spark, root, shard, "doc_id", "text", **params
+    entries_pq, shingles_pq, base_e, base_s = MI._commit_shard_frames(
+        spark, root, shard, "doc_id", "text",
+        n=3, num_hashes=128, band_rows=4, tag="base +shard",
+    )
+    verify_docs, new_pairs = MI._ingest_plan(
+        spark, root, entries_pq, shingles_pq, base_e, base_s,
+        params["threshold"],
     )
     # the verify input is candidate-pruned: a handful of docs, not
     # the corpus (band collisions at threshold 0.8 are rare)
