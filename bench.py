@@ -99,6 +99,9 @@ def main() -> None:
     calib_before = calibrate()
 
     def run_once(fn) -> float:
+        # caches left by a previous plan (persist()-based frames
+        # match across calls) must not subsidize this one
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.select(

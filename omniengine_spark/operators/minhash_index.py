@@ -270,3 +270,17 @@ def ingest_shard(
     )
     commit(new_pairs, ppath, tag, base_version=current_version(ppath))
     return read_version(spark, ppath)
+
+
+def compact_index(spark: SparkSession, root: str) -> None:
+    """Squash each index table's delta chain into one snapshot
+    (``versioned.compact``) so a later ``vacuum`` can retire the
+    per-shard versions — the periodic O(corpus) maintenance that
+    bounds read fan-in after many shard ingests.  The snapshot
+    carries the CURRENT tag as its description, so ``ingest_shard``'s
+    tag-based idempotency is unaffected by when compaction runs."""
+    from omniengine_spark.sources.versioned import compact
+
+    tag = latest_tag(root)
+    for path in index_paths(root):
+        compact(spark, path, description=tag)

@@ -373,3 +373,35 @@ def vacuum(
                 continue
             shutil.rmtree(d, ignore_errors=True)
     return [e["version"] for e in retired]
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    description: str = "compaction",
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Squash the current delta chain into one snapshot version.
+
+    A linear delta chain pins every ancestor forever (``vacuum``
+    must keep transitive bases of kept versions), so an incremental
+    table's history — and its per-read dir list — grows one entry per
+    ingest without bound.  Compaction reads the CURRENT content and
+    commits it as a base-less snapshot; the old chain stops being
+    anyone's base, and the next ``vacuum`` retires it wholesale.
+    This is the standard LSM/lakehouse rhythm: delta commits at
+    ingest cost, periodic O(table) squashes to bound read fan-in —
+    run it when ``len(_version_dirs(...))`` exceeds taste (a few
+    dozen dirs is harmless; parquet scans take multi-path input).
+
+    Concurrency: the squash is just another commit — it claims a
+    fresh version dir and CAS-publishes, so racing ingests serialize
+    through the manifest as usual.  A delta that lands AFTER the
+    compaction read but BEFORE its publish still chains off the old
+    tip, so no data is lost — only the compaction's snapshot is then
+    stale-tipped, and readers resolve the (higher) delta version.
+    Returns the snapshot's version number."""
+    return commit(
+        read_version(spark, path), path, description,
+        partition_cols=partition_cols,
+    )

@@ -563,6 +563,22 @@ def test_minhash_index_two_shard_loop(spark, tmp_path):
     assert retired == []
     assert V.read_version(spark, epath).count() > 0
 
+    # periodic maintenance: compaction squashes each chain into one
+    # snapshot (same tag, so replay idempotency holds), after which
+    # vacuum retires the per-shard versions; content is unchanged
+    MI.compact_index(spark, root)
+    assert MI.latest_tag(root) == "base +B"
+    assert _pair_set(
+        MI.ingest_shard(
+            spark, root, shard_b, "doc_id", "text",
+            tag="base +B", **params,
+        )
+    ) == pairs
+    for path in (epath, ppath, spath):
+        assert V.vacuum(path, keep_last=1, orphan_ttl_s=0.0)
+        assert len(V.version_history(path)) == 1
+    assert _pair_set(V.read_version(spark, ppath)) == pairs
+
 
 def test_ingest_verify_prunes_to_candidates(spark, tmp_path):
     """The exact-verify stage of a shard ingest must read shingle

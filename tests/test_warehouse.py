@@ -572,3 +572,44 @@ def test_versioned_publish_gc_aba_guard(tmp_path):
     V._publish_version(tbl, 999, "retried")
     assert V.current_version(tbl) == 999
     assert V.version_history(tbl)[-1]["description"] == "retried"
+
+
+def test_versioned_compact_squashes_delta_chain(spark, tmp_path):
+    """A linear delta chain pins all its ancestors (vacuum keeps
+    transitive bases), so reads fan into one dir per ingest forever.
+    compact() commits the current content as a base-less snapshot:
+    content identical, and the NEXT vacuum retires the entire old
+    chain because nothing kept depends on it anymore."""
+    import os
+
+    from omniengine_spark.sources import versioned as V
+
+    tbl = str(tmp_path / "tbl")
+    V.commit(spark.range(0, 5).toDF("id"), tbl, "base")
+    for i in range(3):
+        V.commit(
+            spark.range(5 + 2 * i, 7 + 2 * i).toDF("id"),
+            tbl,
+            f"delta{i}",
+            base_version=V.current_version(tbl),
+        )
+    full = set(range(11))
+    assert {
+        r["id"] for r in V.read_version(spark, tbl).collect()
+    } == full
+    # chain pinned: vacuum can retire nothing
+    assert V.vacuum(tbl, keep_last=1, orphan_ttl_s=0.0) == []
+
+    snap = V.compact(spark, tbl, "squash")
+    assert {
+        r["id"] for r in V.read_version(spark, tbl).collect()
+    } == full
+    assert "base" not in V.version_history(tbl)[-1]
+    # old chain now unpinned: one vacuum retires all four versions
+    retired = V.vacuum(tbl, keep_last=1, orphan_ttl_s=0.0)
+    assert sorted(retired) == [1, 2, 3, 4]
+    assert [e["version"] for e in V.version_history(tbl)] == [snap]
+    assert {
+        r["id"] for r in V.read_version(spark, tbl).collect()
+    } == full
+    assert not os.path.exists(os.path.join(tbl, "v=1"))

@@ -94,6 +94,7 @@ def measure_one(name: str, small: str, big: str, runs: int) -> dict:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     def run(sf_dir: str) -> float:
+        spark.catalog.clearCache()  # no cross-run persist() reuse
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
         df.select(
@@ -190,6 +191,7 @@ def main() -> None:
     def run(name: str, sf_dir: str) -> float:
         # build INSIDE the timer: iterative plans (connected
         # components) execute jobs eagerly during construction
+        spark.catalog.clearCache()  # no cross-run persist() reuse
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
         df.select(

@@ -102,6 +102,11 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     def run(name: str, sf_dir: str) -> tuple[float, dict]:
+        # drop caches a previous run of the same plan left behind
+        # (persist()-based plans hit CacheManager plan-matching, so a
+        # warm-up run would hand the measured run a hot edge cache on
+        # the small rung only — inflating the exponent)
+        spark.catalog.clearCache()
         seen = set(stage_metrics(ui, app))
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
