@@ -180,6 +180,7 @@ def main() -> None:
             if t_oneshot > t_query
             else None
         ),
+        "speedup_per_batch": round(t_oneshot / t_query, 1),
     }
     Path(args.out).write_text(json.dumps(out, indent=1))
     print(json.dumps(out, indent=1))
