@@ -18,13 +18,55 @@ sys.path.insert(0, str(_REPO))
 NODES = {
     "shuffles": r"Exchange hashpartitioning|Exchange rangepartitioning",
     "broadcasts": r"BroadcastExchange",
-    "sorts": r"^\s*\*?\(?\d*\)?\s*Sort ",
+    "sorts": r"\bSort \[",
     "smj": r"SortMergeJoin",
     "bhj": r"BroadcastHashJoin",
     "python": r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas",
     "agg": r"HashAggregate|ObjectHashAggregate|SortAggregate",
     "topk": r"TakeOrderedAndProject",
 }
+
+
+
+
+def _census_lines(plan: str) -> list[str]:
+    """Plan lines with persist()-cache reprints collapsed: every
+    InMemoryTableScan prints the full cached subtree (re-aliased per
+    reference, so naive counting multiplies a once-materialized build
+    by its reference count).  Subtrees under InMemoryRelation are cut
+    from the main walk and re-added ONCE per distinct cached plan
+    (distinct = subtree text with expression/plan ids normalized)."""
+    main, subtrees = [], {}
+    cur, skip_depth = None, None
+
+    def _flush():
+        nonlocal cur, skip_depth
+        if cur is not None:
+            # normalize expression/plan ids AND tree-prefix glyphs
+            # (the same subtree prints with different ':'/' ' rails
+            # at each reference position)
+            key = "\n".join(
+                re.sub(
+                    r"#\d+|plan_id=\d+", "#",
+                    re.sub(r"^[\s:+-]*", "", ln),
+                )
+                for ln in cur
+            )
+            subtrees.setdefault(key, cur)
+        cur, skip_depth = None, None
+
+    for ln in plan.splitlines():
+        depth = len(re.match(r"^[\s:+-]*", ln).group(0))
+        if skip_depth is not None:
+            if depth > skip_depth:
+                cur.append(ln)
+                continue
+            _flush()
+        if "InMemoryRelation" in ln:
+            skip_depth, cur = depth, []
+        main.append(ln)
+    _flush()
+    return main + [ln for t in subtrees.values() for ln in t]
 
 
 def main() -> None:
@@ -58,7 +100,7 @@ def main() -> None:
         df = QUERIES[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         counts = {
-            k: len(re.findall(pat, plan, flags=re.M))
+            k: sum(1 for ln in _census_lines(plan) if re.search(pat, ln))
             for k, pat in NODES.items()
         }
         lines.append(
