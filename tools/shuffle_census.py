@@ -135,9 +135,13 @@ def main() -> None:
                 )
         print("ratchet fails:", fails)
         sys.exit(1 if fails else 0)
-    blob[sf_dir] = rows
+    # MERGE into the per-sf record (a partial run must not wipe the
+    # rows of plans it didn't execute); rows keep plan-name order
+    merged = {r["plan"]: r for r in blob.get(sf_dir, [])}
+    merged.update({r["plan"]: r for r in rows})
+    blob[sf_dir] = [merged[k] for k in sorted(merged)]
     out.write_text(json.dumps(blob, indent=1))
-    print(f"wrote {out} [{sf_dir}]")
+    print(f"wrote {out} [{sf_dir}] ({len(blob[sf_dir])} plans)")
 
 
 if __name__ == "__main__":
