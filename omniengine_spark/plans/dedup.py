@@ -673,3 +673,132 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "cluster", F.col("_d").isNull().alias("is_kept")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The crawl-pipeline operating loop as ONE gated artifact: documents
+# arrive as a STREAM, every micro-batch ingests into the persisted
+# MinHash index (shard-proportional work + delta commits, so batch
+# N+1 dedups against corpus + batches 1..N), then maintenance
+# squashes the per-batch delta chains and retires them, and the
+# result is served from the compacted snapshot.  The streaming-side
+# idempotency is the real production story: the file-source
+# checkpoint replays only unprocessed batches after a crash, and
+# ``ingest_shard``'s per-tag / per-table commit idempotency makes the
+# replayed batch exactly-once — together they give end-to-end
+# exactly-once ingest with NO coordinator (reference analogue: the
+# seen-tx skip ``sql.py:382-384`` + the cron poll loop
+# ``omniEngine.py:109-232``, fused and made restartable).
+# ---------------------------------------------------------------------------
+_STREAM_MOD, _STREAM_REM = 4, 3
+_STREAM_BATCHES = 3
+
+
+@query(
+    "dedup_stream_ingest",
+    oracle=_SHINGLE_CTE
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    """,
+)
+def dedup_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed multi-batch index ingest + maintenance, gate-checked
+    end to end: corpus (doc_id % 4 ≠ 3) builds the persisted index
+    once; the remaining docs land as parquet files in an ``incoming``
+    feed dir and a Structured Streaming file source drains them one
+    file per micro-batch through ``foreachBatch`` →
+    ``minhash_index.ingest_shard`` (each batch a delta commit, so
+    later batches dedup against earlier ones); then
+    ``compact_index`` squashes each table's chain into one snapshot
+    and ``vacuum`` retires the per-batch versions.  The returned
+    pair set — read from the compacted, vacuumed snapshot — must
+    hash-match the one-shot all-pairs oracle over corpus∪stream,
+    which is exactly the invariant that makes the loop trustworthy:
+    no batch split, replay, or squash may change the answer.
+
+    Scale shape: each micro-batch pays shard-proportional work (the
+    only document scan is its own file; corpus shingles come from
+    the persisted table semi-joined to candidates), and compaction
+    is the periodic O(table) squash that bounds read fan-in — the
+    LSM rhythm a 100 TB ingest pipeline runs daily."""
+    import os
+
+    from omniengine_spark.operators import minhash_index as MI
+    from omniengine_spark.sources.sinks import (
+        dataset_fingerprint,
+        stable_scratch_dir,
+    )
+    from omniengine_spark.sources.versioned import (
+        read_version,
+        vacuum,
+        version_history,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    params = dict(
+        n=3, num_hashes=_INC_HASHES, band_rows=_INC_BAND_ROWS,
+        threshold=Fraction(4, 5),
+    )
+    fp = dataset_fingerprint(sf_dir, "documents.parquet")
+    root = stable_scratch_dir(f"minhash-stream-{fp}")
+    base_tag = f"minhash {_INC_HASHES}x{_INC_BAND_ROWS} stream-corpus {fp}"
+
+    if MI.latest_tag(root) is None:
+        corpus = docs.filter(
+            F.col("doc_id") % _STREAM_MOD != _STREAM_REM
+        )
+        MI.build_index(
+            spark, root, corpus, "doc_id", "text", tag=base_tag, **params
+        )
+
+    # the feed: stream docs written once as N files = N micro-batches
+    # (hash-split on doc_id, so batch composition is deterministic;
+    # the ANSWER is split-independent either way — a pair lands when
+    # its later member ingests, wherever the split put it)
+    incoming = f"{root}/incoming"
+    if not os.path.isdir(incoming):
+        (
+            docs.filter(F.col("doc_id") % _STREAM_MOD == _STREAM_REM)
+            .repartition(_STREAM_BATCHES, "doc_id")
+            .write.mode("overwrite")
+            .parquet(incoming)
+        )
+
+    def _ingest(bdf: DataFrame, batch_id: int) -> None:
+        # a micro-batch arrives as ONE file = one input partition,
+        # which would serialize the 128-hash MinHash onto one core
+        # (measured 9-11 s/batch vs ~3 s fanned out at sf0.1); the
+        # signature work is order-free, so spread it first
+        spread = bdf.repartition(
+            bdf.sparkSession.sparkContext.defaultParallelism
+        )
+        MI.ingest_shard(
+            bdf.sparkSession, root, spread, "doc_id", "text",
+            tag=f"{base_tag} +batch{batch_id}", **params,
+        )
+
+    (
+        spark.readStream.schema(spark.read.parquet(incoming).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(incoming)
+        .writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", f"{root}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    # maintenance: squash the per-batch chains, retire old versions.
+    # Skipped on replay (a compacted table's history is one snapshot),
+    # so a re-run serves straight from the stored index.
+    ppath = MI.index_paths(root)[1]
+    if len(version_history(ppath)) > 1:
+        MI.compact_index(spark, root)
+        for path in MI.index_paths(root):
+            vacuum(path, keep_last=1)
+    return read_version(spark, ppath)

@@ -617,3 +617,52 @@ def test_ingest_verify_prunes_to_candidates(spark, tmp_path):
     assert "LeftSemi" in qe.optimizedPlan().toString()
     files = new_pairs.inputFiles()
     assert any(f"/{MI.SHINGLES}/" in f for f in files)
+
+
+def test_dedup_stream_ingest_plan(spark):
+    """The gated streaming lifecycle plan: micro-batch ingests equal
+    the one-shot dedup over corpus∪stream, maintenance really ran
+    (the per-batch delta versions are retired, the served table is
+    one compacted snapshot), and a replay serves straight from the
+    stored index without committing anything new."""
+    from fractions import Fraction
+
+    from omniengine_spark.operators import dedup as D
+    from omniengine_spark.operators import minhash_index as MI
+    from omniengine_spark.plans.registry import QUERIES
+    from omniengine_spark.sources import load_table
+    from omniengine_spark.sources import versioned as V
+    from omniengine_spark.sources.sinks import (
+        dataset_fingerprint,
+        stable_scratch_dir,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    result = QUERIES["dedup_stream_ingest"](spark, sf)
+    docs = load_table(spark, sf, "documents")
+    one_shot = D.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        n=3, num_hashes=128, band_rows=4, threshold=Fraction(4, 5),
+    )
+    pairs = _pair_set(result)
+    assert pairs == _pair_set(one_shot)
+    # non-vacuous: some surviving pair touches the streamed docs
+    assert any(a % 4 == 3 or b % 4 == 3 for a, b, _ in pairs)
+
+    # maintenance ran: one compacted snapshot serves; the retired
+    # audit trail shows the corpus build plus >=2 stream batches
+    fp = dataset_fingerprint(sf, "documents.parquet")
+    root = stable_scratch_dir(f"minhash-stream-{fp}")
+    ppath = MI.index_paths(root)[1]
+    assert len(V.version_history(ppath)) == 1
+    retired = [
+        e["description"]
+        for e in V._load_manifest(ppath).get("retired", [])
+    ]
+    assert sum("+batch" in d for d in retired) >= 2, retired
+
+    # replay: checkpoint finds no new files, compaction is skipped,
+    # the stored snapshot is served unchanged
+    replay = QUERIES["dedup_stream_ingest"](spark, sf)
+    assert _pair_set(replay) == pairs
+    assert len(V.version_history(ppath)) == 1
