@@ -60,6 +60,7 @@ from omniengine_spark.operators.dedup import (
     minhash_band_entries,
 )
 from omniengine_spark.sources.versioned import (
+    DeltaConflictError,
     commit,
     current_version,
     read_version,
@@ -71,6 +72,10 @@ from omniengine_spark.sources.versioned import (
 # make the hint safe to gate on); bigger shards fall back to the
 # shuffle join — still shard-proportional, just not map-side
 _BROADCAST_BYTES = 64 << 20
+# conflict-retries per ingest: each retry means another writer landed
+# a commit between our tip read and publish — bounded only to turn a
+# livelock (pathological contention) into an error instead of a hang
+_MAX_CONFLICT_RETRIES = 16
 
 ENTRIES, PAIRS, SHINGLES = "band_entries", "pairs", "shingles"
 
@@ -103,14 +108,20 @@ def build_index(
 ) -> None:
     """Corpus-ingest day: shingle + sign the corpus ONCE, self-dedup
     it, and persist all three index tables as version 1.  The one
-    full-corpus scan the lifecycle ever performs."""
+    full-corpus scan the lifecycle ever performs.
+
+    Shingles commit BEFORE entries — the visibility invariant every
+    writer keeps (see ``ingest_shard``): a doc whose band entries are
+    visible always has its shingle set visible, so a concurrent
+    ingester's verify stage (which reads the shingles TIP) can never
+    meet a candidate it cannot verify."""
     entries = minhash_band_entries(
         corpus, id_col, text_col, n, num_hashes, band_rows
     )
     shingles = hashed_shingle_docs(corpus, id_col, text_col, n)
     epath, ppath, spath = index_paths(root)
-    commit(entries, epath, tag)
     commit(shingles, spath, tag)
+    commit(entries, epath, tag)
     pairs = _verify_jaccard(
         band_candidates(
             read_version(spark, epath),
@@ -153,57 +164,72 @@ def _commit_shard_frames(
     num_hashes: int,
     band_rows: int,
     tag: str,
-) -> tuple[DataFrame, DataFrame, int, int]:
-    """Compute the shard's band entries + shingle sets ONCE, commit
-    them as delta versions, and hand back (entries, shingles,
-    base_entries_version, base_shingles_version) with the shard
-    frames re-read from their just-written delta dirs: parquet-backed
-    frames carry accurate size stats, so the band join and verify
-    semi-join can broadcast a small shard instead of shuffling the
-    corpus index.  Idempotent per table: a crash-retry whose tag
-    already heads a table's history reuses that delta instead of
-    committing a duplicate."""
+) -> tuple[DataFrame, int]:
+    """Compute the shard's shingle sets + band entries ONCE, commit
+    them as delta versions (shingles FIRST — the visibility invariant
+    concurrent ingest relies on), and hand back (entries,
+    base_entries_version) with the entries frame re-read from its
+    just-written delta dir: parquet-backed frames carry accurate size
+    stats, so the band join and verify semi-join can broadcast a
+    small shard instead of shuffling the corpus index.  Idempotent
+    per table: if this tag's delta already exists ANYWHERE in the
+    table's history (a crash-retry, or a conflict-retry after a
+    concurrent writer moved the tip) it is reused, never duplicated."""
     epath, _, spath = index_paths(root)
 
     def _delta(path: str, frame_fn) -> tuple[DataFrame, int]:
-        hist = version_history(path)
-        if hist and hist[-1]["description"] == tag:
-            ver, base = hist[-1]["version"], hist[-1]["base"]
+        mine = next(
+            (
+                e
+                for e in version_history(path)
+                if e["description"] == tag
+            ),
+            None,
+        )
+        if mine is not None:
+            ver, base = mine["version"], mine["base"]
         else:
             base = current_version(path)
             ver = commit(frame_fn(), path, tag, base_version=base)
         return spark.read.parquet(f"{path}/v={ver}"), base
 
+    _delta(
+        spath,
+        lambda: hashed_shingle_docs(shard, id_col, text_col, n),
+    )
     entries_pq, base_e = _delta(
         epath,
         lambda: minhash_band_entries(
             shard, id_col, text_col, n, num_hashes, band_rows
         ),
     )
-    shingles_pq, base_s = _delta(
-        spath,
-        lambda: hashed_shingle_docs(shard, id_col, text_col, n),
-    )
-    return entries_pq, shingles_pq, base_e, base_s
+    return entries_pq, base_e
 
 
 def _ingest_plan(
     spark: SparkSession,
     root: str,
     shard_entries: DataFrame,
-    shard_shingles: DataFrame,
     base_entries: int,
-    base_shingles: int,
     threshold: Fraction,
 ) -> tuple[DataFrame, DataFrame]:
     """The lazy shard-vs-corpus pipeline over ALREADY-COMMITTED shard
     deltas: (verify_docs, new_pairs).  Exposed separately so tests
     can assert the exact production plan shape — in particular that
     ``verify_docs`` is the persisted shingle table semi-joined to
-    candidate ids, never a corpus re-shingle."""
+    candidate ids, never a corpus re-shingle.
+
+    The band join reads entries at THIS shard's delta base (everything
+    committed before us — candidates against later concurrent shards
+    are those writers' responsibility, so no pair is emitted twice);
+    the verify reads the shingles TIP, which by the shingles-before-
+    entries commit order is a superset of every doc visible in any
+    entries chain — including this shard's own sets, so no union with
+    the shard frame is needed (doc ids are committed once, keeping
+    the verify input duplicate-free)."""
     epath, _, spath = index_paths(root)
     stored_entries = read_version(spark, epath, base_entries)
-    stored_shingles = read_version(spark, spath, base_shingles)
+    all_shingles = read_version(spark, spath)
     e_files = shard_entries.inputFiles()
     small_e = (
         _maybe_broadcast(shard_entries, e_files[0].rsplit("/", 1)[0])
@@ -222,17 +248,14 @@ def _ingest_plan(
         .distinct()
     )
     # exact-verify reads shingle sets ONLY for candidate-touched docs:
-    # stored sets from the persisted index semi-joined to the (tiny,
-    # broadcast) candidate id set, shard sets from the committed
-    # delta — the raw corpus documents are never touched
+    # the persisted index semi-joined to the (tiny, broadcast)
+    # candidate id set — the raw corpus documents are never touched
     cand_ids = F.broadcast(
         cand.select(
             F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
         ).distinct()
     )
-    verify_docs = stored_shingles.unionByName(shard_shingles).join(
-        cand_ids, "doc_id", "left_semi"
-    )
+    verify_docs = all_shingles.join(cand_ids, "doc_id", "left_semi")
     new_pairs = _verify_jaccard(cand, verify_docs, threshold)
     return verify_docs, new_pairs
 
@@ -254,22 +277,45 @@ def ingest_shard(
     back (delta versions of all three tables — shard-sized writes,
     no table rewrite), and return the complete post-ingest pair set
     read from the committed snapshot.  Idempotent per ``tag``: a
-    replay whose tag is already the newest committed state returns
-    the stored pairs without recomputing or re-committing, and a
-    crash-retry reuses whichever per-table deltas already landed."""
-    epath, ppath, spath = index_paths(root)
-    if latest_tag(root) == tag:
-        return read_version(spark, ppath)
+    replay whose tag is already committed returns the stored pairs
+    without recomputing or re-committing, and a crash-retry reuses
+    whichever per-table deltas already landed.
 
-    entries_pq, shingles_pq, base_e, base_s = _commit_shard_frames(
-        spark, root, shard, id_col, text_col,
-        n=n, num_hashes=num_hashes, band_rows=band_rows, tag=tag,
-    )
-    _, new_pairs = _ingest_plan(
-        spark, root, entries_pq, shingles_pq, base_e, base_s, threshold
-    )
-    commit(new_pairs, ppath, tag, base_version=current_version(ppath))
-    return read_version(spark, ppath)
+    CONCURRENT-WRITER SAFE: delta commits are optimistic
+    (``versioned.DeltaConflictError`` when another ingest moved a
+    table's tip); on conflict the loop re-reads the new tip and
+    re-ingests against it, so racing shards serialize per table and
+    the later committer on the entries chain finds the cross-shard
+    pairs.  Correctness under any interleaving rests on two
+    invariants kept here and in ``build_index``: (1) a shard's
+    shingles commit before its entries, so every entries-visible doc
+    is verifiable; (2) the band join targets everything before THIS
+    shard on the entries chain, so each cross pair is found exactly
+    once — by whichever shard committed entries later."""
+    epath, ppath, spath = index_paths(root)
+    last_err: Exception | None = None
+    for _ in range(_MAX_CONFLICT_RETRIES):
+        if any(
+            e["description"] == tag for e in version_history(ppath)
+        ):
+            return read_version(spark, ppath)
+        try:
+            entries_pq, base_e = _commit_shard_frames(
+                spark, root, shard, id_col, text_col,
+                n=n, num_hashes=num_hashes, band_rows=band_rows,
+                tag=tag,
+            )
+            _, new_pairs = _ingest_plan(
+                spark, root, entries_pq, base_e, threshold
+            )
+            commit(
+                new_pairs, ppath, tag,
+                base_version=current_version(ppath),
+            )
+            return read_version(spark, ppath)
+        except DeltaConflictError as err:
+            last_err = err
+    raise last_err
 
 
 def compact_index(spark: SparkSession, root: str) -> None:

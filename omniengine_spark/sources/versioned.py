@@ -74,6 +74,21 @@ _KEEP_MANIFESTS = 8
 _TMP_COUNTER = itertools.count()
 
 
+class DeltaConflictError(RuntimeError):
+    """A delta commit's base is no longer the table tip.
+
+    Two writers that both read tip V and commit deltas on it would
+    otherwise FORK the chain: versions V+1 (base V) and V+2 (base V)
+    both publish, readers resolve the highest, and V+1's rows silently
+    vanish from the current content — data loss without an error.
+    Snapshot commits are last-writer-wins by design (each carries its
+    full content); delta commits are NOT, so they get the lakehouse
+    optimistic-concurrency rule: publish succeeds only if the base is
+    still the tip, else this error.  Recovery is re-read the tip,
+    recompute the delta against it, commit again — see
+    ``minhash_index.ingest_shard``'s retry loop."""
+
+
 def _manifest_log(path: str) -> list[tuple[int, Path]]:
     """(seq, file) pairs of the manifest log, ascending by seq."""
     out = []
@@ -207,6 +222,20 @@ def _publish_version(
         manifest, seq = _load_manifest_seq(path)
         if any(e["version"] == version for e in manifest["versions"]):
             return  # already published (idempotent under retry)
+        if (
+            base_version is not None
+            and manifest["current"] != base_version
+        ):
+            # optimistic concurrency for deltas: a concurrent commit
+            # moved the tip past our base — publishing would fork the
+            # chain and silently drop the other writer's rows from
+            # the current content.  Fail loudly; the claimed data dir
+            # becomes a vacuum-able orphan.
+            raise DeltaConflictError(
+                f"delta base v{base_version} is no longer the tip of"
+                f" {path} (current v{manifest['current']}):"
+                " recompute against the new tip and re-commit"
+            )
         manifest["current"] = max(manifest["current"], version)
         manifest["versions"] = sorted(
             manifest["versions"] + [entry],
@@ -238,7 +267,18 @@ def commit(
     only the new rows, and both read back through the same
     ``read_version``.  Deltas are append-only by construction (a
     version dir is immutable); row deletion still requires a snapshot
-    rewrite, the honest cost of parquet-level versioning."""
+    rewrite, the honest cost of parquet-level versioning.
+
+    Delta commits are OPTIMISTICALLY CONCURRENT: the publish succeeds
+    only if ``base_version`` is still the table tip at CAS time, else
+    ``DeltaConflictError`` — without this, two writers sharing a base
+    would fork the chain and the loser's rows would silently vanish
+    from the current content.  On conflict the claimed data dir
+    becomes an orphan (age-gated ``vacuum`` sweep retires it); the
+    caller re-reads the tip, recomputes against it, and re-commits
+    (``minhash_index.ingest_shard`` shows the retry loop).  Snapshot
+    commits (no base) stay last-writer-wins: each carries its full
+    content, so concurrent snapshots cannot lose rows."""
     Path(path).mkdir(parents=True, exist_ok=True)
     if base_version is not None:
         known = {e["version"] for e in _load_manifest(path)["versions"]}

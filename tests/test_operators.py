@@ -600,13 +600,12 @@ def test_ingest_verify_prunes_to_candidates(spark, tmp_path):
     MI.build_index(
         spark, root, corpus, "doc_id", "text", tag="base", **params
     )
-    entries_pq, shingles_pq, base_e, base_s = MI._commit_shard_frames(
+    entries_pq, base_e = MI._commit_shard_frames(
         spark, root, shard, "doc_id", "text",
         n=3, num_hashes=128, band_rows=4, tag="base +shard",
     )
     verify_docs, new_pairs = MI._ingest_plan(
-        spark, root, entries_pq, shingles_pq, base_e, base_s,
-        params["threshold"],
+        spark, root, entries_pq, base_e, params["threshold"],
     )
     # the verify input is candidate-pruned: a handful of docs, not
     # the corpus (band collisions at threshold 0.8 are rare)
@@ -666,3 +665,109 @@ def test_dedup_stream_ingest_plan(spark):
     replay = QUERIES["dedup_stream_ingest"](spark, sf)
     assert _pair_set(replay) == pairs
     assert len(V.version_history(ppath)) == 1
+
+
+def test_delta_conflict_retry_in_ingest(spark, tmp_path, monkeypatch):
+    """A concurrent writer moving a table's tip between an ingest's
+    base read and its publish must NOT fork the chain: the commit
+    raises DeltaConflictError and ingest_shard retries against the
+    new tip.  Simulated deterministically by handing the first
+    entries-delta commit a stale base."""
+    from fractions import Fraction
+
+    from omniengine_spark.operators import dedup as D
+    from omniengine_spark.operators import minhash_index as MI
+    from omniengine_spark.sources import load_table
+    from omniengine_spark.sources import versioned as V
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(~(F.col("doc_id") % 10).isin(7, 8))
+    shard_a = docs.filter(F.col("doc_id") % 10 == 7)
+    shard_b = docs.filter(F.col("doc_id") % 10 == 8)
+    root = str(tmp_path / "idx")
+    params = dict(
+        n=3, num_hashes=128, band_rows=4, threshold=Fraction(4, 5)
+    )
+    MI.build_index(
+        spark, root, corpus, "doc_id", "text", tag="base", **params
+    )
+    MI.ingest_shard(
+        spark, root, shard_a, "doc_id", "text", tag="base +A", **params
+    )
+
+    # B's first entries commit reads the pre-A tip (as if it raced A)
+    real = V.current_version
+    stale = {"armed": True}
+
+    def stale_once(path):
+        v = real(path)
+        if stale["armed"] and f"/{MI.ENTRIES}" in path:
+            stale["armed"] = False
+            return v - 1
+        return v
+
+    monkeypatch.setattr(MI, "current_version", stale_once)
+    after_b = MI.ingest_shard(
+        spark, root, shard_b, "doc_id", "text", tag="base +B", **params
+    )
+    assert not stale["armed"], "stale base was never consumed"
+    one_shot = D.minhash_lsh_pairs(docs, "doc_id", "text", **params)
+    assert _pair_set(after_b) == _pair_set(one_shot)
+    # the chain stayed linear: B's delta re-based onto A's tip
+    for path in MI.index_paths(root):
+        hist = V.version_history(path)
+        assert [e["description"] for e in hist] == [
+            "base", "base +A", "base +B",
+        ]
+        assert hist[2]["base"] == hist[1]["version"]
+
+
+def test_concurrent_shard_ingest_threads(spark, tmp_path):
+    """Two ingests racing for real (threads, same index root): the
+    optimistic delta commits serialize each table's chain, whichever
+    shard lands later on the entries chain finds the cross pairs, and
+    the final pair set equals the one-shot over corpus∪A∪B."""
+    from concurrent.futures import ThreadPoolExecutor
+    from fractions import Fraction
+
+    from omniengine_spark.operators import dedup as D
+    from omniengine_spark.operators import minhash_index as MI
+    from omniengine_spark.sources import load_table
+    from omniengine_spark.sources import versioned as V
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(~(F.col("doc_id") % 10).isin(7, 8))
+    shards = {
+        "base +A": docs.filter(F.col("doc_id") % 10 == 7),
+        "base +B": docs.filter(F.col("doc_id") % 10 == 8),
+    }
+    root = str(tmp_path / "idx")
+    params = dict(
+        n=3, num_hashes=128, band_rows=4, threshold=Fraction(4, 5)
+    )
+    MI.build_index(
+        spark, root, corpus, "doc_id", "text", tag="base", **params
+    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(
+                MI.ingest_shard, spark, root, shard, "doc_id",
+                "text", tag=tag, **params,
+            )
+            for tag, shard in shards.items()
+        ]
+        for f in futs:
+            f.result()
+
+    final = V.read_version(spark, MI.index_paths(root)[1])
+    one_shot = D.minhash_lsh_pairs(docs, "doc_id", "text", **params)
+    assert _pair_set(final) == _pair_set(one_shot)
+    # every table's chain is LINEAR (each delta based on the previous
+    # version) and contains both shards, in whatever order they won
+    for path in MI.index_paths(root):
+        hist = V.version_history(path)
+        assert {e["description"] for e in hist} == {
+            "base", "base +A", "base +B",
+        }
+        assert hist[1]["base"] == hist[0]["version"]
+        assert hist[2]["base"] == hist[1]["version"]

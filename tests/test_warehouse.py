@@ -613,3 +613,41 @@ def test_versioned_compact_squashes_delta_chain(spark, tmp_path):
         r["id"] for r in V.read_version(spark, tbl).collect()
     } == full
     assert not os.path.exists(os.path.join(tbl, "v=1"))
+
+
+def test_delta_commit_conflict_is_detected(spark, tmp_path):
+    """Optimistic concurrency for delta commits: a delta whose base is
+    no longer the tip must RAISE, not fork the chain (two deltas on
+    one base would silently drop the earlier one from the current
+    content).  Snapshots stay last-writer-wins."""
+    import pytest as _pytest
+
+    from omniengine_spark.sources import versioned as V
+
+    tbl = str(tmp_path / "tbl")
+    df = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id")
+    )
+    V.commit(df(0, 3), tbl, "snapshot")
+    stale_base = V.current_version(tbl)
+    V.commit(df(3, 6), tbl, "delta-1", base_version=stale_base)
+
+    # same base, second writer: conflict, manifest unchanged
+    before = V.version_history(tbl)
+    with _pytest.raises(V.DeltaConflictError):
+        V.commit(df(6, 9), tbl, "delta-2", base_version=stale_base)
+    assert V.version_history(tbl) == before
+
+    # recovery: recompute against the NEW tip and re-commit
+    V.commit(
+        df(6, 9), tbl, "delta-2", base_version=V.current_version(tbl)
+    )
+    assert {
+        r["id"] for r in V.read_version(spark, tbl).collect()
+    } == set(range(9))
+    # the conflicting attempt's claimed dir is an orphan the manifest
+    # never references; concurrent snapshot commits still don't raise
+    V.commit(df(0, 2), tbl, "snapshot-2")
+    assert {
+        r["id"] for r in V.read_version(spark, tbl).collect()
+    } == {0, 1}
