@@ -221,3 +221,64 @@ def s13b_corrupt_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_corrupt_record").alias("n_corrupt"),
         F.coalesce(F.sum("cents"), F.lit(0)).alias("good_cents"),
     )
+
+
+@query(
+    "s20_stats_skipping_scan",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+      AND CAST(ts AS DATE) <= DATE '2024-01-14'
+    GROUP BY day
+    """,
+)
+def s20_stats_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planning-time FILE skipping over the versioned warehouse (the
+    Delta/Iceberg data-skipping layer): the commit range-partitions
+    events by day into 16 files and scrapes per-file min/max footer
+    stats into the version's ``_stats.json``; the week-window read
+    then intersects the interval against the manifested ranges and
+    hands Spark ONLY the surviving files — at 100 TB the listing and
+    footer phase itself shrinks, which partition pruning (dir names)
+    and row-group stats (post-open) cannot do.  Replaces the
+    reference's btree range indexes (``omni_db_schema.psql:101-117``,
+    e.g. the TxBlockNumber scans at ``sql.py:266-276``) at the file
+    level.  Skipping is advisory — the exact filter still runs, so
+    the result is stats-invariant; tests/test_warehouse.py asserts
+    the file count actually dropped."""
+    import datetime as dt
+
+    from omniengine_spark.sources.sinks import scratch_dir
+    from omniengine_spark.sources.versioned import commit, read_version
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_date("ts").alias("day"),
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    path = scratch_dir("warehouse-s20")
+    commit(
+        ev.repartitionByRange(16, "day"),
+        path,
+        "events book, day-ranged layout",
+        stats_cols=["day"],
+    )
+    lo, hi = dt.date(2024, 1, 8), dt.date(2024, 1, 14)
+    pruned = read_version(spark, path, prune={"day": (lo, hi)})
+    return (
+        pruned.filter(
+            (F.col("day") >= F.lit(lo)) & (F.col("day") <= F.lit(hi))
+        )
+        .groupBy(
+            F.date_format("day", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )

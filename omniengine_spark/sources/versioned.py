@@ -53,6 +53,8 @@ honest cost of snapshotting without a file-level manifest format.
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import itertools
 import json
 import os
@@ -178,6 +180,156 @@ def _publish_manifest(path: str, manifest: dict, expect_seq: int) -> bool:
     return won
 
 
+# ---------------------------------------------------------------------------
+# File-skipping stats (the Delta/Iceberg data-skipping layer).
+#
+# Z-order layout (operators.layout) clusters correlated columns into
+# few files, but vanilla Spark still OPENS every file and prunes only
+# row groups from footers at execution time.  At 100 TB the win is
+# planning-time FILE skipping: the commit records per-file min/max
+# from the parquet footers it just wrote into ``_stats.json`` INSIDE
+# the immutable version dir (so stats travel with the version, need
+# no CAS, and delta chains compose file-by-file), and a pruned read
+# intersects a column interval against the manifested ranges before
+# Spark ever lists or opens a file.  Footer scraping here is driver-
+# side (metadata-only reads, O(footer) per file — the Delta retrofit
+# path); on a cluster the same stats would ride the write tasks.
+# Pruning is strictly an optimization: files or dirs without stats
+# are always KEPT, so a pruned read can never drop data.
+# ---------------------------------------------------------------------------
+_STATS = "_stats.json"
+
+
+def _norm_stat(v):
+    """Normalize a footer statistic (or a prune bound) into a JSON-
+    safe, order-preserving value: ints stay ints (amounts are int64 —
+    float would mis-prune at 9.2e18), floats stay floats, Decimal →
+    float (callers widen at the boundary), date → ordinal day,
+    datetime → epoch seconds float, str → str.  Returns None for
+    types we refuse to order (bytes, nested) — the file is kept."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, _decimal.Decimal):
+        return float(v)
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return v.timestamp()
+    if isinstance(v, _dt.date):
+        return v.toordinal()
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def _scrape_stats(version_dir: Path, cols: list[str]) -> dict:
+    """Per-file min/max for ``cols`` from the parquet footers under
+    ``version_dir`` (recursive — partitionBy layouts nest).  Footer
+    metadata-only reads: no data pages are touched."""
+    import pyarrow.parquet as pq
+
+    files: dict[str, dict] = {}
+    for p in sorted(version_dir.rglob("*.parquet")):
+        md = pq.ParquetFile(p).metadata
+        names = [
+            md.schema.column(j).path for j in range(md.num_columns)
+        ]
+        per_col: dict[str, list] = {}
+        for col in cols:
+            if col not in names:
+                continue  # partition col or absent: no footer stats
+            j = names.index(col)
+            lo = hi = None
+            ok = True
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(j).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = _norm_stat(st.min), _norm_stat(st.max)
+                if mn is None or mx is None:
+                    ok = False
+                    break
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            if ok and lo is not None:
+                per_col[col] = [lo, hi]
+        if per_col:
+            files[str(p.relative_to(version_dir))] = per_col
+    return {"cols": cols, "files": files}
+
+
+def _widen(lo, hi):
+    """Decimal/timestamp stats pass through float: widen the file
+    interval by a relative epsilon so a boundary row can never be
+    wrongly skipped (ints and strings pass through exact)."""
+    if isinstance(lo, float):
+        eps = abs(lo) * 1e-9 + 1e-9
+        lo = lo - eps
+    if isinstance(hi, float):
+        eps = abs(hi) * 1e-9 + 1e-9
+        hi = hi + eps
+    return lo, hi
+
+
+def pruned_files(
+    path: str,
+    prune: dict[str, tuple],
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Planning-time file skipping: (kept parquet file paths, total
+    file count) for a version's content under interval predicates
+    ``{col: (lo, hi)}`` (closed; ``None`` = unbounded side).  A file
+    is kept unless SOME predicate column has stats proving the file's
+    range misses the query interval — missing stats always keep."""
+    manifest = _load_manifest(path)
+    v = manifest["current"] if version is None else version
+    kept: list[str] = []
+    total = 0
+    bounds = {
+        c: (_norm_stat(lo), _norm_stat(hi))
+        for c, (lo, hi) in prune.items()
+    }
+    for d in _version_dirs(path, manifest, v):
+        ddir = Path(d)
+        stats = {}
+        sp = ddir / _STATS
+        if sp.exists():
+            try:
+                stats = json.loads(sp.read_text())["files"]
+            except (OSError, json.JSONDecodeError, KeyError):
+                stats = {}
+        for p in sorted(ddir.rglob("*.parquet")):
+            total += 1
+            per_col = stats.get(str(p.relative_to(ddir)), {})
+            keep = True
+            for col, (qlo, qhi) in bounds.items():
+                if col not in per_col:
+                    continue
+                flo, fhi = _widen(*per_col[col])
+                # mixed domains (str stats vs numeric bound or vice
+                # versa): refuse to order, keep the file
+                if qlo is not None and isinstance(flo, str) != isinstance(qlo, str):
+                    continue
+                if qhi is not None and isinstance(fhi, str) != isinstance(qhi, str):
+                    continue
+                if (qlo is not None and fhi < qlo) or (
+                    qhi is not None and flo > qhi
+                ):
+                    keep = False
+                    break
+            if keep:
+                kept.append(str(p))
+    return kept, total
+
+
 def current_version(path: str) -> int:
     return _load_manifest(path)["current"]
 
@@ -251,6 +403,7 @@ def commit(
     description: str,
     partition_cols: list[str] | None = None,
     base_version: int | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as the table's next immutable version; returns the
     new version number.  The manifest-log CAS is the commit point.
@@ -294,6 +447,12 @@ def commit(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(str(final))
+    if stats_cols:
+        # inside the claimed (still-unpublished) dir: stats become
+        # part of the immutable version, atomically with its publish
+        (final / _STATS).write_text(
+            json.dumps(_scrape_stats(final, stats_cols))
+        )
     _publish_version(path, version, description, base_version)
     return version
 
@@ -314,16 +473,37 @@ def _version_dirs(path: str, manifest: dict, v: int) -> list[str]:
 
 
 def read_version(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    prune: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Snapshot read: the manifest's current version, or any retained
     historical version — reorg forensics as a first-class scan.  A
     delta version reads as the union of its base chain's data dirs
     (one multi-path parquet scan — Spark splits and prunes across the
-    dirs exactly as it would one dir)."""
+    dirs exactly as it would one dir).
+
+    ``prune={col: (lo, hi)}`` applies planning-time FILE skipping
+    against the commit-time stats manifest (see ``pruned_files``):
+    only files whose recorded [min,max] intersects every interval are
+    handed to Spark — at 100 TB this cuts the listing/footer phase
+    itself, which partition pruning and row-group stats cannot.  The
+    caller must still apply the actual filter (skipping is file-
+    granular); files without stats are always read."""
     manifest = _load_manifest(path)
     v = manifest["current"] if version is None else version
     dirs = _version_dirs(path, manifest, v)
+    if prune:
+        kept, _total = pruned_files(path, prune, version=v)
+        if not kept:
+            # every file skipped: preserve schema via an empty frame
+            return spark.read.option("basePath", path).parquet(
+                *dirs
+            ).drop("v").limit(0)
+        return spark.read.option("basePath", path).parquet(
+            *kept
+        ).drop("v")
     if len(dirs) == 1:
         return spark.read.parquet(dirs[0])
     # multi-dir chain: anchor partition discovery at the table root
@@ -420,6 +600,7 @@ def compact(
     path: str,
     description: str = "compaction",
     partition_cols: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Squash the current delta chain into one snapshot version.
 
@@ -443,5 +624,5 @@ def compact(
     Returns the snapshot's version number."""
     return commit(
         read_version(spark, path), path, description,
-        partition_cols=partition_cols,
+        partition_cols=partition_cols, stats_cols=stats_cols,
     )

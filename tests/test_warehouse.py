@@ -651,3 +651,94 @@ def test_delta_commit_conflict_is_detected(spark, tmp_path):
     assert {
         r["id"] for r in V.read_version(spark, tbl).collect()
     } == {0, 1}
+
+
+def test_stats_manifest_file_skipping(spark, tmp_path):
+    """Commit-time footer stats → planning-time file skipping: the
+    pruned read hands Spark strictly fewer files, the result (after
+    the exact filter) is identical to the full read, a predicate on a
+    column without stats keeps everything, and a window outside the
+    data's range yields a schema-stable empty frame."""
+    import datetime as dt
+    import json
+
+    from omniengine_spark.sources import versioned as V
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.date_add(
+            F.lit(dt.date(2024, 1, 1)), (F.col("id") % 30).cast("int")
+        ).alias("day"),
+        (F.col("id") * 7 % 100).alias("cents"),
+    )
+    V.commit(
+        df.repartitionByRange(10, "day"),
+        path,
+        "day-ranged",
+        stats_cols=["day"],
+    )
+    stats = json.loads((tmp_path / "tbl" / "v=1" / "_stats.json").read_text())
+    assert stats["cols"] == ["day"] and len(stats["files"]) == 10
+
+    lo, hi = dt.date(2024, 1, 10), dt.date(2024, 1, 12)
+    kept, total = V.pruned_files(path, {"day": (lo, hi)})
+    assert total == 10 and 0 < len(kept) < total
+
+    full = V.read_version(spark, path).filter(
+        (F.col("day") >= F.lit(lo)) & (F.col("day") <= F.lit(hi))
+    )
+    pruned = V.read_version(spark, path, prune={"day": (lo, hi)}).filter(
+        (F.col("day") >= F.lit(lo)) & (F.col("day") <= F.lit(hi))
+    )
+    assert _fingerprint(pruned) == _fingerprint(full)
+
+    # no stats for the column: advisory skipping keeps every file
+    kept_k, total_k = V.pruned_files(path, {"k": (0, 1)})
+    assert len(kept_k) == total_k
+
+    # fully out-of-range window: empty but schema-stable
+    empty = V.read_version(
+        spark, path, prune={"day": (dt.date(2030, 1, 1), None)}
+    )
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "day", "cents"}
+
+
+def test_stats_skipping_composes_with_delta_chain(spark, tmp_path):
+    """A delta commit carries its own ``_stats.json``; pruning walks
+    the whole base chain file-by-file, so a window that only the
+    delta's rows can satisfy reads the delta's files and skips the
+    base's — shard-cost reads over an incrementally grown table."""
+    import datetime as dt
+
+    from omniengine_spark.sources import versioned as V
+
+    path = str(tmp_path / "tbl")
+    mk = lambda d0, days, n: spark.range(n).select(  # noqa: E731
+        F.col("id").alias("k"),
+        F.date_add(
+            F.lit(d0), (F.col("id") % days).cast("int")
+        ).alias("day"),
+    )
+    v1 = V.commit(
+        mk(dt.date(2024, 1, 1), 10, 400).repartitionByRange(4, "day"),
+        path,
+        "base: january",
+        stats_cols=["day"],
+    )
+    V.commit(
+        mk(dt.date(2024, 2, 1), 5, 100).repartitionByRange(2, "day"),
+        path,
+        "delta: february shard",
+        base_version=v1,
+        stats_cols=["day"],
+    )
+    lo = dt.date(2024, 2, 1)
+    kept, total = V.pruned_files(path, {"day": (lo, None)})
+    assert total == 6 and len(kept) == 2
+    assert all("v=2" in f for f in kept)
+    got = V.read_version(spark, path, prune={"day": (lo, None)}).filter(
+        F.col("day") >= F.lit(lo)
+    )
+    assert got.count() == 100
