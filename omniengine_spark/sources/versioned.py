@@ -202,37 +202,79 @@ _STATS = "_stats.json"
 
 def _norm_stat(v):
     """Normalize a footer statistic (or a prune bound) into a JSON-
-    safe, order-preserving value: ints stay ints (amounts are int64 —
-    float would mis-prune at 9.2e18), floats stay floats, Decimal →
-    float (callers widen at the boundary), date → ordinal day,
-    datetime → epoch seconds float, str → str.  Returns None for
-    types we refuse to order (bytes, nested) — the file is kept."""
+    safe, order-preserving ``(value, domain)`` pair: ints stay ints
+    (amounts are int64 — float would mis-prune at 9.2e18), floats
+    stay floats, Decimal → float (callers widen at the boundary) —
+    all domain ``'num'``; date → ordinal day (domain ``'date'``),
+    datetime → epoch seconds (domain ``'ts'``), str → str (domain
+    ``'str'``).  Values only ever compare WITHIN a domain — a date
+    ordinal (~739000) and an epoch-seconds timestamp (~1.7e9) are
+    both plain numbers, and ordering them against each other would
+    deterministically skip every file (dropping all data) instead of
+    failing safe.  Returns ``(None, None)`` for types we refuse to
+    order (bytes, nested, bool) — the file is kept / the bound side
+    is unbounded."""
     if isinstance(v, bool) or v is None:
-        return None
+        return None, None
     if isinstance(v, (int, float)):
-        return v
+        return v, "num"
     if isinstance(v, _decimal.Decimal):
-        return float(v)
+        return float(v), "num"
     if isinstance(v, _dt.datetime):
         if v.tzinfo is None:
             v = v.replace(tzinfo=_dt.timezone.utc)
-        return v.timestamp()
+        return v.timestamp(), "ts"
     if isinstance(v, _dt.date):
-        return v.toordinal()
+        return v.toordinal(), "date"
     if isinstance(v, str):
-        return v
+        return v, "str"
     if isinstance(v, bytes):
         try:
-            return v.decode("utf-8")
+            return v.decode("utf-8"), "str"
         except UnicodeDecodeError:
-            return None
-    return None
+            return None, None
+    return None, None
+
+
+def _norm_bound(v, *, col: str, side: str):
+    """Normalize a USER-SUPPLIED prune bound.  Unlike footer stats
+    (where an un-orderable value silently keeps the file — the safe
+    direction), a bound the caller typed that normalizes to None
+    would silently disable pruning on that side with no signal, so
+    here it's a loud TypeError.  Naive datetimes additionally widen
+    OUTWARD by a full day: Spark interprets naive timestamp literals
+    in the session timezone while footer stats are UTC-normalized
+    epoch seconds, so a naive bound can be off by up to ±14 h — a
+    day's slack keeps boundary files un-skippable at the cost of at
+    most two extra files per chain (tz-aware datetimes stay exact)."""
+    if v is None:
+        return None, None
+    naive = isinstance(v, _dt.datetime) and v.tzinfo is None
+    nv, dom = _norm_stat(v)
+    if nv is None:
+        raise TypeError(
+            f"prune bound {side} for column {col!r} has un-orderable"
+            f" type {type(v).__name__}: pruning would be silently"
+            " disabled on that side — pass int/float/Decimal/str/"
+            "date/datetime or None"
+        )
+    if naive:
+        nv = nv - 86400.0 if side == "lo" else nv + 86400.0
+    return nv, dom
 
 
 def _scrape_stats(version_dir: Path, cols: list[str]) -> dict:
     """Per-file min/max for ``cols`` from the parquet footers under
     ``version_dir`` (recursive — partitionBy layouts nest).  Footer
-    metadata-only reads: no data pages are touched."""
+    metadata-only reads: no data pages are touched.
+
+    The manifest records EVERY parquet file in the dir — files
+    without usable stats carry an empty column map — and sets
+    ``"complete": true``, so a pruned read can enumerate the dir's
+    files from this one JSON instead of re-walking the filesystem:
+    at 100 TB the O(files) listing is itself the planning cost worth
+    skipping.  Each stat is ``[lo, hi, domain]`` (see ``_norm_stat``)
+    so prune bounds only ever compare within their value domain."""
     import pyarrow.parquet as pq
 
     files: dict[str, dict] = {}
@@ -247,23 +289,27 @@ def _scrape_stats(version_dir: Path, cols: list[str]) -> dict:
                 continue  # partition col or absent: no footer stats
             j = names.index(col)
             lo = hi = None
+            dom = None
             ok = True
             for g in range(md.num_row_groups):
                 st = md.row_group(g).column(j).statistics
                 if st is None or not st.has_min_max:
                     ok = False
                     break
-                mn, mx = _norm_stat(st.min), _norm_stat(st.max)
+                (mn, dmn), (mx, _dmx) = (
+                    _norm_stat(st.min),
+                    _norm_stat(st.max),
+                )
                 if mn is None or mx is None:
                     ok = False
                     break
+                dom = dmn
                 lo = mn if lo is None else min(lo, mn)
                 hi = mx if hi is None else max(hi, mx)
             if ok and lo is not None:
-                per_col[col] = [lo, hi]
-        if per_col:
-            files[str(p.relative_to(version_dir))] = per_col
-    return {"cols": cols, "files": files}
+                per_col[col] = [lo, hi, dom]
+        files[str(p.relative_to(version_dir))] = per_col
+    return {"cols": cols, "files": files, "complete": True}
 
 
 def _widen(lo, hi):
@@ -288,45 +334,75 @@ def pruned_files(
     file count) for a version's content under interval predicates
     ``{col: (lo, hi)}`` (closed; ``None`` = unbounded side).  A file
     is kept unless SOME predicate column has stats proving the file's
-    range misses the query interval — missing stats always keep."""
+    range misses the query interval — missing stats always keep, and
+    a bound is only ever compared against a stat of the SAME value
+    domain (a date-ordinal stat never orders against an epoch-seconds
+    bound; the file is kept instead).  A non-None bound of an
+    un-orderable type is a TypeError — that's a caller mistake, not a
+    footer gap, and silently treating it as unbounded would disable
+    pruning with no signal.
+
+    When a dir's ``_stats.json`` was written by a ``complete``-aware
+    commit, its file list IS the dir listing — no filesystem walk;
+    only legacy stats dirs (or dirs committed without ``stats_cols``)
+    fall back to an ``rglob``."""
     manifest = _load_manifest(path)
     v = manifest["current"] if version is None else version
     kept: list[str] = []
     total = 0
     bounds = {
-        c: (_norm_stat(lo), _norm_stat(hi))
+        c: (
+            _norm_bound(lo, col=c, side="lo"),
+            _norm_bound(hi, col=c, side="hi"),
+        )
         for c, (lo, hi) in prune.items()
     }
     for d in _version_dirs(path, manifest, v):
         ddir = Path(d)
-        stats = {}
+        stats: dict = {}
+        complete = False
         sp = ddir / _STATS
         if sp.exists():
             try:
-                stats = json.loads(sp.read_text())["files"]
+                blob = json.loads(sp.read_text())
+                stats = blob["files"]
+                complete = bool(blob.get("complete"))
             except (OSError, json.JSONDecodeError, KeyError):
                 stats = {}
-        for p in sorted(ddir.rglob("*.parquet")):
+        if complete:
+            rels = sorted(stats)
+        else:
+            rels = [
+                str(p.relative_to(ddir))
+                for p in sorted(ddir.rglob("*.parquet"))
+            ]
+        for rel in rels:
             total += 1
-            per_col = stats.get(str(p.relative_to(ddir)), {})
+            per_col = stats.get(rel, {})
             keep = True
-            for col, (qlo, qhi) in bounds.items():
+            for col, ((qlo, dlo), (qhi, dhi)) in bounds.items():
                 if col not in per_col:
                     continue
-                flo, fhi = _widen(*per_col[col])
-                # mixed domains (str stats vs numeric bound or vice
-                # versa): refuse to order, keep the file
-                if qlo is not None and isinstance(flo, str) != isinstance(qlo, str):
+                entry = per_col[col]
+                # legacy 2-element stats carry no domain tag: infer
+                # str-vs-num only (the pre-domain behavior), which
+                # means legacy date/ts stats never prune against a
+                # typed bound — safe direction
+                fdom = entry[2] if len(entry) > 2 else (
+                    "str" if isinstance(entry[0], str) else None
+                )
+                if qlo is not None and dlo != fdom:
                     continue
-                if qhi is not None and isinstance(fhi, str) != isinstance(qhi, str):
+                if qhi is not None and dhi != fdom:
                     continue
+                flo, fhi = _widen(entry[0], entry[1])
                 if (qlo is not None and fhi < qlo) or (
                     qhi is not None and flo > qhi
                 ):
                     keep = False
                     break
             if keep:
-                kept.append(str(p))
+                kept.append(str(ddir / rel))
     return kept, total
 
 
@@ -487,9 +563,12 @@ def read_version(
     ``prune={col: (lo, hi)}`` applies planning-time FILE skipping
     against the commit-time stats manifest (see ``pruned_files``):
     only files whose recorded [min,max] intersects every interval are
-    handed to Spark — at 100 TB this cuts the listing/footer phase
-    itself, which partition pruning and row-group stats cannot.  The
-    caller must still apply the actual filter (skipping is file-
+    handed to Spark.  For stats-committed dirs the manifest carries
+    the complete file list, so the driver-side directory walk is
+    skipped too — at 100 TB the O(files) listing is itself a
+    planning-phase cost that partition pruning and row-group stats
+    cannot avoid (dirs committed without ``stats_cols`` still list).
+    The caller must still apply the actual filter (skipping is file-
     granular); files without stats are always read."""
     manifest = _load_manifest(path)
     v = manifest["current"] if version is None else version

@@ -589,6 +589,8 @@ def socket_event_counts(
             # before the tail arrived — poll until the sink holds
             # exactly the served row count
             deadline = time.monotonic() + 90
+            got = -1  # keep the timeout message raisable even if the
+            # deadline elapses before the first poll completes
             while time.monotonic() < deadline:
                 q.processAllAvailable()
                 got = (

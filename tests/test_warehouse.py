@@ -705,6 +705,91 @@ def test_stats_manifest_file_skipping(spark, tmp_path):
     assert set(empty.columns) == {"k", "day", "cents"}
 
 
+def test_stats_pruning_domains_and_bound_validation(spark, tmp_path):
+    """Round-10 pruning hardening: (a) the stats manifest tags each
+    stat's value domain and a bound only ever orders against a stat
+    of the same domain — a date bound against an epoch-seconds
+    TIMESTAMP stat keeps every file instead of silently skipping all
+    of them (date ordinals ~739000 < any epoch seconds ~1.7e9);
+    (b) a non-None bound of an un-orderable type raises instead of
+    silently disabling pruning; (c) naive-datetime bounds widen by a
+    day so session-timezone skew can't wrongly skip boundary files;
+    (d) the manifest records the COMPLETE file list so a pruned read
+    never walks the filesystem for a stats-committed dir."""
+    import datetime as dt
+    import json
+
+    import pytest
+
+    from omniengine_spark.sources import versioned as V
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(600).select(
+        F.col("id").alias("k"),
+        (
+            F.lit(dt.datetime(2024, 1, 1))
+            + F.make_interval(days=(F.col("id") % 30).cast("int"))
+        ).alias("ts"),
+    )
+    V.commit(
+        df.repartitionByRange(6, "ts"), path, "ts-ranged",
+        stats_cols=["ts", "k"],
+    )
+    stats = json.loads((tmp_path / "tbl" / "v=1" / "_stats.json").read_text())
+    assert stats["complete"] is True and len(stats["files"]) == 6
+    # every stat carries its domain tag
+    assert all(
+        e["ts"][2] == "ts" and e["k"][2] == "num"
+        for e in stats["files"].values()
+    )
+
+    # (a) date bounds vs ts stats: cross-domain → keep everything
+    kept, total = V.pruned_files(
+        path, {"ts": (dt.date(2024, 1, 10), dt.date(2024, 1, 12))}
+    )
+    assert total == 6 and len(kept) == 6
+
+    # tz-aware datetime bounds prune exactly
+    lo = dt.datetime(2024, 1, 10, tzinfo=dt.timezone.utc)
+    hi = dt.datetime(2024, 1, 12, tzinfo=dt.timezone.utc)
+    kept_ts, _ = V.pruned_files(path, {"ts": (lo, hi)})
+    assert 0 < len(kept_ts) < 6
+    pruned = V.read_version(spark, path, prune={"ts": (lo, hi)}).filter(
+        F.col("ts").between(
+            F.lit(dt.datetime(2024, 1, 10)), F.lit(dt.datetime(2024, 1, 12))
+        )
+    )
+    full = V.read_version(spark, path).filter(
+        F.col("ts").between(
+            F.lit(dt.datetime(2024, 1, 10)), F.lit(dt.datetime(2024, 1, 12))
+        )
+    )
+    assert _fingerprint(pruned) == _fingerprint(full)
+
+    # (c) naive bounds widen by a day each side: still prune (a 2-day
+    # window over 30 days of data), but keep strictly more than the
+    # exact tz-aware window when the day slack spans extra files
+    kept_naive, _ = V.pruned_files(
+        path,
+        {"ts": (dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 12))},
+    )
+    assert set(kept_ts) <= set(kept_naive) and len(kept_naive) < 6
+
+    # (b) un-orderable user bound is a loud error, not silent no-op
+    with pytest.raises(TypeError):
+        V.pruned_files(path, {"k": (True, None)})
+    with pytest.raises(TypeError):
+        V.pruned_files(path, {"k": ([1, 2], None)})
+
+    # (d) complete manifest is the listing: a parquet file dropped
+    # into the dir AFTER commit is invisible to pruned_files (the
+    # immutable-version contract — readers resolve manifested content)
+    stray = tmp_path / "tbl" / "v=1" / "stray.parquet"
+    spark.range(1).toPandas().to_parquet(stray)
+    kept2, total2 = V.pruned_files(path, {"k": (0, None)})
+    assert total2 == 6 and not any("stray" in f for f in kept2)
+
+
 def test_stats_skipping_composes_with_delta_chain(spark, tmp_path):
     """A delta commit carries its own ``_stats.json``; pruning walks
     the whole base chain file-by-file, so a window that only the
