@@ -282,3 +282,103 @@ def s20_stats_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("total_cents"),
         )
     )
+
+
+def _events_book(spark: SparkSession, sf_dir: str) -> str:
+    """The events table as a stats-committed versioned book, built
+    once per (process, dataset content) — the persisted artifact the
+    pruned domain plans serve from, exactly as the IVF index plans
+    persist theirs (``plans/similarity.py:_ivf_index_tables``).  Day-
+    ranged layout (16 range partitions on ts) so file min/max windows
+    are tight; ``stats_cols=["ts"]`` writes the skipping manifest."""
+    from omniengine_spark.sources.sinks import (
+        dataset_fingerprint,
+        stable_scratch_dir,
+    )
+    from omniengine_spark.sources.versioned import (
+        commit,
+        version_history,
+    )
+
+    fp = dataset_fingerprint(sf_dir, "events.parquet")
+    path = stable_scratch_dir(f"events-book-{fp}")
+    tag = f"events day-ranged fp={fp}"
+    hist = version_history(path)
+    if not (hist and hist[-1]["description"] == tag):
+        ev = load_table(spark, sf_dir, "events")
+        commit(
+            ev.repartitionByRange(16, "ts"),
+            path,
+            tag,
+            stats_cols=["ts"],
+        )
+    return path
+
+
+@query(
+    "j9b_trailing_24h_pruned",
+    # identical contract to j9_trailing_24h_purchase_volume — same
+    # anchor, same window, same aggregates — but served from the
+    # stats-committed versioned book through planning-time file
+    # skipping instead of a full scan.
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS mx FROM events)
+    SELECT
+      event_type,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        AS vol_24h,
+      COUNT(*) AS n_24h
+    FROM events, anchor
+    WHERE ts > anchor.mx - INTERVAL 1 DAY
+    GROUP BY event_type
+    """,
+)
+def j9b_trailing_24h_pruned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """J9/A6 through the data-skipping layer (the gated-domain wiring
+    of ``s20``'s mechanism): the trailing-24 h volume (reference
+    ``sql.py:888-890``) reads ONLY the files whose footer-stat ts
+    range can intersect the window.  The anchor itself comes from
+    planning-time metadata: ``stats_minmax`` folds the manifest's
+    per-file ranges into the global max(ts) with no file opens and
+    no Spark job — at 100 TB, scanning the table to learn which
+    files not to scan would defeat the skipping.  The exact filter
+    still runs (skipping is file-granular, advisory by contract), so
+    the result is stats-invariant; the plan-shape test asserts the
+    kept-file count actually dropped.  Replaces the reference's
+    TxBlockNumber btree range scans (``omni_db_schema.psql:241-251``,
+    ``sql.py:266,276,890``) at the file level."""
+    import datetime as dt
+
+    from omniengine_spark.sources.versioned import (
+        read_version,
+        stats_minmax,
+    )
+
+    path = _events_book(spark, sf_dir)
+    rng = stats_minmax(path, "ts")
+    if rng is None:  # cannot prove the range: anchor from data
+        anchor = (
+            read_version(spark, path)
+            .agg(F.max("ts"))
+            .collect()[0][0]
+        )
+        anchor = anchor.replace(tzinfo=dt.timezone.utc)
+    else:
+        anchor = rng[1]  # exact max(ts): footer stats are exact
+    window_lo = anchor - dt.timedelta(days=1)
+    pruned = read_version(spark, path, prune={"ts": (window_lo, None)})
+    return (
+        pruned.filter(
+            F.col("ts")
+            > F.lit(anchor.replace(tzinfo=None) - dt.timedelta(days=1))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("vol_24h"),
+            F.count(F.lit(1)).alias("n_24h"),
+        )
+    )

@@ -406,6 +406,64 @@ def pruned_files(
     return kept, total
 
 
+def _denorm_stat(v, dom):
+    """Inverse of ``_norm_stat`` for manifest values: back to the
+    Python type a caller can hand to ``pruned_files`` bounds."""
+    if dom == "ts":
+        return _dt.datetime.fromtimestamp(v, tz=_dt.timezone.utc)
+    if dom == "date":
+        return _dt.date.fromordinal(int(v))
+    return v
+
+
+def stats_minmax(
+    path: str, col: str, version: int | None = None
+) -> tuple | None:
+    """Global [min, max] of ``col`` across a version's content, read
+    from the commit-time stats manifests alone — pure planning-time
+    metadata: no file opens, no Spark job.  This is how an
+    incremental day-range plan finds its window anchor at 100 TB
+    (e.g. "the trailing 24 h" needs max(ts) — scanning the table to
+    learn which files NOT to scan would defeat the skipping).
+
+    Returns ``(lo, hi)`` denormalized to the stat's domain (datetime
+    values come back tz-aware UTC — exact against the UTC-normalized
+    footer stats), or ``None`` whenever the chain cannot PROVE the
+    range: a dir without a complete manifest, a file without stats
+    for the column, or mixed domains.  Callers must treat ``None`` as
+    "compute the anchor from data"."""
+    manifest = _load_manifest(path)
+    v = manifest["current"] if version is None else version
+    lo = hi = dom = None
+    for d in _version_dirs(path, manifest, v):
+        sp = Path(d) / _STATS
+        try:
+            blob = json.loads(sp.read_text())
+            stats = blob["files"]
+        except (OSError, json.JSONDecodeError, KeyError):
+            return None
+        if not bool(blob.get("complete")):
+            # legacy manifests may silently omit stat-less files, so
+            # they cannot prove full coverage of the dir
+            return None
+        for per_col in stats.values():
+            e = per_col.get(col)
+            if not e:
+                return None
+            edom = e[2] if len(e) > 2 else (
+                "str" if isinstance(e[0], str) else "num"
+            )
+            if dom is None:
+                dom = edom
+            elif edom != dom:
+                return None
+            lo = e[0] if lo is None else min(lo, e[0])
+            hi = e[1] if hi is None else max(hi, e[1])
+    if lo is None:
+        return None
+    return _denorm_stat(lo, dom), _denorm_stat(hi, dom)
+
+
 def current_version(path: str) -> int:
     return _load_manifest(path)["current"]
 

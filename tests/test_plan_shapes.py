@@ -313,6 +313,50 @@ def test_runtime_bloom_filter_reaches_probe_side(spark):
                 spark.conf.set(k, v)
 
 
+def test_j9b_pruned_plan_skips_files(spark):
+    """The gated-domain wiring of the data-skipping layer: the
+    trailing-24 h plan must (a) hash the same rows as its full-scan
+    twin j9 (stats-invariance — skipping is advisory), (b) actually
+    hand Spark FEWER files than the committed book holds, and (c)
+    resolve its anchor from the manifest, not a table scan — the scan
+    count of the executed plan's input files proves both."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from omniengine_spark.plans.filesource_plans import _events_book
+    from omniengine_spark.sources.versioned import (
+        pruned_files,
+        stats_minmax,
+    )
+
+    out = QUERIES["j9b_trailing_24h_pruned"](spark, SF_SMOKE)
+    full = QUERIES["j9_trailing_24h_purchase_volume"](spark, SF_SMOKE)
+
+    def fp(df):
+        cols = sorted(df.columns)
+        h = F.xxhash64(*[F.col(c).cast("string") for c in cols])
+        return tuple(
+            df.select(h.cast("decimal(38,0)").alias("h"))
+            .agg(F.sum("h"), F.count("h"))
+            .collect()[0]
+        )
+
+    assert fp(out) == fp(full)
+
+    path = _events_book(spark, SF_SMOKE)
+    rng = stats_minmax(path, "ts")
+    assert rng is not None  # anchor is planning-time metadata
+    kept, total = pruned_files(
+        path, {"ts": (rng[1] - dt.timedelta(days=1), None)}
+    )
+    assert 0 < len(kept) < total  # files actually skipped
+    # the executed plan reads exactly the kept files
+    assert sorted(out.inputFiles()) == sorted(
+        f"file://{k}" if not k.startswith("file:") else k for k in kept
+    )
+
+
 def test_shuffle_bytes_ratchet():
     """Data-movement ratchet: the bench-dominant plans must not grow
     their measured shuffle-write bytes past 1.5× the recorded census

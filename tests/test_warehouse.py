@@ -775,6 +775,14 @@ def test_stats_pruning_domains_and_bound_validation(spark, tmp_path):
     )
     assert set(kept_ts) <= set(kept_naive) and len(kept_naive) < 6
 
+    # planning-time global range: exact min/max with no Spark job
+    rng = V.stats_minmax(path, "ts")
+    assert rng == (
+        dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc),
+        dt.datetime(2024, 1, 30, tzinfo=dt.timezone.utc),
+    )
+    assert V.stats_minmax(path, "nope") is None
+
     # (b) un-orderable user bound is a loud error, not silent no-op
     with pytest.raises(TypeError):
         V.pruned_files(path, {"k": (True, None)})
