@@ -832,45 +832,22 @@ def _normalized(
     )
 
 
-def pq_seeded_topk(
+def pq_build_index(
     vectors: DataFrame,
-    queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    knn: int = 5,
     n_codewords: int = 16,
     m: int = 8,
     dim: int = 64,
-    shortlist: int = 100,
-    probes: DataFrame | None = None,
-    lists: DataFrame | None = None,
-) -> DataFrame:
-    """ADC top-k over data-seeded PQ codes with exact re-rank.
-
-    Pipeline: normalize → seed codebooks (md5-smallest ids'
-    subvectors) → per-subspace argmin encode (one narrow shuffle on
-    (vec_id, m)) → ADC via a broadcast lookup table
-    (|queries|·M·K partial dot products, computed once) joined to the
-    codes on (m, codeword) → per-query shortlist → exact cosine
-    re-rank of the shortlist only.  When ``probes``/``lists`` are
-    given ((query_id, cluster) / (vec_id, cluster)), the ADC scan is
-    restricted to probed coarse lists — the IVF-PQ composite.
-
-    This is the textbook asymmetric-distance layout: the scan reads
-    ONLY the M-codeword codes — raw vectors are touched exactly
-    twice, once to encode and once for the shortlist re-rank.  (An
-    earlier version reconstructed full-dimension vectors for the
-    scan, which forfeits PQ's memory advantage at scale.)  The
-    per-subspace partials are summed in fixed m order — one
-    conditional sum per subspace, each seeing exactly one row, added
-    as a left-to-right expression — so the score is bit-identical
-    across engines with no float-order ambiguity.
-
-    At scale: per-vector scan state is M small ints; the LUT is
-    |queries|·M·K rows (broadcast); the exact pass touches
-    |queries|·shortlist raw vectors.  All stages are codegen
-    DataFrame ops.
-    """
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The train-equivalent phase of seeded PQ, split out so it can
+    run (and persist) ONCE per corpus: normalize → seed codebooks
+    (md5-smallest ids' subvectors) → per-subspace argmin encode.
+    Returns ``(nv, seeds_sub, codes)`` — the index state
+    ``pq_seeded_topk(index=...)`` serves queries from without
+    re-encoding.  At scale this is the whole point of PQ: encoding is
+    an offline pass over the corpus, serving touches only the M-code
+    table plus a per-query LUT."""
     subdim = dim // m
     nv = _normalized(vectors, id_col, vec_col)
 
@@ -907,6 +884,59 @@ def pq_seeded_topk(
         .agg(F.min("cand").alias("best"))
         .select("vec_id", "m", F.col("best.c").alias("c"))
     )
+    return nv, seeds_sub, codes
+
+
+def pq_seeded_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    knn: int = 5,
+    n_codewords: int = 16,
+    m: int = 8,
+    dim: int = 64,
+    shortlist: int = 100,
+    probes: DataFrame | None = None,
+    lists: DataFrame | None = None,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """ADC top-k over data-seeded PQ codes with exact re-rank.
+
+    Pipeline: normalize → seed codebooks (md5-smallest ids'
+    subvectors) → per-subspace argmin encode (one narrow shuffle on
+    (vec_id, m)) → ADC via a broadcast lookup table
+    (|queries|·M·K partial dot products, computed once) joined to the
+    codes on (m, codeword) → per-query shortlist → exact cosine
+    re-rank of the shortlist only.  When ``probes``/``lists`` are
+    given ((query_id, cluster) / (vec_id, cluster)), the ADC scan is
+    restricted to probed coarse lists — the IVF-PQ composite.
+
+    This is the textbook asymmetric-distance layout: the scan reads
+    ONLY the M-codeword codes — raw vectors are touched exactly
+    twice, once to encode and once for the shortlist re-rank.  (An
+    earlier version reconstructed full-dimension vectors for the
+    scan, which forfeits PQ's memory advantage at scale.)  The
+    per-subspace partials are summed in fixed m order — one
+    conditional sum per subspace, each seeing exactly one row, added
+    as a left-to-right expression — so the score is bit-identical
+    across engines with no float-order ambiguity.
+
+    ``index`` (from ``pq_build_index``, possibly persisted) skips the
+    normalize/seed/encode phase: serving reuses the trained state, so
+    query latency stops paying the corpus encode.
+
+    At scale: per-vector scan state is M small ints; the LUT is
+    |queries|·M·K rows (broadcast); the exact pass touches
+    |queries|·shortlist raw vectors.  All stages are codegen
+    DataFrame ops.
+    """
+    subdim = dim // m
+    if index is None:
+        index = pq_build_index(
+            vectors, id_col, vec_col, n_codewords, m, dim
+        )
+    nv, seeds_sub, codes = index
 
     qn = _normalized(queries, id_col, vec_col).select(
         F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")

@@ -446,6 +446,7 @@ _INC_HASHES, _INC_BAND_ROWS = 128, 4
     WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
     """,
+    artifact=True,
 )
 def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup a new shard (doc_id % 10 = 7) against the persisted
@@ -567,6 +568,7 @@ _SEMI_K_FLOOR = 32
     SELECT m.vec_id, m.cluster, (d.vec_id IS NULL) AS is_kept
     FROM m LEFT JOIN drops d ON d.vec_id = m.vec_id
     """,
+    artifact=True,
 )
 def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over a growing corpus: the base (vec_id % 10 ≠ 7)
@@ -705,6 +707,7 @@ _STREAM_BATCHES = 3
     WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
     """,
+    artifact=True,
 )
 def dedup_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed multi-batch index ingest + maintenance, gate-checked

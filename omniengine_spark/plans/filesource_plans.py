@@ -332,6 +332,7 @@ def _events_book(spark: SparkSession, sf_dir: str) -> str:
     WHERE ts > anchor.mx - INTERVAL 1 DAY
     GROUP BY event_type
     """,
+    artifact=True,
 )
 def j9b_trailing_24h_pruned(
     spark: SparkSession, sf_dir: str
