@@ -454,6 +454,96 @@ def test_fan_out_detects_single_row_group_files(spark):
     cleanup(d)
 
 
+def test_crash_between_table_commits_converges(spark, tmp_path, monkeypatch):
+    """Fault injection for the multi-table commit interleaving the
+    threaded stress test can't reach: writer A DIES after its
+    shingles delta lands but before its entries delta (the
+    shingles-before-entries window), a different-tag writer B then
+    ingests cleanly, and finally A retries.  Must hold: (1) the index
+    stays readable with A's shingle delta dangling (the visibility
+    invariant says a shingles superset is always safe — A has no
+    entries yet, so no candidate can touch its docs); (2) B's ingest
+    is correct — exactly the one-shot pair set over corpus∪B;
+    (3) A's retry converges — it REUSES the orphaned shingles delta
+    (tag idempotency), commits entries+pairs, and the final set
+    equals the one-shot over corpus∪A∪B."""
+    from fractions import Fraction
+
+    import pytest
+
+    from omniengine_spark.operators import dedup as D
+    from omniengine_spark.operators import minhash_index as MI
+    from omniengine_spark.sources import load_table
+    from omniengine_spark.sources import versioned as V
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(~(F.col("doc_id") % 10).isin(7, 8))
+    shard_a = docs.filter(F.col("doc_id") % 10 == 7)
+    shard_b = docs.filter(F.col("doc_id") % 10 == 8)
+    root = str(tmp_path / "idx")
+    params = dict(
+        n=3, num_hashes=128, band_rows=4, threshold=Fraction(4, 5)
+    )
+    MI.build_index(
+        spark, root, corpus, "doc_id", "text", tag="base", **params
+    )
+    epath, ppath, spath = MI.index_paths(root)
+
+    real_commit = MI.commit
+    armed = {"on": True}
+
+    def die_after_shingles(df, path, description, **kw):
+        ver = real_commit(df, path, description, **kw)
+        if armed["on"] and f"/{MI.SHINGLES}" in path:
+            armed["on"] = False
+            raise RuntimeError("injected death after shingles commit")
+        return ver
+
+    monkeypatch.setattr(MI, "commit", die_after_shingles)
+    with pytest.raises(RuntimeError, match="injected death"):
+        MI.ingest_shard(
+            spark, root, shard_a, "doc_id", "text",
+            tag="base +A", **params,
+        )
+    monkeypatch.setattr(MI, "commit", real_commit)
+
+    # (1) the index is readable mid-crash: A's shingle delta is the
+    # shingles tip, entries/pairs still end at base
+    assert [e["description"] for e in V.version_history(spath)] == [
+        "base", "base +A",
+    ]
+    for path in (epath, ppath):
+        assert [
+            e["description"] for e in V.version_history(path)
+        ] == ["base"]
+    V.read_version(spark, spath).count()
+
+    # (2) the interloper ingests correctly over the dangling state
+    after_b = MI.ingest_shard(
+        spark, root, shard_b, "doc_id", "text", tag="base +B", **params
+    )
+    one_shot_b = D.minhash_lsh_pairs(
+        corpus.unionByName(shard_b), "doc_id", "text", **params
+    )
+    assert _pair_set(after_b) == _pair_set(one_shot_b)
+
+    # (3) A's retry reuses its orphaned shingles delta and converges
+    final = MI.ingest_shard(
+        spark, root, shard_a, "doc_id", "text", tag="base +A", **params
+    )
+    one_shot = D.minhash_lsh_pairs(docs, "doc_id", "text", **params)
+    assert _pair_set(final) == _pair_set(one_shot)
+    # shingles chain holds exactly ONE "+A" delta (reused, not
+    # re-committed); entries/pairs record B before A's retry
+    assert [e["description"] for e in V.version_history(spath)] == [
+        "base", "base +A", "base +B",
+    ]
+    for path in (epath, ppath):
+        assert [
+            e["description"] for e in V.version_history(path)
+        ] == ["base", "base +B", "base +A"]
+
+
 def test_incremental_shard_dedup_equals_one_shot(spark):
     """dedup_incremental_shard (stored corpus index + shard band
     joins) returns EXACTLY the one-shot dedup_minhash_lsh pair set
