@@ -38,6 +38,13 @@ def main() -> None:
         # recursive-CTE closure over an all-pairs Jaccard edge list —
         # tractable at the sf0.1 sweep, hours at sf1's 50k docs
         "dedup_clusters",
+        # same all-pairs Jaccard oracle as dedup_minhash_lsh (1.25B
+        # list intersections at sf1's 50k docs — measured >58 min
+        # before timeout, round 10); engine-side equality with the
+        # one-shot banded pair set is pinned instead at rv25 (1.25M
+        # docs, 25× this scale) by tools/stream_steady.py
+        "dedup_incremental_shard",
+        "dedup_stream_ingest",
     }
     names = sys.argv[2:] or sorted(set(ORACLES) - slow_oracles)
 
