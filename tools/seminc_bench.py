@@ -38,6 +38,11 @@ _REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(_REPO))
 
 MOD, REM = 10, 7
+# fixed-ABSOLUTE-size shard at the big rung: rv25 has 5x rv5's
+# vectors, so % 50 == 7 there is the same 10k vectors rv5's % 10 == 7
+# shard holds — the production shape (a day's crawl doesn't grow 5x
+# because the archive did), isolating the corpus-growth term alone
+FIXED_MOD = 50
 TAU = 0.4
 K_FLOOR = 32
 
@@ -50,7 +55,7 @@ def _spark():
     return spark
 
 
-def _emb(spark, data: str):
+def _emb(spark, data: str, mod: int = MOD):
     from pyspark.sql import functions as F
 
     from omniengine_spark.sources import fan_out, load_table
@@ -58,17 +63,17 @@ def _emb(spark, data: str):
     emb = fan_out(load_table(spark, data, "embeddings"))
     return (
         emb,
-        emb.filter(F.col("vec_id") % MOD != REM),
-        emb.filter(F.col("vec_id") % MOD == REM),
+        emb.filter(F.col("vec_id") % mod != REM),
+        emb.filter(F.col("vec_id") % mod == REM),
     )
 
 
-def phase_build(data: str, root: str) -> float:
+def phase_build(data: str, root: str, mod: int = MOD) -> float:
     from omniengine_spark.operators import ann_index as AI
     from omniengine_spark.sources.versioned import commit, read_version
 
     spark = _spark()
-    _, base, _ = _emb(spark, data)
+    _, base, _ = _emb(spark, data, mod)
     t0 = time.perf_counter()
     k = max(K_FLOOR, math.ceil(math.sqrt(base.count() / 2.0)))
     cpath, lpath, dpath = (
@@ -93,7 +98,7 @@ def phase_build(data: str, root: str) -> float:
     return time.perf_counter() - t0
 
 
-def phase_ingest(data: str, root: str) -> float:
+def phase_ingest(data: str, root: str, mod: int = MOD) -> float:
     from pyspark.sql import functions as F
 
     from omniengine_spark.operators import ann_index as AI
@@ -104,7 +109,7 @@ def phase_ingest(data: str, root: str) -> float:
     )
 
     spark = _spark()
-    _, _, shard = _emb(spark, data)
+    _, _, shard = _emb(spark, data, mod)
     cpath, lpath, dpath = (
         f"{root}/centroids", f"{root}/lists", f"{root}/drops",
     )
@@ -145,13 +150,15 @@ def phase_oneshot(data: str) -> float:
     return dt
 
 
-def run_rung(data: str) -> dict:
+def run_rung(data: str, mod: int = MOD,
+             phases=("build", "ingest", "oneshot")) -> dict:
     root = tempfile.mkdtemp(prefix="semincbench-")
     times = {}
-    for phase in ("build", "ingest", "oneshot"):
+    for phase in phases:
         cmd = [
             sys.executable, __file__,
             "--phase", phase, "--data", data, "--root", root,
+            "--mod", str(mod),
         ]
         proc = subprocess.run(cmd, capture_output=True, text=True)
         line = next(
@@ -167,9 +174,10 @@ def run_rung(data: str) -> dict:
             json.loads(line[len("PHASE_RESULT "):])["t"], 2
         )
         print(f"{data} {phase:8s} {times[phase]:7.2f}s", flush=True)
-    times["ingest_over_oneshot"] = round(
-        times["ingest"] / times["oneshot"], 3
-    )
+    if "oneshot" in times:
+        times["ingest_over_oneshot"] = round(
+            times["ingest"] / times["oneshot"], 3
+        )
     return times
 
 
@@ -183,12 +191,13 @@ def main() -> None:
     ap.add_argument("--phase", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--data", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--root", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--mod", type=int, default=MOD, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args.phase:
         dt = {
-            "build": lambda: phase_build(args.data, args.root),
-            "ingest": lambda: phase_ingest(args.data, args.root),
+            "build": lambda: phase_build(args.data, args.root, args.mod),
+            "ingest": lambda: phase_ingest(args.data, args.root, args.mod),
             "oneshot": lambda: phase_oneshot(args.data),
         }[args.phase]()
         print(f"PHASE_RESULT {json.dumps({'t': dt})}", flush=True)
@@ -196,23 +205,43 @@ def main() -> None:
 
     small = run_rung(args.small)
     big = run_rung(args.big)
+    # the production rung: SAME absolute shard size (10k vectors) at
+    # the big corpus — a day's crawl doesn't grow because the archive
+    # did; only the corpus-growth term (avg cluster size ~ sqrt(2N))
+    # remains.  No oneshot needed: the comparator is small["ingest"].
+    big_fixed = run_rung(
+        args.big, mod=FIXED_MOD, phases=("build", "ingest")
+    )
     ratio = 5.0  # rv5 -> rv25 data ratio
     out = {
         "small": args.small,
         "big": args.big,
         "fresh_jvm_per_phase": True,
         "params": {"tau": TAU, "k": "max(32, ceil(sqrt(N/2)))",
-                   "shard": f"vec_id % {MOD} = {REM}"},
-        "rungs": {"small": small, "big": big},
-        "ingest_exponent": round(
+                   "shard": f"vec_id % {MOD} = {REM}",
+                   "fixed_shard": f"vec_id % {FIXED_MOD} = {REM}"},
+        "rungs": {"small": small, "big": big,
+                  "big_fixed_shard": big_fixed},
+        "ingest_exponent_fixed_fraction": round(
             math.log(big["ingest"] / small["ingest"]) / math.log(ratio),
+            2,
+        ),
+        "ingest_exponent_fixed_size": round(
+            math.log(big_fixed["ingest"] / small["ingest"])
+            / math.log(ratio),
             2,
         ),
         "note": (
             "build runs once per corpus; ingest is the per-shard "
             "steady state (assign-only vs frozen centroids + drops "
             "delta). oneshot = frozen-quantizer prune over the union, "
-            "what a pipeline without the persisted tables pays per run."
+            "what a pipeline without the persisted tables pays per "
+            "run. Two exponents: holding the shard FRACTION at 10% "
+            "the shard itself grows 5x and ingest scales ~N^1.5 by "
+            "design (|shard|*k dots + |shard|*sqrt(2N) pair dots, "
+            "k=sqrt(N/2)); holding the shard SIZE fixed (the "
+            "production shape) only the sqrt(2N) cluster-size term "
+            "remains — expected e~0.5."
         ),
     }
     Path(args.out).write_text(json.dumps(out, indent=1))
