@@ -171,20 +171,29 @@ def main() -> None:
             run_probes[name] = [p1, p2]
 
     # -- contention pass: re-measure slow plans whose every accepted
-    # run was taken on a provably busy box ------------------------------
+    # run was taken on a provably busy box, PLUS the top-slow set
+    # unconditionally — the CPU probe is blind to IO/memory-bandwidth
+    # co-tenancy (measured: a 32.7 s sweep line under a 1.07 probe
+    # ratio reproduced at 1.7 s in isolation minutes later), and the
+    # slowest lines are exactly the numbers a reader trusts first, so
+    # they get one extra min() sample regardless of what the probe
+    # claims.  Bounded: ~sum(top-10) extra seconds.
     probe_ref = max(min(p for ps in run_probes.values() for p in ps), 1e-6)
+    ranked_slow = sorted(timings, key=lambda n: -timings[n])
+    top_slow = set(ranked_slow[:10])
     reruns: dict[str, dict] = {}
-    for name in sorted(timings, key=lambda n: -timings[n]):
+    for name in ranked_slow:
         dt = timings[name]
         if dt < _SLOW_SEC:
             break  # sorted descending: the rest are all faster
         ratio = min(run_probes[name]) / probe_ref
-        if ratio <= _BUSY_RATIO:
+        if ratio <= _BUSY_RATIO and name not in top_slow:
             continue
         fn = QUERIES[name]
         was = dt
         attempts = []
-        for _ in range(_MAX_RERUNS):
+        n_extra = _MAX_RERUNS if ratio > _BUSY_RATIO else 1
+        for _ in range(n_extra):
             p, t = run_once(fn, clear=not is_artifact[name])
             attempts.append(round(t, 3))
             run_probes[name].append(p)
@@ -195,12 +204,13 @@ def main() -> None:
         timings[name] = round(dt, 3)
         if is_artifact[name]:
             phases[name]["serve"] = timings[name]
-        reruns[name] = {
-            "was": was,
-            "now": timings[name],
-            "probe_ratio": round(ratio, 2),
-            "attempts": attempts,
-        }
+        if timings[name] != was or ratio > _BUSY_RATIO:
+            reruns[name] = {
+                "was": was,
+                "now": timings[name],
+                "probe_ratio": round(ratio, 2),
+                "attempts": attempts,
+            }
 
     total = round(sum(timings.values()), 3)
     calib_after = calibrate()
