@@ -383,3 +383,68 @@ def j9b_trailing_24h_pruned(
             F.count(F.lit(1)).alias("n_24h"),
         )
     )
+
+
+@query(
+    "s21_jdbc_serving_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(user_id % 100 AS BIGINT) AS user_bucket,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS balance_cents,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type, user_bucket
+    """,
+)
+def s21_jdbc_serving_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC serving sink + source (SURVEY §2.1 S14 "optional
+    ``df.write.jdbc``"; reference ``sqltools.py:58-87`` serves query
+    results through a DB-API connection): per-(type, user-bucket)
+    balances are written to a relational serving store through
+    ``df.write.jdbc`` and read back through ``spark.read.jdbc`` — the
+    round trip the oracle checks against the raw parquet, so a lossy
+    type mapping or dropped partition write would hash-fail.
+
+    The store is Apache Derby EMBEDDED (ships in Spark's own jars for
+    the metastore — zero external services), which closes what
+    rounds 8-9 carried as the one infra-blocked gap: the JDBC code
+    path itself is exercised for real; pointing it at Postgres is a
+    URL swap, not a code change.  Scale notes: executors open their
+    own JDBC connections per partition (the write here keeps 4
+    partitions to exercise concurrent writers); an embedded
+    single-JVM store only works in local mode — a cluster serving
+    sink is the same two calls against a network DB, plus
+    ``partitionColumn`` bounds on the read side for parallel scans.
+    ``createTableColumnTypes`` pins VARCHAR over Derby's default CLOB
+    mapping for the string key (CLOBs cannot be compared or grouped)."""
+    from omniengine_spark.sources.sinks import scratch_dir
+
+    base = scratch_dir("jdbc-serve")
+    # derby.log (and any relative DB path) lands in the scratch dir,
+    # not the process CWD; safe to set repeatedly
+    spark._jvm.System.setProperty("derby.system.home", base)
+    url = f"jdbc:derby:{base}/servedb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(
+            "event_type",
+            (F.col("user_id") % 100).alias("user_bucket"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100).cast("long")
+            ).alias("balance_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    (
+        agg.repartition(4)
+        .write.option(
+            "createTableColumnTypes", "event_type VARCHAR(32)"
+        )
+        .jdbc(url, "user_balances", mode="overwrite", properties=props)
+    )
+    return spark.read.jdbc(url, "user_balances", properties=props)
