@@ -313,6 +313,27 @@ def test_runtime_bloom_filter_reaches_probe_side(spark):
                 spark.conf.set(k, v)
 
 
+def test_pq_serve_phase_reuses_persisted_index(spark):
+    """The bench's build/serve split is only honest if serving
+    actually reuses the trained state: after one (building) call, a
+    second sim_pq plan must scan the persisted codes/normalized
+    frames (InMemoryTableScan), not re-encode the corpus — and after
+    a clearCache, the cached entry re-materializes instead of
+    silently serving unpersisted recomputes forever."""
+    from pyspark import StorageLevel
+
+    from omniengine_spark.plans.similarity import _pq_index_cached
+
+    QUERIES["sim_pq_ann_topk"](spark, SF_SMOKE)  # builds + persists
+    plan = _plan(spark, "sim_pq_ann_topk")
+    assert "InMemoryTableScan" in plan
+
+    spark.catalog.clearCache()
+    nv, _seeds, codes = _pq_index_cached(spark, SF_SMOKE)
+    assert codes.storageLevel != StorageLevel.NONE  # re-materialized
+    assert nv.storageLevel != StorageLevel.NONE
+
+
 def test_j9b_pruned_plan_skips_files(spark):
     """The gated-domain wiring of the data-skipping layer: the
     trailing-24 h plan must (a) hash the same rows as its full-scan
