@@ -32,6 +32,16 @@ Timing semantics (round 10):
   runs, stopping at the first quiet-probe attempt); the JSON carries
   ``probe_ref``, per-slow-plan probe ratios, and a ``reruns`` record
   so a contaminated number is visible instead of silently wrong.
+
+Reporting (round 11): stdout carries ONE compact line budgeted to
+``_LINE_BUDGET`` chars (the driver tails 2000 chars of stdout;
+BENCH_r01 and BENCH_r10 both came back parsed:null when the line
+outgrew it) — headline total, ``value_calib_norm`` (total scaled by
+the fixed-work calibration so cross-round comparisons survive the
+~7x box-speed swings), ``timing_semantics`` version tag, top-15
+queries + ``_fast_bucket``.  The FULL per-query record — every
+timing, build/serve phase split, per-run probe ratio, rerun
+attempt — is written to ``tools/bench_full.json``.
 """
 
 from __future__ import annotations
@@ -49,6 +59,67 @@ if _REPO not in sys.path:
 _SLOW_SEC = 0.75  # only re-measure plans big enough to move the total
 _BUSY_RATIO = 1.6  # probe ≥ this × quietest probe ⇒ contended run
 _MAX_RERUNS = 2
+_CALIB_QUIET_SEC = 0.55  # calibrate() on a quiet box (build-time)
+# Bump whenever the meaning of ``value`` changes (r10: artifact plans
+# report warm serve-min while normal plans report cold best-of-2), so
+# cross-round comparisons of raw totals fail loudly instead of
+# silently mixing semantics.
+_TIMING_SEMANTICS = 2
+# Driver captures the last 2000 chars of stdout; the summary line must
+# fit with margin (r9's 1490-char line parsed, r10's overflow didn't).
+_LINE_BUDGET = 1500
+
+
+def compact_line(
+    *,
+    total: float,
+    value_norm: float,
+    timings: dict[str, float],
+    n_reruns: int,
+    build_cold_total: float,
+    calib_sec: list[float],
+    loadavg: list[float],
+    probe_ref_sec: float,
+    sf: str,
+) -> str:
+    """The ONE stdout JSON line, guaranteed ≤ _LINE_BUDGET chars: the
+    headline numbers plus the top-N slowest queries, with everything
+    below the cut folded into ``_fast_bucket``.  N starts at 15 and
+    shrinks until the line fits — long plan names can't overflow the
+    driver's tail window again (BENCH_r01/BENCH_r10 failure mode).
+    Full per-query detail lives in tools/bench_full.json."""
+    ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+    for top_n in range(15, 0, -1):
+        slow = dict(ranked[:top_n])
+        queries_out = dict(slow)
+        rest = [t for n, t in timings.items() if n not in slow]
+        if rest:
+            queries_out["_fast_bucket"] = round(sum(rest), 3)
+            queries_out["_fast_bucket_n"] = len(rest)
+        line = json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "value_calib_norm": value_norm,
+                "timing_semantics": _TIMING_SEMANTICS,
+                "n_queries": len(timings),
+                "n_reruns": n_reruns,
+                "build_cold_total": build_cold_total,
+                "calib_sec": calib_sec,
+                "loadavg": loadavg,
+                "probe_ref_sec": probe_ref_sec,
+                "detail_file": "tools/bench_full.json",
+                "queries": queries_out,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+        if len(line) <= _LINE_BUDGET:
+            return line
+    raise AssertionError(
+        f"bench summary line exceeds {_LINE_BUDGET} chars even with "
+        "a single query listed — shrink the fixed fields"
+    )
 
 
 def main() -> None:
@@ -214,48 +285,62 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     calib_after = calibrate()
-
-    # Keep the JSON line inside the driver's stdout tail window
-    # (BENCH_r01 came back parsed:null because the full per-query dict
-    # overflowed it): detail the slow queries, fold the rest into one
-    # bucket.
-    ranked = sorted(timings.items(), key=lambda kv: -kv[1])
-    slow = dict(kv for kv in ranked[:40] if kv[1] >= 0.25)
-    fast = {n: t for n, t in timings.items() if n not in slow}
-    queries_out = dict(sorted(slow.items(), key=lambda kv: -kv[1]))
-    if fast:
-        queries_out["_fast_bucket"] = round(sum(fast.values()), 3)
-        queries_out["_fast_bucket_n"] = len(fast)
-    # per-run contention evidence for the reported slow set: the
-    # judge can see WHICH numbers were taken under load
-    probes_out = {
-        n: round(min(run_probes[n]) / probe_ref, 2)
-        for n in queries_out
-        if n in run_probes
-    }
-
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "runs_per_query": 2,
-                "calib_sec": [calib_before, calib_after],
-                "loadavg": [round(v, 2) for v in os.getloadavg()],
-                "probe_ref_sec": round(probe_ref, 4),
-                "probe_ratio": probes_out,
-                "phases": phases,
-                "build_cold_total": round(
-                    sum(p["build_cold"] for p in phases.values()), 3
-                ),
-                "reruns": reruns,
-                "queries": queries_out,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    loadavg = [round(v, 2) for v in os.getloadavg()]
+    build_cold_total = round(
+        sum(p["build_cold"] for p in phases.values()), 3
     )
+    # Box-speed normalization (the sandbox swings ~7x between runs —
+    # the r8/r9/r10 totals 180/350/256 s were mostly the BOX, not the
+    # engine): calib is fixed single-thread CPU work tuned to ~0.55 s
+    # on a quiet box, so value × (0.55 / mean(calib)) is comparable
+    # across rounds to the extent contention is CPU-shaped.  Limits
+    # (COVERAGE.md "Bench normalization"): calib is CPU-only —
+    # IO/memory-bandwidth co-tenancy is what the per-run probes +
+    # rerun pass catch, not this factor.
+    calib_mean = (calib_before + calib_after) / 2
+    value_norm = round(total * (_CALIB_QUIET_SEC / calib_mean), 3)
+
+    # Full per-query detail (every timing, phase split, probe ratio,
+    # rerun record) goes to a tools artifact — BENCH_r10 came back
+    # parsed:null because this detail inlined in the stdout line
+    # overflowed the driver's 2000-char tail window (same failure as
+    # BENCH_r01).  The stdout line is a compact, budgeted summary.
+    detail = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "value_calib_norm": value_norm,
+        "timing_semantics": _TIMING_SEMANTICS,
+        "n_queries": len(timings),
+        "calib_sec": [calib_before, calib_after],
+        "calib_quiet_sec": _CALIB_QUIET_SEC,
+        "loadavg": loadavg,
+        "probe_ref_sec": round(probe_ref, 4),
+        "probe_ratio": {
+            n: round(min(ps) / probe_ref, 2)
+            for n, ps in run_probes.items()
+        },
+        "phases": phases,
+        "build_cold_total": build_cold_total,
+        "reruns": reruns,
+        "timings": dict(sorted(timings.items(), key=lambda kv: -kv[1])),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    detail_file = Path(_REPO) / "tools" / "bench_full.json"
+    detail_file.write_text(json.dumps(detail, indent=1) + "\n")
+
+    line = compact_line(
+        total=total,
+        value_norm=value_norm,
+        timings=timings,
+        n_reruns=len(reruns),
+        build_cold_total=build_cold_total,
+        calib_sec=[calib_before, calib_after],
+        loadavg=loadavg,
+        probe_ref_sec=round(probe_ref, 4),
+        sf=sf,
+    )
+    print(line)
     spark.stop()
 
 

@@ -300,6 +300,11 @@ def _events_book(spark: SparkSession, sf_dir: str) -> str:
         version_history,
     )
 
+    # the book is written through load_table (UTC session, LTZ ts);
+    # every pruned plan's timestamp literals and rendering must agree
+    # with it even on a session whose tz nobody pinned yet — pin here,
+    # the shared entry point
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     fp = dataset_fingerprint(sf_dir, "events.parquet")
     path = stable_scratch_dir(f"events-book-{fp}")
     tag = f"events day-ranged fp={fp}"
@@ -313,6 +318,36 @@ def _events_book(spark: SparkSession, sf_dir: str) -> str:
             stats_cols=["ts"],
         )
     return path
+
+
+def _book_anchor(spark: SparkSession, path: str):
+    """max(ts) of the events book as a tz-aware UTC datetime — from
+    planning-time manifest metadata when the stats chain can prove it
+    (``stats_minmax``: no file opens, no Spark job), else from data.
+    The fallback computes epoch micros IN SPARK (``unix_micros`` is
+    exact on the book's UTC-adjusted timestamps); collect()ing the
+    timestamp value itself converts through the OS-local timezone
+    (``datetime.fromtimestamp``), which would skew the tz-aware prune
+    bound by the UTC offset on a non-UTC host."""
+    import datetime as dt
+
+    from omniengine_spark.functions.scalars import epoch_us
+    from omniengine_spark.sources.versioned import (
+        read_version,
+        stats_minmax,
+    )
+
+    rng = stats_minmax(path, "ts")
+    if rng is not None:
+        return rng[1]  # exact max(ts): footer ts stats are exact
+    us = (
+        read_version(spark, path)
+        .agg(F.max(epoch_us("ts")).alias("us"))
+        .collect()[0][0]
+    )
+    return dt.datetime(
+        1970, 1, 1, tzinfo=dt.timezone.utc
+    ) + dt.timedelta(microseconds=us)
 
 
 @query(
@@ -352,22 +387,10 @@ def j9b_trailing_24h_pruned(
     ``sql.py:266,276,890``) at the file level."""
     import datetime as dt
 
-    from omniengine_spark.sources.versioned import (
-        read_version,
-        stats_minmax,
-    )
+    from omniengine_spark.sources.versioned import read_version
 
-    path = _events_book(spark, sf_dir)
-    rng = stats_minmax(path, "ts")
-    if rng is None:  # cannot prove the range: anchor from data
-        anchor = (
-            read_version(spark, path)
-            .agg(F.max("ts"))
-            .collect()[0][0]
-        )
-        anchor = anchor.replace(tzinfo=dt.timezone.utc)
-    else:
-        anchor = rng[1]  # exact max(ts): footer stats are exact
+    path = _events_book(spark, sf_dir)  # pins session tz UTC
+    anchor = _book_anchor(spark, path)
     window_lo = anchor - dt.timedelta(days=1)
     pruned = read_version(spark, path, prune={"ts": (window_lo, None)})
     return (
@@ -448,3 +471,303 @@ def s21_jdbc_serving_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .jdbc(url, "user_balances", mode="overwrite", properties=props)
     )
     return spark.read.jdbc(url, "user_balances", properties=props)
+
+
+@query(
+    "a5b_daily_stats_pruned",
+    # a5's day-grain rollup restricted to the trailing 7 days ending
+    # at max(ts) — the reference's per-block txstats window
+    # (``sql.py:257-312``) asked incrementally: a refresh never needs
+    # the archive, only the recent files.
+    oracle="""
+    WITH anchor AS (SELECT CAST(MAX(ts) AS DATE) AS ad FROM events)
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+                AS DOUBLE) AS day_value
+    FROM events, anchor
+    WHERE CAST(ts AS DATE) > ad - 7
+    GROUP BY day
+    """,
+    artifact=True,
+)
+def a5b_daily_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 through the data-skipping layer (second consumer of the
+    shared ``_events_book`` — one committed book, N pruned plans):
+    the trailing-week daily stats read only the files whose footer ts
+    range can reach the window; the anchor day comes from
+    ``stats_minmax`` planning-time metadata (``_book_anchor``).  At
+    100 TB a daily-stats refresh touches ~7/N_days of the files
+    instead of all of them — the reference recomputes its txstats
+    windows from the full transactions table every block
+    (``sql.py:266,276``).  Skipping is advisory: the exact
+    day-predicate still runs, so the result is stats-invariant
+    (plan-shape test pins kept < total and the full-scan hash)."""
+    import datetime as dt
+
+    from omniengine_spark.sources.versioned import read_version
+
+    path = _events_book(spark, sf_dir)  # pins session tz UTC
+    anchor_day = _book_anchor(spark, path).date()
+    # rows kept: to_date(ts) > anchor_day - 7  ⇔  ts ≥ midnight of
+    # (anchor_day - 6); that midnight is the closed prune bound
+    window_lo = dt.datetime.combine(
+        anchor_day - dt.timedelta(days=6),
+        dt.time.min,
+        tzinfo=dt.timezone.utc,
+    )
+    pruned = read_version(spark, path, prune={"ts": (window_lo, None)})
+    return (
+        pruned.filter(
+            F.to_date("ts") > F.lit(anchor_day - dt.timedelta(days=7))
+        )
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("day_value"),
+        )
+    )
+
+
+@query(
+    "w8b_trailing_7d_spend_pruned",
+    # w8's RANGE-frame window asked as the serving question — each
+    # user's CURRENT trailing-7-day spend (the frame anchored at
+    # max(ts), reference ``sql.py:890``'s trailing windows) — so the
+    # scan only needs the last 7 days of files, not the archive.
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS mx FROM events)
+    SELECT user_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+                AS DOUBLE) AS spend_7d,
+           COUNT(*) AS n_7d
+    FROM events, anchor
+    WHERE ts > anchor.mx - INTERVAL 7 DAY
+    GROUP BY user_id
+    """,
+    artifact=True,
+)
+def w8b_trailing_7d_spend_pruned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """W8/A6 through the data-skipping layer (third consumer of the
+    shared ``_events_book``): per-user trailing-7-day spend at the
+    anchor.  ``w8_trailing_7d_user_value`` computes the running frame
+    for EVERY event and so legitimately scans everything; the serving
+    form — "each user's spend over the LAST 7 days" — only ever needs
+    the window's files, which is what the book's footer-stat manifest
+    hands Spark at planning time.  Anchor from metadata
+    (``_book_anchor``), exact filter still runs (stats-invariant),
+    kept < total pinned in the plan-shape test."""
+    import datetime as dt
+
+    from omniengine_spark.sources.versioned import read_version
+
+    path = _events_book(spark, sf_dir)  # pins session tz UTC
+    anchor = _book_anchor(spark, path)
+    window_lo = anchor - dt.timedelta(days=7)
+    pruned = read_version(spark, path, prune={"ts": (window_lo, None)})
+    return (
+        pruned.filter(
+            F.col("ts")
+            > F.lit(anchor.replace(tzinfo=None) - dt.timedelta(days=7))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("spend_7d"),
+            F.count(F.lit(1)).alias("n_7d"),
+        )
+    )
+
+
+def _events_incr_book(spark: SparkSession, sf_dir: str):
+    """Two-commit incremental events book: batch 1 (days ≤ min+10) as
+    a snapshot version, batch 2 as a DELTA on it — the resume point
+    between the two read from the version-1 stats manifest alone
+    (``stats_minmax``: the reference's ``max(blocknumber)+1`` watermark
+    at ``omniEngine.py:60-69``, answered with zero file opens).
+    Returns ``(path, watermark)``; built once per (process, dataset
+    content), the artifact contract of ``_events_book``."""
+    import datetime as dt
+
+    from omniengine_spark.sources.sinks import (
+        dataset_fingerprint,
+        stable_scratch_dir,
+    )
+    from omniengine_spark.sources.versioned import (
+        commit,
+        stats_minmax,
+        version_history,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    fp = dataset_fingerprint(sf_dir, "events.parquet")
+    path = stable_scratch_dir(f"events-incr-{fp}")
+    tag2 = f"events delta batch fp={fp}"
+    hist = version_history(path)
+    if not (hist and hist[-1]["description"] == tag2):
+        ev = load_table(spark, sf_dir, "events")
+        split = ev.agg(
+            F.date_add(F.to_date(F.min("ts")), 10).alias("s")
+        ).collect()[0]["s"]
+        # day-ranged file layout inside each commit: pruning is
+        # file-granular, so the base batch must span >1 file for the
+        # resume read to skip anything (same layout as _events_book)
+        base = commit(
+            ev.filter(F.to_date("ts") <= F.lit(split))
+            .repartitionByRange(8, "ts"),
+            path,
+            f"events base batch fp={fp}",
+            stats_cols=["ts"],
+        )
+        # the A1 resume point, from planning-time metadata: max ts of
+        # everything committed so far — no scan of the base batch
+        watermark = stats_minmax(path, "ts", version=base)[1]
+        commit(
+            ev.filter(
+                F.col("ts") > F.lit(watermark.replace(tzinfo=None))
+            ).repartitionByRange(4, "ts"),
+            path,
+            tag2,
+            base_version=base,
+            stats_cols=["ts"],
+        )
+    else:
+        base = hist[-1]["base"]
+        watermark = stats_minmax(path, "ts", version=base)[1]
+    return path, watermark
+
+
+@query(
+    "x1c_incremental_pruned_resume",
+    # the rows the DELTA commit added — i.e. everything after the
+    # base batch's watermark (min day + 10); proving the
+    # metadata-derived resume point and the delta chain lost nothing.
+    oracle="""
+    WITH split AS (SELECT CAST(MIN(ts) AS DATE) + 10 AS s FROM events)
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events, split
+    WHERE CAST(ts AS DATE) > s
+    GROUP BY day
+    """,
+    artifact=True,
+)
+def x1c_incremental_pruned_resume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X1/A1 with BOTH incremental legs on planning-time metadata:
+    the watermark between batches comes from the base version's stats
+    manifest (``stats_minmax`` — the reference's resume loop reads
+    ``max(blocknumber)+1`` with a table scan, ``omniEngine.py:60-69``
+    + ``sql.py:1225``), and the post-resume rollup reads the
+    versioned book PRUNED to files past the watermark — the delta
+    dir's files plus at most the base's boundary file, never the
+    archive.  ``x1b_incremental_batch`` proves incremental == one-
+    shot over the full stream; this twin proves the incremental STEP
+    itself runs at shard cost: watermark with no scan, recompute
+    touching only new files (kept < total pinned in the plan-shape
+    test).  Exact filter still runs — stats-invariant."""
+    from omniengine_spark.sources.versioned import read_version
+
+    path, watermark = _events_incr_book(spark, sf_dir)
+    pruned = read_version(spark, path, prune={"ts": (watermark, None)})
+    return (
+        pruned.filter(
+            F.col("ts") > F.lit(watermark.replace(tzinfo=None))
+        )
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+
+
+@query(
+    "s21b_jdbc_parallel_read",
+    oracle="""
+    SELECT event_type,
+           CAST(user_id % 100 AS BIGINT) AS user_bucket,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS balance_cents,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type, user_bucket
+    """,
+)
+def s21b_jdbc_parallel_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``s21``'s read side made cluster-shaped: ``spark.read.jdbc``
+    with ``partitionColumn``/``lowerBound``/``upperBound``/
+    ``numPartitions`` issues N range-predicated queries from N
+    executors in parallel — the serving-layer scan pattern the
+    reference's single psycopg2 cursor (``sqltools.py:58-87``,
+    serving reads ``database/SQLstatements.md:15-105``) cannot
+    express.  Partitioned on ``user_bucket`` (uniform by
+    construction, so the range slices are balanced; a skewed
+    partition column would serialize the read on one executor), with
+    the bounds read FROM THE STORE first — a serving reader does not
+    know the writer's key range, and hardcoded bounds turn into one
+    fat slice + empty ones the moment the data's range shifts
+    (measured here: sf0.001 only populates buckets 0-14).  The
+    plan-shape test pins 4 slices with the rows actually spread; the
+    oracle pins the round trip lossless.  Embedded Derby serializes
+    writers on table locks but handles concurrent READ cursors fine —
+    the parallel scan is real even single-node, and against Postgres
+    it is the same calls with a URL swap."""
+    from omniengine_spark.sources.sinks import scratch_dir
+
+    base = scratch_dir("jdbc-serve-par")
+    spark._jvm.System.setProperty("derby.system.home", base)
+    url = f"jdbc:derby:{base}/servedb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(
+            "event_type",
+            (F.col("user_id") % 100).alias("user_bucket"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100).cast("long")
+            ).alias("balance_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    (
+        agg.repartition(4)
+        .write.option(
+            "createTableColumnTypes", "event_type VARCHAR(32)"
+        )
+        .jdbc(url, "user_balances", mode="overwrite", properties=props)
+    )
+    # bounds from the store (one 1-row pushed-down aggregate — the
+    # dbtable subquery runs inside Derby, not in Spark)
+    lo, hi = (
+        spark.read.jdbc(
+            url,
+            '(SELECT MIN("user_bucket") AS lo,'
+            ' MAX("user_bucket") AS hi FROM user_balances) AS b',
+            properties=props,
+        ).collect()[0]
+    )
+    return spark.read.jdbc(
+        url,
+        "user_balances",
+        column="user_bucket",
+        lowerBound=int(lo),
+        upperBound=int(hi) + 1,
+        numPartitions=4,
+        properties=props,
+    )

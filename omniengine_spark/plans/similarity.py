@@ -519,8 +519,11 @@ def _pq_index_cached(spark: SparkSession, sf_dir: str):
             n_codewords=_PQ_K, m=_PQ_M, dim=64,
         )
         _TRAINED_CACHE[key] = idx
-    nv, _seeds_sub, codes = idx
-    _repersist(codes, nv)
+    # seeds_sub is tiny (K·M rows) but recomputing it re-runs the
+    # md5-orderBy seed selection over the corpus every serve call —
+    # persist all three so serving truly touches only index frames
+    nv, seeds_sub, codes = idx
+    _repersist(codes, nv, seeds_sub)
     return idx
 
 

@@ -224,3 +224,60 @@ def compact_partitions(
     shutil.rmtree(old_path, ignore_errors=True)
     after = sum(1 for p in Path(path).rglob("*.parquet"))
     return {"files_before": before, "files_after": after}
+
+
+def jdbc_publish(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str],
+    create_column_types: str | None = None,
+    n_partitions: int = 4,
+) -> None:
+    """Atomic-swap JDBC publish (the serving-layer overwrite S14's
+    ``mode="overwrite"`` is NOT): plain ``df.write.jdbc(overwrite)``
+    is drop + create + one INSERT TRANSACTION PER PARTITION, so a
+    concurrent reader can observe a missing table, an empty table, or
+    k-of-n partition subsets — partition-level tearing, measured on
+    embedded Derby and equally true of Postgres.  Here the new
+    generation lands in a staging table first (invisible to readers),
+    then one DDL transaction retires the old table and renames
+    staging into place — readers running under READ_COMMITTED either
+    block on the swap's exclusive lock and see the complete new
+    snapshot, or (if their lock timeout fires first) fail CLEANLY;
+    no read ever returns a mixed or partial generation
+    (tests/test_warehouse.py pins this under a concurrent
+    writer+reader race).  The reference's serving store gets this
+    atomicity from Postgres MVCC row updates (``sqltools.py:58-87``);
+    rename-swap is the bulk-load equivalent every RDBMS supports."""
+    staging = f"{table}_stg"
+    spark = df.sparkSession
+    writer = df.repartition(n_partitions).write
+    if create_column_types:
+        writer = writer.option(
+            "createTableColumnTypes", create_column_types
+        )
+    writer.jdbc(url, staging, mode="overwrite", properties=properties)
+
+    jvm = spark._jvm
+    if "driver" in properties:
+        jvm.java.lang.Class.forName(properties["driver"])
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        conn.setAutoCommit(False)
+        stmt = conn.createStatement()
+        # old table may not exist on first publish
+        meta = conn.getMetaData()
+        rs = meta.getTables(None, None, table.upper(), None)
+        had_old = rs.next()
+        rs.close()
+        if had_old:
+            stmt.execute(f"DROP TABLE {table}")
+        stmt.execute(f"RENAME TABLE {staging} TO {table}")
+        stmt.close()
+        conn.commit()
+    except Exception:
+        conn.rollback()
+        raise
+    finally:
+        conn.close()

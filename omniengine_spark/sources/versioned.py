@@ -384,10 +384,16 @@ def pruned_files(
                 if col not in per_col:
                     continue
                 entry = per_col[col]
-                # legacy 2-element stats carry no domain tag: infer
-                # str-vs-num only (the pre-domain behavior), which
-                # means legacy date/ts stats never prune against a
-                # typed bound — safe direction
+                # legacy 2-element stats carry no domain tag: only
+                # str is inferable from the value shape, so EVERY
+                # non-str legacy entry gets domain None and prunes
+                # against nothing — numeric bounds included, not just
+                # the date/ts ambiguity that motivates the rule (a
+                # legacy number could be an ordinal, an epoch, or an
+                # amount; guessing "num" would order a date-ordinal
+                # stat against an amount bound).  Safe direction:
+                # files are kept, pruning is lost until the dir is
+                # re-committed with a domain-tagged manifest.
                 fdom = entry[2] if len(entry) > 2 else (
                     "str" if isinstance(entry[0], str) else None
                 )
@@ -430,8 +436,13 @@ def stats_minmax(
     values come back tz-aware UTC — exact against the UTC-normalized
     footer stats), or ``None`` whenever the chain cannot PROVE the
     range: a dir without a complete manifest, a file without stats
-    for the column, or mixed domains.  Callers must treat ``None`` as
-    "compute the anchor from data"."""
+    for the column, mixed domains, or a ``str`` column — parquet
+    footer min/max for string/binary may be TRUNCATED bounds, so a
+    str "max" can be a value that exists in no row; bounds are fine
+    for pruning (``pruned_files`` keeps anything inside them) but not
+    for an anchor that must be a witnessed value.  num/ts/date stats
+    are exact.  Callers must treat ``None`` as "compute the anchor
+    from data"."""
     manifest = _load_manifest(path)
     v = manifest["current"] if version is None else version
     lo = hi = dom = None
@@ -453,6 +464,8 @@ def stats_minmax(
             edom = e[2] if len(e) > 2 else (
                 "str" if isinstance(e[0], str) else "num"
             )
+            if edom == "str":
+                return None  # truncated bound ≠ witnessed value
             if dom is None:
                 dom = edom
             elif edom != dom:

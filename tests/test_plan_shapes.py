@@ -420,3 +420,85 @@ def test_shuffle_bytes_ratchet():
         timeout=900,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_pruned_day_range_family_skips_files(spark):
+    """Round-10 ask #4 — the j9b pattern spread across the day-range
+    family: a5b (trailing-week daily stats) and w8b (per-user 7-day
+    spend) serve from the SAME shared events book, each reading
+    exactly the files its window's footer-stat intersection keeps —
+    strictly fewer than the book holds.  Anchors come from the stats
+    manifest (no scan); correctness vs the full-scan statement is the
+    driver's oracle check, so here we pin the SCAN, not the values."""
+    import datetime as dt
+
+    from omniengine_spark.plans.filesource_plans import _events_book
+    from omniengine_spark.sources.versioned import (
+        pruned_files,
+        stats_minmax,
+    )
+
+    path = _events_book(spark, SF_SMOKE)
+    rng = stats_minmax(path, "ts")
+    assert rng is not None  # anchor is planning-time metadata
+    anchor = rng[1]
+
+    def norm(files):
+        return sorted(
+            f if f.startswith("file:") else f"file://{f}" for f in files
+        )
+
+    # a5b: rows kept ⇔ ts ≥ midnight of (anchor_day - 6)
+    a5b = QUERIES["a5b_daily_stats_pruned"](spark, SF_SMOKE)
+    lo = dt.datetime.combine(
+        anchor.date() - dt.timedelta(days=6),
+        dt.time.min,
+        tzinfo=dt.timezone.utc,
+    )
+    kept, total = pruned_files(path, {"ts": (lo, None)})
+    assert 0 < len(kept) < total
+    assert norm(a5b.inputFiles()) == norm(kept)
+
+    # w8b: trailing 7 days from the exact anchor
+    w8b = QUERIES["w8b_trailing_7d_spend_pruned"](spark, SF_SMOKE)
+    kept, total = pruned_files(
+        path, {"ts": (anchor - dt.timedelta(days=7), None)}
+    )
+    assert 0 < len(kept) < total
+    assert norm(w8b.inputFiles()) == norm(kept)
+
+
+def test_x1c_resume_reads_only_new_files(spark):
+    """The incremental-step twin: the watermark between the base and
+    delta commits is manifest metadata (stats_minmax, no scan), and
+    the post-resume rollup's executed scan reads the delta files plus
+    at most the base's boundary files — never the whole base batch."""
+    from omniengine_spark.plans.filesource_plans import _events_incr_book
+    from omniengine_spark.sources.versioned import pruned_files
+
+    out = QUERIES["x1c_incremental_pruned_resume"](spark, SF_SMOKE)
+    path, watermark = _events_incr_book(spark, SF_SMOKE)
+    kept, total = pruned_files(path, {"ts": (watermark, None)})
+    assert 0 < len(kept) < total
+
+    def norm(files):
+        return sorted(
+            f if f.startswith("file:") else f"file://{f}" for f in files
+        )
+
+    assert norm(out.inputFiles()) == norm(kept)
+
+
+def test_s21b_jdbc_read_is_parallel(spark):
+    """The cluster-shaped serving read (round-10 ask #3): the JDBC
+    scan must come back in numPartitions range slices, with the rows
+    actually SPREAD across them (a skewed or mis-bounded partition
+    column would funnel everything into one slice = a serial read
+    with extra connections)."""
+    out = QUERIES["s21b_jdbc_parallel_read"](spark, SF_SMOKE)
+    assert out.rdd.getNumPartitions() == 4
+    per_part = out.rdd.mapPartitions(
+        lambda it: [sum(1 for _ in it)]
+    ).collect()
+    assert len(per_part) == 4
+    assert sum(1 for c in per_part if c > 0) >= 3

@@ -835,3 +835,84 @@ def test_stats_skipping_composes_with_delta_chain(spark, tmp_path):
         F.col("day") >= F.lit(lo)
     )
     assert got.count() == 100
+
+
+def test_jdbc_publish_atomic_under_reader_race(spark):
+    """Derby's answer to concurrent overwrite+read, pinned (round-10
+    ask #6): plain ``df.write.jdbc(mode="overwrite")`` is drop +
+    create + one INSERT TRANSACTION PER PARTITION, so a racing reader
+    can legally observe k-of-n partition subsets — partition-level
+    tearing.  ``sinks.jdbc_publish`` swaps a fully-loaded staging
+    table into place in ONE DDL transaction; under READ_COMMITTED a
+    reader either blocks on the swap's exclusive lock and then sees a
+    complete generation, or fails cleanly (lock timeout / no such
+    table during its schema probe) — it never returns a mixed or
+    partial snapshot.  The reader here hammers a raw same-JVM Derby
+    cursor while four generations publish; every successful read must
+    be (count == N, single generation)."""
+    import threading
+
+    from omniengine_spark.sources.sinks import jdbc_publish
+
+    base = scratch_dir("jdbc-race")
+    spark._jvm.System.setProperty("derby.system.home", base)
+    url = f"jdbc:derby:{base}/racedb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    n_rows = 400
+
+    def gen_df(g):
+        return spark.range(n_rows).select(
+            F.col("id").alias("k"),
+            F.lit(g).cast("long").alias("generation"),
+        )
+
+    jdbc_publish(gen_df(1), url, "served", props)
+
+    stop = threading.Event()
+    observed: list[tuple] = []
+    clean_errors: list[str] = []
+
+    def reader():
+        jvm = spark._jvm
+        jvm.java.lang.Class.forName(props["driver"])
+        while not stop.is_set():
+            try:
+                conn = jvm.java.sql.DriverManager.getConnection(url)
+                try:
+                    st = conn.createStatement()
+                    # Spark's JDBC writer quotes identifiers, so the
+                    # column is case-sensitive lowercase in Derby
+                    rs = st.executeQuery(
+                        'SELECT COUNT(*), MIN("generation"),'
+                        ' MAX("generation") FROM served'
+                    )
+                    rs.next()
+                    observed.append(
+                        (rs.getLong(1), rs.getLong(2), rs.getLong(3))
+                    )
+                    rs.close()
+                    st.close()
+                finally:
+                    conn.close()
+            except Exception as exc:  # clean failure is allowed
+                clean_errors.append(str(exc))
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        for g in range(2, 6):
+            jdbc_publish(gen_df(g), url, "served", props)
+    finally:
+        stop.set()
+        t.join(timeout=60)
+
+    assert observed, "reader never completed a single read"
+    for n, lo, hi in observed:
+        assert lo == hi, f"mixed generations in one read: {lo}..{hi}"
+        assert n == n_rows, f"partial snapshot: {n}/{n_rows} rows"
+    # the final state is the last generation, complete
+    final = spark.read.jdbc(url, "served", properties=props)
+    assert final.count() == n_rows
+    assert final.agg(F.min("generation"), F.max("generation")).collect()[
+        0
+    ] == (5, 5)
