@@ -438,10 +438,15 @@ def s21_jdbc_serving_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions to exercise concurrent writers); an embedded
     single-JVM store only works in local mode — a cluster serving
     sink is the same two calls against a network DB, plus
-    ``partitionColumn`` bounds on the read side for parallel scans.
-    ``createTableColumnTypes`` pins VARCHAR over Derby's default CLOB
-    mapping for the string key (CLOBs cannot be compared or grouped)."""
-    from omniengine_spark.sources.sinks import scratch_dir
+    ``partitionColumn`` bounds on the read side for parallel scans
+    (``s21b``).  ``createTableColumnTypes`` pins VARCHAR over Derby's
+    default CLOB mapping for the string key (CLOBs cannot be compared
+    or grouped).  The write goes through ``sinks.jdbc_publish`` —
+    staging table + one-DDL-transaction rename swap — because a plain
+    ``mode="overwrite"`` commits one transaction PER PARTITION and a
+    racing reader can observe k-of-4 partition subsets
+    (tests/test_warehouse.py pins the swap's atomicity)."""
+    from omniengine_spark.sources.sinks import jdbc_publish, scratch_dir
 
     base = scratch_dir("jdbc-serve")
     # derby.log (and any relative DB path) lands in the scratch dir,
@@ -463,12 +468,12 @@ def s21_jdbc_serving_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
-    (
-        agg.repartition(4)
-        .write.option(
-            "createTableColumnTypes", "event_type VARCHAR(32)"
-        )
-        .jdbc(url, "user_balances", mode="overwrite", properties=props)
+    jdbc_publish(
+        agg,
+        url,
+        "user_balances",
+        props,
+        create_column_types="event_type VARCHAR(32)",
     )
     return spark.read.jdbc(url, "user_balances", properties=props)
 
@@ -725,7 +730,7 @@ def s21b_jdbc_parallel_read(
     writers on table locks but handles concurrent READ cursors fine —
     the parallel scan is real even single-node, and against Postgres
     it is the same calls with a URL swap."""
-    from omniengine_spark.sources.sinks import scratch_dir
+    from omniengine_spark.sources.sinks import jdbc_publish, scratch_dir
 
     base = scratch_dir("jdbc-serve-par")
     spark._jvm.System.setProperty("derby.system.home", base)
@@ -745,12 +750,12 @@ def s21b_jdbc_parallel_read(
             F.count(F.lit(1)).alias("n_events"),
         )
     )
-    (
-        agg.repartition(4)
-        .write.option(
-            "createTableColumnTypes", "event_type VARCHAR(32)"
-        )
-        .jdbc(url, "user_balances", mode="overwrite", properties=props)
+    jdbc_publish(
+        agg,
+        url,
+        "user_balances",
+        props,
+        create_column_types="event_type VARCHAR(32)",
     )
     # bounds from the store (one 1-row pushed-down aggregate — the
     # dbtable subquery runs inside Derby, not in Spark)

@@ -771,8 +771,28 @@ def compact(
     compaction read but BEFORE its publish still chains off the old
     tip, so no data is lost — only the compaction's snapshot is then
     stale-tipped, and readers resolve the (higher) delta version.
-    Returns the snapshot's version number."""
+    Returns the snapshot's version number.
+
+    ``stats_cols=None`` (the default) carries the SKIPPING LAYER
+    through the squash: the snapshot re-scrapes footer stats for the
+    union of stat columns recorded across the current chain's
+    manifests.  Without this, the routine squash would silently
+    retire the stats manifest with the chain it replaces — pruned
+    reads fall back to keep-everything and ``stats_minmax`` anchors
+    fall back to table scans, exactly when the table got big enough
+    to compact.  Pass ``stats_cols=[]`` to deliberately drop stats."""
+    if stats_cols is None:
+        manifest = _load_manifest(path)
+        cols: set[str] = set()
+        for d in _version_dirs(path, manifest, manifest["current"]):
+            try:
+                blob = json.loads((Path(d) / _STATS).read_text())
+                cols |= set(blob.get("cols", []))
+            except (OSError, json.JSONDecodeError):
+                continue  # chain dirs without manifests contribute none
+        stats_cols = sorted(cols)
     return commit(
         read_version(spark, path), path, description,
-        partition_cols=partition_cols, stats_cols=stats_cols,
+        partition_cols=partition_cols,
+        stats_cols=stats_cols or None,
     )

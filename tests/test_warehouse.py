@@ -916,3 +916,57 @@ def test_jdbc_publish_atomic_under_reader_race(spark):
     assert final.agg(F.min("generation"), F.max("generation")).collect()[
         0
     ] == (5, 5)
+
+
+def test_compact_carries_stats_manifest_through_squash(spark, tmp_path):
+    """The LSM rhythm must not retire the skipping layer: delta
+    commits carry per-file stats manifests, and compact() (by
+    default) re-scrapes the SAME stat columns for its snapshot — a
+    squash that dropped them would silently turn pruned reads into
+    keep-everything scans and metadata anchors into table scans,
+    exactly when the table got big enough to compact."""
+    import datetime as dt
+
+    from omniengine_spark.sources import versioned as V
+
+    tbl = str(tmp_path / "tbl")
+    days = [dt.datetime(2024, 1, d + 1) for d in range(8)]
+    df = spark.createDataFrame(
+        [(i, days[i % 8]) for i in range(64)], "id long, ts timestamp"
+    )
+    V.commit(
+        df.filter(F.col("ts") < F.lit(days[4]))
+        .repartitionByRange(4, "ts"),
+        tbl,
+        "base",
+        stats_cols=["ts"],
+    )
+    V.commit(
+        df.filter(F.col("ts") >= F.lit(days[4]))
+        .repartitionByRange(4, "ts"),
+        tbl,
+        "delta",
+        base_version=V.current_version(tbl),
+        stats_cols=["ts"],
+    )
+    rng_before = V.stats_minmax(tbl, "ts")
+    assert rng_before is not None
+
+    snap = V.compact(spark, tbl, "squash")
+    V.vacuum(tbl, keep_last=1, orphan_ttl_s=0.0)
+    assert [e["version"] for e in V.version_history(tbl)] == [snap]
+
+    # anchor still provable from metadata, same range as pre-squash
+    rng = V.stats_minmax(tbl, "ts")
+    assert rng == rng_before
+    # and the window read still skips files
+    lo = rng[1] - dt.timedelta(days=1)
+    kept, total = V.pruned_files(tbl, {"ts": (lo, None)})
+    assert 0 < len(kept) < total
+
+    # explicit opt-out: stats_cols=[] drops the manifest deliberately
+    V.commit(
+        df.limit(1), tbl, "delta2", base_version=snap, stats_cols=["ts"]
+    )
+    snap2 = V.compact(spark, tbl, "squash-nostats", stats_cols=[])
+    assert V.stats_minmax(tbl, "ts", version=snap2) is None
