@@ -378,38 +378,47 @@ def pruned_files(
             ]
         for rel in rels:
             total += 1
-            per_col = stats.get(rel, {})
-            keep = True
-            for col, ((qlo, dlo), (qhi, dhi)) in bounds.items():
-                if col not in per_col:
-                    continue
-                entry = per_col[col]
-                # legacy 2-element stats carry no domain tag: only
-                # str is inferable from the value shape, so EVERY
-                # non-str legacy entry gets domain None and prunes
-                # against nothing — numeric bounds included, not just
-                # the date/ts ambiguity that motivates the rule (a
-                # legacy number could be an ordinal, an epoch, or an
-                # amount; guessing "num" would order a date-ordinal
-                # stat against an amount bound).  Safe direction:
-                # files are kept, pruning is lost until the dir is
-                # re-committed with a domain-tagged manifest.
-                fdom = entry[2] if len(entry) > 2 else (
-                    "str" if isinstance(entry[0], str) else None
-                )
-                if qlo is not None and dlo != fdom:
-                    continue
-                if qhi is not None and dhi != fdom:
-                    continue
-                flo, fhi = _widen(entry[0], entry[1])
-                if (qlo is not None and fhi < qlo) or (
-                    qhi is not None and flo > qhi
-                ):
-                    keep = False
-                    break
-            if keep:
+            if _keep_file(stats.get(rel, {}), bounds):
                 kept.append(str(ddir / rel))
     return kept, total
+
+
+def _keep_file(per_col: dict, bounds: dict) -> bool:
+    """The pruning kernel: may this file contain a row inside every
+    queried interval?  ``per_col`` maps column → manifest stat entry,
+    ``bounds`` maps column → normalized ``((lo, lo_dom), (hi,
+    hi_dom))``.  SAFETY invariant (property-tested in
+    tests/test_invariants.py): a file whose data contains ANY row
+    matching the intervals is always kept — pruning may only ever
+    drop provably-miss files.  Keep on every doubt: missing stats,
+    domain mismatch, legacy untagged entries."""
+    for col, ((qlo, dlo), (qhi, dhi)) in bounds.items():
+        if col not in per_col:
+            continue
+        entry = per_col[col]
+        # legacy 2-element stats carry no domain tag: only
+        # str is inferable from the value shape, so EVERY
+        # non-str legacy entry gets domain None and prunes
+        # against nothing — numeric bounds included, not just
+        # the date/ts ambiguity that motivates the rule (a
+        # legacy number could be an ordinal, an epoch, or an
+        # amount; guessing "num" would order a date-ordinal
+        # stat against an amount bound).  Safe direction:
+        # files are kept, pruning is lost until the dir is
+        # re-committed with a domain-tagged manifest.
+        fdom = entry[2] if len(entry) > 2 else (
+            "str" if isinstance(entry[0], str) else None
+        )
+        if qlo is not None and dlo != fdom:
+            continue
+        if qhi is not None and dhi != fdom:
+            continue
+        flo, fhi = _widen(entry[0], entry[1])
+        if (qlo is not None and fhi < qlo) or (
+            qhi is not None and flo > qhi
+        ):
+            return False
+    return True
 
 
 def _denorm_stat(v, dom):

@@ -504,3 +504,111 @@ def test_frozen_rule_invariants_seeded(spark, seed):
         assert sum(want) == sum(
             d for kind, d in entries if kind == "delta"
         ), (seed, addr)
+
+
+# ---- file-skipping safety (S14/P6 data-skipping layer) -------------
+#
+# pruned_files may only ever drop files PROVABLY outside the queried
+# intervals: a file whose data contains any matching row must always
+# be kept, whatever the mix of value domains, legacy (untagged)
+# manifest entries, tz-aware/naive bounds, and one-sided intervals.
+# The kernel is pure (versioned._keep_file), so hypothesis can hammer
+# it without Spark or a filesystem.
+
+import datetime as _dt
+
+_UTC = _dt.timezone.utc
+
+_VALUE_STRATEGIES = {
+    "num": st.one_of(
+        st.integers(-(10**18), 10**18),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+    ),
+    "ts": st.datetimes(
+        min_value=_dt.datetime(1971, 1, 1),
+        max_value=_dt.datetime(2200, 1, 1),
+        timezones=st.just(_UTC),
+    ),
+    "date": st.dates(
+        min_value=_dt.date(1971, 1, 1), max_value=_dt.date(2200, 1, 1)
+    ),
+    "str": st.text(max_size=8),
+}
+
+
+@st.composite
+def _skipping_case(draw):
+    vdom = draw(st.sampled_from(sorted(_VALUE_STRATEGIES)))
+    bdom = draw(st.sampled_from(sorted(_VALUE_STRATEGIES)))
+    vals = draw(
+        st.lists(_VALUE_STRATEGIES[vdom], min_size=1, max_size=12)
+    )
+    lo = draw(st.none() | _VALUE_STRATEGIES[bdom])
+    hi = draw(st.none() | _VALUE_STRATEGIES[bdom])
+    # naive-datetime bounds exercise the ±1 day widening path
+    if bdom == "ts" and draw(st.booleans()):
+        lo = lo.replace(tzinfo=None) if lo is not None else None
+        hi = hi.replace(tzinfo=None) if hi is not None else None
+    legacy = draw(st.booleans())
+    return vals, lo, hi, legacy
+
+
+@given(_skipping_case())
+@settings(max_examples=400, suppress_health_check=[HealthCheck.too_slow])
+def test_file_skipping_never_drops_a_matching_file(case):
+    from omniengine_spark.sources import versioned as V
+
+    vals, lo, hi, legacy = case
+    normed = [V._norm_stat(v) for v in vals]
+    nvals = [nv for nv, _ in normed]
+    vdom = normed[0][1]
+    entry = [min(nvals), max(nvals)]
+    if not legacy:
+        entry.append(vdom)
+    bounds = {
+        "c": (
+            V._norm_bound(lo, col="c", side="lo"),
+            V._norm_bound(hi, col="c", side="hi"),
+        )
+    }
+    keep = V._keep_file({"c": entry}, bounds)
+
+    (qlo, dlo), (qhi, dhi) = bounds["c"]
+
+    def matches(nv):
+        # the engine's own interval semantics, in normalized space:
+        # a bound constrains only same-domain values
+        if qlo is not None and dlo == vdom and nv < qlo:
+            return False
+        if qhi is not None and dhi == vdom and nv > qhi:
+            return False
+        return True
+
+    if any(matches(nv) for nv in nvals):
+        assert keep, (
+            f"pruning dropped a file containing a matching row: "
+            f"entry={entry} bounds={bounds}"
+        )
+    # domain mismatch must never prune (bounds are no-ops for the
+    # file's domain, so every row trivially matches — covered above,
+    # stated explicitly for the reader):
+    if vdom not in (dlo, dhi):
+        assert keep
+    # legacy non-str entries must never prune against typed bounds
+    if legacy and vdom != "str" and (qlo is not None or qhi is not None):
+        assert keep
+
+
+@given(_skipping_case())
+@settings(max_examples=200, suppress_health_check=[HealthCheck.too_slow])
+def test_file_skipping_missing_stats_always_keep(case):
+    from omniengine_spark.sources import versioned as V
+
+    _vals, lo, hi, _legacy = case
+    bounds = {
+        "c": (
+            V._norm_bound(lo, col="c", side="lo"),
+            V._norm_bound(hi, col="c", side="hi"),
+        )
+    }
+    assert V._keep_file({}, bounds)  # no stats for the column
