@@ -670,8 +670,8 @@ def x1c_incremental_pruned_resume(
     """X1/A1 with BOTH incremental legs on planning-time metadata:
     the watermark between batches comes from the base version's stats
     manifest (``stats_minmax`` — the reference's resume loop reads
-    ``max(blocknumber)+1`` with a table scan, ``omniEngine.py:60-69``
-    + ``sql.py:1225``), and the post-resume rollup reads the
+    ``max(blocknumber)+1`` with a table scan, ``omniEngine.py:60-69``),
+    and the post-resume rollup reads the
     versioned book PRUNED to files past the watermark — the delta
     dir's files plus at most the base's boundary file, never the
     archive.  ``x1b_incremental_batch`` proves incremental == one-

@@ -760,6 +760,8 @@ def compact(
     description: str = "compaction",
     partition_cols: list[str] | None = None,
     stats_cols: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    n_files: int | None = None,
 ) -> int:
     """Squash the current delta chain into one snapshot version.
 
@@ -789,7 +791,30 @@ def compact(
     retire the stats manifest with the chain it replaces — pruned
     reads fall back to keep-everything and ``stats_minmax`` anchors
     fall back to table scans, exactly when the table got big enough
-    to compact.  Pass ``stats_cols=[]`` to deliberately drop stats."""
+    to compact.  Pass ``stats_cols=[]`` to deliberately drop stats.
+
+    ``cluster_by`` range-partitions the snapshot on those columns
+    (``n_files`` output files; default: the chain's current parquet
+    file count) — carrying stats forward is not enough if the squash
+    SCRAMBLES the layout: a rewrite that packs day-ranged input files
+    into arbitrary output splits gives every output file a near-full
+    min/max window, so the manifest survives but prunes nothing.
+    Clustered compaction keeps the per-file windows as tight as the
+    ingests wrote them (the OPTIMIZE ... ZORDER/CLUSTER BY rhythm of
+    the lakehouse engines)."""
+    if cluster_by:
+        if n_files is None:
+            manifest = _load_manifest(path)
+            n_files = max(
+                1,
+                sum(
+                    1
+                    for d in _version_dirs(
+                        path, manifest, manifest["current"]
+                    )
+                    for _ in Path(d).rglob("*.parquet")
+                ),
+            )
     if stats_cols is None:
         manifest = _load_manifest(path)
         cols: set[str] = set()
@@ -800,8 +825,11 @@ def compact(
             except (OSError, json.JSONDecodeError):
                 continue  # chain dirs without manifests contribute none
         stats_cols = sorted(cols)
+    content = read_version(spark, path)
+    if cluster_by:
+        content = content.repartitionByRange(n_files, *cluster_by)
     return commit(
-        read_version(spark, path), path, description,
+        content, path, description,
         partition_cols=partition_cols,
         stats_cols=stats_cols or None,
     )

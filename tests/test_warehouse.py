@@ -970,3 +970,46 @@ def test_compact_carries_stats_manifest_through_squash(spark, tmp_path):
     )
     snap2 = V.compact(spark, tbl, "squash-nostats", stats_cols=[])
     assert V.stats_minmax(tbl, "ts", version=snap2) is None
+
+
+def test_compact_clustered_keeps_pruning_tight(spark, tmp_path):
+    """Carrying stats through the squash is not enough if the rewrite
+    scrambles the layout (every output file then spans near the full
+    ts range — manifest intact, pruning useless).  cluster_by range-
+    partitions the snapshot, so a narrow window keeps FEW files, not
+    merely fewer-than-all."""
+    import datetime as dt
+
+    from omniengine_spark.sources import versioned as V
+
+    tbl = str(tmp_path / "tbl")
+    n_days = 32
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(days=i % n_days))
+        for i in range(n_days * 8)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    half = dt.datetime(2024, 1, 1) + dt.timedelta(days=n_days // 2)
+    V.commit(
+        df.filter(F.col("ts") < F.lit(half)).repartitionByRange(8, "ts"),
+        tbl, "base", stats_cols=["ts"],
+    )
+    V.commit(
+        df.filter(F.col("ts") >= F.lit(half)).repartitionByRange(8, "ts"),
+        tbl, "delta", base_version=V.current_version(tbl),
+        stats_cols=["ts"],
+    )
+    V.compact(spark, tbl, "squash", cluster_by=["ts"])
+    V.vacuum(tbl, keep_last=1, orphan_ttl_s=0.0)
+
+    rng = V.stats_minmax(tbl, "ts")
+    assert rng is not None
+    kept, total = V.pruned_files(
+        tbl, {"ts": (rng[1] - dt.timedelta(days=1), None)}
+    )
+    # 32 days over ~16 clustered files → a 1-day tail keeps O(1)
+    # files, not merely < total
+    assert total >= 12
+    assert 0 < len(kept) <= 3
+    # content survived the clustered rewrite
+    assert V.read_version(spark, tbl).count() == n_days * 8
