@@ -70,56 +70,29 @@ _TIMING_SEMANTICS = 2
 _LINE_BUDGET = 1500
 
 
-def compact_line(
-    *,
-    total: float,
-    value_norm: float,
-    timings: dict[str, float],
-    n_reruns: int,
-    build_cold_total: float,
-    calib_sec: list[float],
-    loadavg: list[float],
-    probe_ref_sec: float,
-    sf: str,
-) -> str:
-    """The ONE stdout JSON line, guaranteed ≤ _LINE_BUDGET chars: the
-    headline numbers plus the top-N slowest queries, with everything
-    below the cut folded into ``_fast_bucket``.  N starts at 15 and
-    shrinks until the line fits — long plan names can't overflow the
-    driver's tail window again (BENCH_r01/BENCH_r10 failure mode).
-    Full per-query detail lives in tools/bench_full.json."""
+def compact_line(base: dict, timings: dict[str, float]) -> str:
+    """The ONE stdout JSON line, ≤ _LINE_BUDGET chars whenever the
+    fixed fields allow it: ``base`` (the headline record shared
+    verbatim with the detail file, so the two cannot drift) plus the
+    top-N slowest queries, with everything below the cut folded into
+    ``_fast_bucket``.  N starts at 15 and shrinks until the line
+    fits — long plan names can't overflow the driver's tail window
+    again (BENCH_r01/BENCH_r10 failure mode).  Degrades rather than
+    raises: if even a single-query line is over budget, the headline
+    goes out with ``queries={}`` — a truncated summary beats handing
+    the driver a traceback (parsed:null) after the whole sweep
+    already ran.  Full per-query detail lives in the ``detail_file``."""
     ranked = sorted(timings.items(), key=lambda kv: -kv[1])
-    for top_n in range(15, 0, -1):
+    for top_n in range(15, -1, -1):
         slow = dict(ranked[:top_n])
         queries_out = dict(slow)
         rest = [t for n, t in timings.items() if n not in slow]
-        if rest:
+        if rest and top_n:
             queries_out["_fast_bucket"] = round(sum(rest), 3)
             queries_out["_fast_bucket_n"] = len(rest)
-        line = json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "value_calib_norm": value_norm,
-                "timing_semantics": _TIMING_SEMANTICS,
-                "n_queries": len(timings),
-                "n_reruns": n_reruns,
-                "build_cold_total": build_cold_total,
-                "calib_sec": calib_sec,
-                "loadavg": loadavg,
-                "probe_ref_sec": probe_ref_sec,
-                "detail_file": "tools/bench_full.json",
-                "queries": queries_out,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-        if len(line) <= _LINE_BUDGET:
+        line = json.dumps({**base, "queries": queries_out})
+        if len(line) <= _LINE_BUDGET or top_n == 0:
             return line
-    raise AssertionError(
-        f"bench summary line exceeds {_LINE_BUDGET} chars even with "
-        "a single query listed — shrink the fixed fields"
-    )
 
 
 def main() -> None:
@@ -300,47 +273,43 @@ def main() -> None:
     calib_mean = (calib_before + calib_after) / 2
     value_norm = round(total * (_CALIB_QUIET_SEC / calib_mean), 3)
 
-    # Full per-query detail (every timing, phase split, probe ratio,
-    # rerun record) goes to a tools artifact — BENCH_r10 came back
-    # parsed:null because this detail inlined in the stdout line
-    # overflowed the driver's 2000-char tail window (same failure as
-    # BENCH_r01).  The stdout line is a compact, budgeted summary.
-    detail = {
+    # ONE base record shared verbatim by the stdout line and the
+    # detail artifact, so the two cannot drift.  Full per-query
+    # detail (every timing, phase split, probe ratio, rerun record)
+    # goes to the tools artifact — BENCH_r10 came back parsed:null
+    # because this detail inlined in the stdout line overflowed the
+    # driver's 2000-char tail window (same failure as BENCH_r01);
+    # the stdout line is a compact, budgeted summary.
+    base = {
         "metric": "total_query_wall_clock",
         "value": total,
         "unit": "sec",
         "value_calib_norm": value_norm,
         "timing_semantics": _TIMING_SEMANTICS,
         "n_queries": len(timings),
+        "n_reruns": len(reruns),
+        "build_cold_total": build_cold_total,
         "calib_sec": [calib_before, calib_after],
-        "calib_quiet_sec": _CALIB_QUIET_SEC,
         "loadavg": loadavg,
         "probe_ref_sec": round(probe_ref, 4),
+        "detail_file": "tools/bench_full.json",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    detail = {
+        **base,
+        "calib_quiet_sec": _CALIB_QUIET_SEC,
         "probe_ratio": {
             n: round(min(ps) / probe_ref, 2)
             for n, ps in run_probes.items()
         },
         "phases": phases,
-        "build_cold_total": build_cold_total,
         "reruns": reruns,
         "timings": dict(sorted(timings.items(), key=lambda kv: -kv[1])),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     detail_file = Path(_REPO) / "tools" / "bench_full.json"
     detail_file.write_text(json.dumps(detail, indent=1) + "\n")
 
-    line = compact_line(
-        total=total,
-        value_norm=value_norm,
-        timings=timings,
-        n_reruns=len(reruns),
-        build_cold_total=build_cold_total,
-        calib_sec=[calib_before, calib_after],
-        loadavg=loadavg,
-        probe_ref_sec=round(probe_ref, 4),
-        sf=sf,
-    )
-    print(line)
+    print(compact_line(base, timings))
     spark.stop()
 
 

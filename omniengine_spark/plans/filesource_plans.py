@@ -345,6 +345,11 @@ def _book_anchor(spark: SparkSession, path: str):
         .agg(F.max(epoch_us("ts")).alias("us"))
         .collect()[0][0]
     )
+    if us is None:
+        raise ValueError(
+            f"events book at {path} is empty: no anchor to serve "
+            "a trailing window from"
+        )
     return dt.datetime(
         1970, 1, 1, tzinfo=dt.timezone.utc
     ) + dt.timedelta(microseconds=us)
@@ -767,6 +772,11 @@ def s21b_jdbc_parallel_read(
             properties=props,
         ).collect()[0]
     )
+    if lo is None or hi is None:
+        raise ValueError(
+            "serving table user_balances is empty: no partition "
+            "bounds to derive"
+        )
     return spark.read.jdbc(
         url,
         "user_balances",

@@ -262,7 +262,15 @@ def jdbc_publish(
     jvm = spark._jvm
     if "driver" in properties:
         jvm.java.lang.Class.forName(properties["driver"])
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    # the swap connection must carry the SAME properties as the
+    # staging write (user/password/options) — a bare
+    # getConnection(url) only works on auth-less embedded Derby and
+    # would fail the "Postgres is a URL swap" contract at publish
+    # time, stranding the staging table
+    jprops = jvm.java.util.Properties()
+    for k, v in properties.items():
+        jprops.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:
         conn.setAutoCommit(False)
         stmt = conn.createStatement()

@@ -802,30 +802,30 @@ def compact(
     Clustered compaction keeps the per-file windows as tight as the
     ingests wrote them (the OPTIMIZE ... ZORDER/CLUSTER BY rhythm of
     the lakehouse engines)."""
-    if cluster_by:
-        if n_files is None:
-            manifest = _load_manifest(path)
-            n_files = max(
-                1,
-                sum(
-                    1
-                    for d in _version_dirs(
-                        path, manifest, manifest["current"]
-                    )
-                    for _ in Path(d).rglob("*.parquet")
-                ),
-            )
+    # ONE manifest read pins the version being squashed: n_files, the
+    # stats-column union, AND the content read must all see the same
+    # chain — a delta landing mid-compact would otherwise put its
+    # rows in the snapshot while the union missed its (possibly
+    # first-of-a-column) stats, silently dropping that column's
+    # skipping layer.
+    manifest = _load_manifest(path)
+    v = manifest["current"]
+    dirs = _version_dirs(path, manifest, v)
+    if cluster_by and n_files is None:
+        n_files = max(
+            1,
+            sum(1 for d in dirs for _ in Path(d).rglob("*.parquet")),
+        )
     if stats_cols is None:
-        manifest = _load_manifest(path)
         cols: set[str] = set()
-        for d in _version_dirs(path, manifest, manifest["current"]):
+        for d in dirs:
             try:
                 blob = json.loads((Path(d) / _STATS).read_text())
                 cols |= set(blob.get("cols", []))
             except (OSError, json.JSONDecodeError):
                 continue  # chain dirs without manifests contribute none
         stats_cols = sorted(cols)
-    content = read_version(spark, path)
+    content = read_version(spark, path, version=v)
     if cluster_by:
         content = content.repartitionByRange(n_files, *cluster_by)
     return commit(

@@ -175,8 +175,7 @@ def phase_query(data: str, root: str) -> dict:
 
     from omniengine_spark.sources import versioned as V
 
-    spark = _spark()
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark = _spark()  # get_spark pins session tz UTC (session.py)
 
     # warm the parquet reader / codegen / agg pathway on a throwaway
     # 1-row table so the FIRST timed query isn't charged for JVM
