@@ -206,14 +206,22 @@ def _norm_stat(v):
     (amounts are int64 — float would mis-prune at 9.2e18), floats
     stay floats, Decimal → float (callers widen at the boundary) —
     all domain ``'num'``; date → ordinal day (domain ``'date'``),
-    datetime → epoch seconds (domain ``'ts'``), str → str (domain
+    datetime → INTEGER epoch microseconds (domain ``'tsu'`` —
+    float epoch SECONDS, the pre-round-11 ``'ts'`` encoding, loses
+    sub-µs exactness past year ~2260 where the float ulp exceeds
+    0.5 µs, so an anchor read back from the manifest could sit 1 µs
+    off the true max and flip a boundary row; integer micros are
+    exact forever and need no float widening), str → str (domain
     ``'str'``).  Values only ever compare WITHIN a domain — a date
-    ordinal (~739000) and an epoch-seconds timestamp (~1.7e9) are
-    both plain numbers, and ordering them against each other would
-    deterministically skip every file (dropping all data) instead of
-    failing safe.  Returns ``(None, None)`` for types we refuse to
-    order (bytes, nested, bool) — the file is kept / the bound side
-    is unbounded."""
+    ordinal (~739000), an epoch-micros timestamp (~1.7e15), and a
+    legacy epoch-seconds one (~1.7e9) are all plain numbers, and
+    ordering them against each other would deterministically skip
+    every file (dropping all data) instead of failing safe; legacy
+    ``'ts'`` manifest entries therefore never order against new
+    ``'tsu'`` bounds — those files are KEPT until re-committed (the
+    same safe-degradation contract as untagged legacy entries).
+    Returns ``(None, None)`` for types we refuse to order (bytes,
+    nested, bool) — the file is kept / the bound side is unbounded."""
     if isinstance(v, bool) or v is None:
         return None, None
     if isinstance(v, (int, float)):
@@ -223,7 +231,9 @@ def _norm_stat(v):
     if isinstance(v, _dt.datetime):
         if v.tzinfo is None:
             v = v.replace(tzinfo=_dt.timezone.utc)
-        return v.timestamp(), "ts"
+        return (
+            v - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        ) // _dt.timedelta(microseconds=1), "tsu"
     if isinstance(v, _dt.date):
         return v.toordinal(), "date"
     if isinstance(v, str):
@@ -244,7 +254,7 @@ def _norm_bound(v, *, col: str, side: str):
     here it's a loud TypeError.  Naive datetimes additionally widen
     OUTWARD by a full day: Spark interprets naive timestamp literals
     in the session timezone while footer stats are UTC-normalized
-    epoch seconds, so a naive bound can be off by up to ±14 h — a
+    epoch micros, so a naive bound can be off by up to ±14 h — a
     day's slack keeps boundary files un-skippable at the cost of at
     most two extra files per chain (tz-aware datetimes stay exact)."""
     if v is None:
@@ -258,8 +268,9 @@ def _norm_bound(v, *, col: str, side: str):
             " disabled on that side — pass int/float/Decimal/str/"
             "date/datetime or None"
         )
-    if naive:
-        nv = nv - 86400.0 if side == "lo" else nv + 86400.0
+    if naive:  # domain is tsu: integer epoch micros
+        day_us = 86_400_000_000
+        nv = nv - day_us if side == "lo" else nv + day_us
     return nv, dom
 
 
@@ -313,9 +324,11 @@ def _scrape_stats(version_dir: Path, cols: list[str]) -> dict:
 
 
 def _widen(lo, hi):
-    """Decimal/timestamp stats pass through float: widen the file
-    interval by a relative epsilon so a boundary row can never be
-    wrongly skipped (ints and strings pass through exact)."""
+    """Decimal stats (and legacy float-seconds ts entries) pass
+    through float: widen the file interval by a relative epsilon so a
+    boundary row can never be wrongly skipped (ints — including tsu
+    epoch-micros and date ordinals — and strings pass through
+    exact)."""
     if isinstance(lo, float):
         eps = abs(lo) * 1e-9 + 1e-9
         lo = lo - eps
@@ -336,7 +349,7 @@ def pruned_files(
     is kept unless SOME predicate column has stats proving the file's
     range misses the query interval — missing stats always keep, and
     a bound is only ever compared against a stat of the SAME value
-    domain (a date-ordinal stat never orders against an epoch-seconds
+    domain (a date-ordinal stat never orders against an epoch-micros
     bound; the file is kept instead).  A non-None bound of an
     un-orderable type is a TypeError — that's a caller mistake, not a
     footer gap, and silently treating it as unbounded would disable
@@ -423,7 +436,15 @@ def _keep_file(per_col: dict, bounds: dict) -> bool:
 
 def _denorm_stat(v, dom):
     """Inverse of ``_norm_stat`` for manifest values: back to the
-    Python type a caller can hand to ``pruned_files`` bounds."""
+    Python type a caller can hand to ``pruned_files`` bounds.
+    ``tsu`` (integer epoch micros) inverts exactly at any year;
+    ``ts`` (legacy float epoch seconds) is kept readable for
+    pre-round-11 manifests — exact only while the float ulp stays
+    under 0.5 µs (until ~2260)."""
+    if dom == "tsu":
+        return _dt.datetime(
+            1970, 1, 1, tzinfo=_dt.timezone.utc
+        ) + _dt.timedelta(microseconds=int(v))
     if dom == "ts":
         return _dt.datetime.fromtimestamp(v, tz=_dt.timezone.utc)
     if dom == "date":
@@ -449,8 +470,9 @@ def stats_minmax(
     footer min/max for string/binary may be TRUNCATED bounds, so a
     str "max" can be a value that exists in no row; bounds are fine
     for pruning (``pruned_files`` keeps anything inside them) but not
-    for an anchor that must be a witnessed value.  num/ts/date stats
-    are exact.  Callers must treat ``None`` as "compute the anchor
+    for an anchor that must be a witnessed value.  num/date stats and
+    tsu (integer epoch-micros) stats are exact at any year; legacy
+    float-seconds ts entries stay readable.  Callers must treat ``None`` as "compute the anchor
     from data"."""
     manifest = _load_manifest(path)
     v = manifest["current"] if version is None else version

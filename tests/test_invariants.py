@@ -612,3 +612,46 @@ def test_file_skipping_missing_stats_always_keep(case):
         )
     }
     assert V._keep_file({}, bounds)  # no stats for the column
+
+
+@given(
+    st.datetimes(
+        min_value=_dt.datetime(1971, 1, 1),
+        max_value=_dt.datetime(3000, 1, 1),
+        timezones=st.just(_UTC),
+    )
+)
+@settings(max_examples=300)
+def test_ts_stat_roundtrip_exact_at_any_year(v):
+    """The manifest anchor must be a WITNESSED value: tsu stats are
+    integer epoch micros, so norm→denorm is exact at any year.  (The
+    pre-round-11 float-seconds encoding drifted 1 µs past ~2260,
+    enough to flip a boundary row between a pruned plan and its
+    oracle.)"""
+    from omniengine_spark.sources import versioned as V
+
+    nv, dom = V._norm_stat(v)
+    assert dom == "tsu" and isinstance(nv, int)
+    assert V._denorm_stat(nv, dom) == v
+
+
+def test_legacy_float_ts_entries_never_prune_against_tsu_bounds():
+    """Pre-round-11 manifests stored ts stats as float epoch SECONDS
+    under domain 'ts'; new bounds normalize to integer epoch MICROS
+    under 'tsu'.  The two must never order against each other (a
+    seconds stat vs a micros bound would prune every file): domain
+    mismatch keeps the file, pruning degrades safely until the dir is
+    re-committed."""
+    import datetime as dt
+
+    from omniengine_spark.sources import versioned as V
+
+    bound = V._norm_bound(
+        dt.datetime(2024, 1, 15, tzinfo=dt.timezone.utc),
+        col="ts", side="lo",
+    )
+    # legacy entry: file range Jan 1-10 2024 in float seconds — far
+    # below the bound's micros value numerically, and provably
+    # outside the interval semantically; must be KEPT regardless
+    legacy_entry = [1704067200.0, 1704844800.0, "ts"]
+    assert V._keep_file({"ts": legacy_entry}, {"ts": (bound, (None, None))})

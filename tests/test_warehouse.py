@@ -739,7 +739,7 @@ def test_stats_pruning_domains_and_bound_validation(spark, tmp_path):
     assert stats["complete"] is True and len(stats["files"]) == 6
     # every stat carries its domain tag
     assert all(
-        e["ts"][2] == "ts" and e["k"][2] == "num"
+        e["ts"][2] == "tsu" and e["k"][2] == "num"
         for e in stats["files"].values()
     )
 
