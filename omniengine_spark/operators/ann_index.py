@@ -215,3 +215,309 @@ def in_cluster_drops(
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistent multi-probe LSH index — the serving-shaped counterpart
+# of ``similarity.lsh_ann_topk``.  The one-shot plan recomputes every
+# table's bucket keys for the WHOLE corpus inside each query (its
+# "index" and its answer are the same self-join); here the bucket
+# entries are built once, persisted as a versioned warehouse table,
+# and each query batch probes only its home + multi-probe buckets.
+#
+# Two things must FREEZE with the index or every persisted key goes
+# stale:
+#   * the hyperplanes (md5-derived from the seed — already frozen by
+#     construction), and
+#   * the ACTIVE BIT COUNT.  The one-shot plan adapts
+#     n_act = max(4, ceil(log2(N/64))) to the data it sees; an index
+#     that re-derived n_act on append would re-key EVERY existing
+#     entry the moment the corpus crossed a power-of-two boundary
+#     (the IVF analogue is re-seeding centroids).  ``lsh_active_bits``
+#     is computed from the BASE corpus at build time, recorded in the
+#     commit tag, and appends assign against it — per-shard cost is
+#     |shard|·T·n_act dots, never N·anything.
+#
+# Physical layout: entries partition by (t, shard) where shard is the
+# TOP ``shard_bits`` active bits of the bucket — so the directory
+# count is T·2^shard_bits (64 at the defaults) at ANY corpus size,
+# while bucket order within a shard keeps parquet row-group stats
+# tight.  A query batch's probe set covers at most
+# T·(1+n_probes)·|batch| (t, shard) pairs, and ``lsh_query_index``
+# turns that set into a static partition-column predicate — the scan
+# prunes to the probed directories at planning time, the same
+# file-level skipping contract as the IVF cluster partitions.
+#
+# Reference: no index lifecycle exists in the reference (state is
+# re-derived per query, sql.py:85-218); this is the 100 TB serving
+# capability added on top, mirrored on sim_ivf_index_*.
+# ---------------------------------------------------------------------------
+
+
+def lsh_active_bits(
+    n: int, occupancy: int = 64, floor_bits: int = 4
+) -> int:
+    """Python twin of ``similarity.adaptive_planes_sql`` — the
+    smallest p with 2^p >= ceil(n / occupancy), floored.  Must track
+    the SQL fragment exactly (same ceil-div, same bin-length-of-zero
+    = 1 edge) so a frozen index and its oracle agree on the mask."""
+    m = max((n + occupancy - 1) // occupancy, 1)
+    return max(floor_bits, (m - 1).bit_length() or 1)
+
+
+def lsh_keyed(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    n_tables: int = 4,
+    n_act: int = 4,
+    n_probes: int = 0,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, vec, nrm, t, bucket, home) rows under FROZEN planes
+    and a FROZEN active-bit count: the home bucket per table, plus
+    the ``n_probes`` Hamming-adjacent probe buckets (lowest-|margin|
+    active bits flipped, Lv et al.) when asked.  Bit-identical to the
+    adaptive one-shot path at the same n_act: same md5 planes, same
+    zip_with/aggregate dot folds, same (|margin|, plane) sort — so a
+    SQL oracle rebuilding the keys reproduces them exactly.
+
+    ``deterministic_planes`` hashes (seed, plane, component) only, so
+    generating just the first ``n_act`` planes yields the identical
+    constants the 16-plane one-shot path masks down to."""
+    from omniengine_spark.operators.similarity import (
+        deterministic_planes,
+    )
+
+    def dots_arr(t: int) -> F.Column:
+        planes = deterministic_planes(seed + t, n_act, dim)
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(c) for c in planes[p]]),
+                        lambda x, h: x.cast("double") * h,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for p in range(n_act)
+            ]
+        )
+
+    dotted = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        *[dots_arr(t).alias(f"dots{t}") for t in range(n_tables)],
+    )
+
+    def home_bucket(t: int) -> F.Column:
+        b = F.lit(0).cast("long")
+        for p in range(n_act):
+            b = b.bitwiseOR(
+                F.when(
+                    F.element_at(F.col(f"dots{t}"), p + 1) >= 0,
+                    F.lit(1 << p).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        return b
+
+    for t in range(n_tables):
+        dotted = dotted.withColumn(f"bkt{t}", home_bucket(t))
+
+    def probe_buckets(t: int) -> F.Column:
+        margins = F.array(
+            *[
+                F.struct(
+                    F.abs(
+                        F.element_at(F.col(f"dots{t}"), p + 1)
+                    ).alias("d"),
+                    F.lit(p).alias("p"),
+                    F.lit(1 << p).cast("long").alias("m"),
+                )
+                for p in range(n_act)
+            ]
+        )
+        return F.transform(
+            F.slice(F.array_sort(margins), 1, n_probes),
+            lambda x: F.col(f"bkt{t}").bitwiseXOR(x["m"]),
+        )
+
+    tb_arrays = [
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    F.col(f"bkt{t}").alias("bucket"),
+                    F.lit(True).alias("home"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+    ]
+    if n_probes > 0:
+        # closure factory, not `lambda b, t=t`: a two-parameter
+        # lambda under F.transform receives (element, index) and the
+        # array INDEX would silently replace the table id
+        def probe_struct(tt: int):
+            return lambda b: F.struct(
+                F.lit(tt).alias("t"),
+                b.alias("bucket"),
+                F.lit(False).alias("home"),
+            )
+
+        tb_arrays += [
+            F.transform(probe_buckets(t), probe_struct(t))
+            for t in range(n_tables)
+        ]
+    return dotted.select(
+        "vec_id",
+        "vec",
+        "nrm",
+        F.explode(F.concat(*tb_arrays)).alias("tb"),
+    ).select("vec_id", "vec", "nrm", "tb.t", "tb.bucket", "tb.home")
+
+
+def _shard_of(bucket: F.Column, n_act: int, shard_bits: int) -> F.Column:
+    shift = max(0, n_act - shard_bits)
+    return F.shiftright(bucket, shift).cast("long")
+
+
+def lsh_entry_table(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    n_tables: int = 4,
+    n_act: int = 4,
+    shard_bits: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """The persistable index content: one HOME-bucket row per
+    (vector, table) — (t, shard, bucket, nbr_id, nbr_vec, nbr_nrm).
+    Works identically for the initial build and for appending a new
+    shard (same frozen planes + n_act), so append == rebuild row-set
+    exactly; per-row key assignment is independent of every other
+    row."""
+    keyed = lsh_keyed(
+        vectors,
+        id_col,
+        vec_col,
+        n_tables=n_tables,
+        n_act=n_act,
+        n_probes=0,
+        seed=seed,
+        dim=dim,
+    )
+    return keyed.select(
+        "t",
+        _shard_of(F.col("bucket"), n_act, shard_bits).alias("shard"),
+        "bucket",
+        F.col("vec_id").alias("nbr_id"),
+        F.col("vec").alias("nbr_vec"),
+        F.col("nrm").alias("nbr_nrm"),
+    )
+
+
+def lsh_query_index(
+    queries: DataFrame,
+    entries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    n_tables: int = 4,
+    n_act: int = 4,
+    n_probes: int = 2,
+    k: int = 5,
+    shard_bits: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    prune_shards: bool = True,
+) -> DataFrame:
+    """Top-k over a persisted LSH entry table: each query probes its
+    home + ``n_probes`` buckets per table, candidates are the entries
+    in those buckets (asymmetric — the serving form: the index stores
+    home keys only), exact cosine rescore, rank.
+
+    ``prune_shards`` collapses the query batch's probe set to its
+    distinct (t, shard, bucket) triples — a k-bounded collect,
+    <= T·(1+n_probes)·|batch| rows — and pushes them as TWO static
+    predicates: the (t, shard) disjunction prunes partition
+    DIRECTORIES at planning time, and the per-table bucket IN-list is
+    an ordinary data filter that reaches the parquet scan, so
+    row-group stats skip within the kept files (the entry writer
+    sorts each (t, shard) file by bucket — see ``_lsh_index_tables``
+    — keeping those stats tight).  A dynamic equi-join alone
+    guarantees neither.  Net: bytes touched per query batch is
+    bounded by the probed buckets' occupancy, not by the directory
+    (let alone table) size.  Correctness never depends on it: the
+    bucket equi-join re-filters exactly."""
+    qk = lsh_keyed(
+        queries,
+        id_col,
+        vec_col,
+        n_tables=n_tables,
+        n_act=n_act,
+        n_probes=n_probes,
+        seed=seed,
+        dim=dim,
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("query_vec"),
+        F.col("nrm").alias("query_nrm"),
+        "t",
+        _shard_of(F.col("bucket"), n_act, shard_bits).alias("shard"),
+        "bucket",
+    )
+    if prune_shards:
+        probed: dict[int, set[int]] = {}
+        all_buckets: set[int] = set()
+        for r in qk.select("t", "shard", "bucket").distinct().collect():
+            probed.setdefault(r["t"], set()).add(r["shard"])
+            all_buckets.add(r["bucket"])
+        # two SEPARATE predicates on purpose: a disjunct mixing
+        # partition and data columns cannot be split by the planner
+        # and would fall through to post-scan data filters, losing
+        # the directory pruning.  Pure partition-column disjunction
+        # -> PartitionFilters (dir pruning); pure single-column
+        # bucket IN-list -> PushedFilters (parquet row-group stats;
+        # union across tables is looser than per-table sets, but the
+        # bucket equi-join re-filters exactly).
+        pred = None
+        for t, shards in sorted(probed.items()):
+            clause = (F.col("t") == t) & F.col("shard").isin(
+                *sorted(shards)
+            )
+            pred = clause if pred is None else (pred | clause)
+        if pred is not None:
+            entries = entries.filter(pred).filter(
+                F.col("bucket").isin(*sorted(all_buckets))
+            )
+    scored = (
+        qk.join(entries, ["t", "shard", "bucket"])
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            (
+                _dot(F.col("query_vec"), F.col("nbr_vec"))
+                / (F.col("query_nrm") * F.col("nbr_nrm"))
+            ).alias("score"),
+        )
+        # a pair colliding in several tables/probes folds the SAME
+        # doubles each time — distinct collapses it to one row
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", "score")
+    )

@@ -805,3 +805,160 @@ def dedup_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         for path in MI.index_paths(root):
             vacuum(path, keep_last=1)
     return read_version(spark, ppath)
+
+
+# --------------------------------------------------------------------
+# Exact substring-span dedup (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr
+# operation, at token-window granularity): a token position is
+# DUPLICATED iff it lies inside some W-token window whose exact text
+# also appears in ANOTHER document.  Window granularity makes the
+# suffix-array construction distributable: any cross-doc duplicated
+# run of >= W tokens contains a duplicated W-window, and the union of
+# duplicated W-windows covers exactly the tokens lying in such runs —
+# so merged window intervals ARE the Lee-et-al cut list, computed
+# with one groupBy(gram) and two per-doc windows instead of a global
+# suffix array.  Complements the existing suite: MinHash/SimHash
+# flag whole near-dup DOCUMENTS, text_repetition scores WITHIN-doc
+# repeats; this finds the partially-copied SPANS (boilerplate,
+# licence blocks, quoted passages) that survive both.
+#
+# Scale shape: span rows ~ total corpus tokens (linear), one
+# hash-shuffle on the 8-gram, duplicated-position rows only (a small
+# fraction) reach the per-doc interval-merge windows.  No UDFs —
+# slice/concat_ws/sequence higher-order functions stay in codegen.
+# Reference analogue: none (the reference has no corpus tooling);
+# brief-mandated LLM-pipeline extension.
+# --------------------------------------------------------------------
+_SPAN_W = 8
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, i,
+             array_to_string(t[i:i+{_SPAN_W - 1}], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(t) - {_SPAN_W - 1}))
+             AS u(i)
+      WHERE len(t) >= {_SPAN_W}
+    ), dup AS (
+      SELECT gram FROM spans
+      GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT s.doc_id, s.i FROM spans s JOIN dup d USING (gram)
+    ), brks AS (
+      SELECT doc_id, i,
+             CASE WHEN i > COALESCE(MAX(i + {_SPAN_W - 1}) OVER (
+                    PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ), isl AS (
+      SELECT doc_id, i,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM brks
+    ), runs AS (
+      SELECT doc_id, island, MIN(i) AS s, MAX(i + {_SPAN_W - 1}) AS e
+      FROM isl GROUP BY doc_id, island
+    ), per_doc AS (
+      SELECT doc_id, SUM(e - s + 1) AS dup_tokens,
+             COUNT(*) AS n_dup_runs
+      FROM runs GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(regexp_split_to_array(trim(d.text), '\\s+'))
+             AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+             / len(regexp_split_to_array(trim(d.text), '\\s+'))
+             AS dup_ratio,
+           CAST(COALESCE(p.n_dup_runs, 0) AS BIGINT) AS n_dup_runs
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_substring_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document duplicated-span coverage: positions of W-token
+    windows whose text recurs in another document, merged into
+    maximal runs (gaps-and-islands over a running max of interval
+    ends — overlap OR adjacency merges, so ``dup_tokens`` counts
+    each covered token once).  The run list is exactly the ExactSubstr
+    cut list; this plan reports the per-doc audit a pipeline acts on
+    (cut, or drop docs past a dup_ratio threshold)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = _SPAN_W
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).withColumn("n", F.size("t"))
+    spans = toks.filter(F.col("n") >= w).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - (w - 1)),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("t"), i, F.lit(w))
+                ),
+            )
+        ).alias("pos0", "gram"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("i"), "gram"
+    )
+    dup = (
+        spans.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = spans.join(dup, "gram").select("doc_id", "i")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brks = hits.withColumn(
+        "brk",
+        (
+            F.col("i")
+            > F.coalesce(
+                F.max(F.col("i") + (w - 1)).over(w_prev), F.lit(-1)
+            )
+            + 1
+        ).cast("int"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = brks.withColumn("island", F.sum("brk").over(w_run))
+    runs = isl.groupBy("doc_id", "island").agg(
+        F.min("i").alias("s"),
+        F.max(F.col("i") + (w - 1)).alias("e"),
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).alias("dt"),
+        F.count(F.lit(1)).alias("nr"),
+    )
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_tokens.cast("long").alias("n_tokens"),
+            F.coalesce("dt", F.lit(0)).cast("long").alias("dup_tokens"),
+            (
+                F.coalesce("dt", F.lit(0)).cast("double") / n_tokens
+            ).alias("dup_ratio"),
+            F.coalesce("nr", F.lit(0)).cast("long").alias("n_dup_runs"),
+        )
+    )

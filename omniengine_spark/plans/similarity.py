@@ -878,3 +878,291 @@ def sim_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_K, nprobe=_IVF_IDX_NPROBE,
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Persistent multi-probe LSH index (operators/ann_index.py lsh_*):
+# the serving-shaped counterpart of sim_lsh_ann_topk.  The one-shot
+# plan recomputes the whole corpus's bucket keys inside every query
+# (that's WHY it is the suite's demoted tail — its index and its
+# answer are the same self-join); here the entries persist as a
+# versioned table partitioned by (t, shard = top _LSH_SHARD_BITS
+# active bucket bits), so the directory count stays T·2^shard_bits
+# (64) at ANY corpus size while a query batch prunes the scan to its
+# probed shards with a static partition predicate.  Two parameters
+# FREEZE with the index: the md5 planes (frozen by construction) and
+# the adaptive active-bit count (frozen at build from the base
+# corpus, carried in the commit tag — re-deriving it on append would
+# re-key every persisted entry at the next power-of-two boundary).
+# Candidates are ASYMMETRIC (query's home+probe buckets against the
+# index's home keys — the serving form; the one-shot all-pairs plan
+# uses the symmetric closure), so recall trails the one-shot plan by
+# the reverse-probe candidates while per-batch cost drops from
+# N·T·occupancy to |batch|·T·(1+n_probes)·occupancy.
+# ---------------------------------------------------------------------------
+_LSH_SHARD_BITS = 4
+
+
+def _lsh_n_cte(where: str = "") -> str:
+    return (
+        "SELECT two_p, CAST(length(bin(two_p - 1)) AS INT) AS n_act"
+        " FROM (SELECT CAST(1 AS BIGINT) << CAST("
+        + S.adaptive_planes_sql("COUNT(*)", _OCCUPANCY)
+        + f" AS INT) AS two_p FROM e {where})"
+    )
+
+
+# asymmetric probe containment: query q's home key matches entry c's,
+# or c's home key is in q's probe set — per table, any table suffices
+_LSH_IDX_MATCH = " OR ".join(
+    f"q.k{t} = c.k{t} OR list_contains(q.pr{t}, c.k{t})"
+    for t in range(_N_TABLES)
+)
+
+
+def _lsh_idx_query_oracle(n_where: str = "") -> str:
+    k_cols = ", ".join(f"k{t}" for t in range(_N_TABLES))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), n AS (
+      {_lsh_n_cte(n_where)}
+    ), b AS (
+      SELECT vec_id, v,
+             {_TABLE_KEYS}
+      FROM e
+    ), q AS (
+      SELECT vec_id, v, {k_cols},
+             {_TABLE_PROBES}
+      FROM b CROSS JOIN n
+      ORDER BY vec_id LIMIT {_N_QUERIES}
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
+      FROM q JOIN b c
+        ON ({_LSH_IDX_MATCH}) AND q.vec_id <> c.vec_id
+    ), scored AS (
+      SELECT cand.query_id, cand.nbr_id,
+             list_dot_product(qa.v, nb.v)
+               / (sqrt(list_dot_product(qa.v, qa.v))
+                  * sqrt(list_dot_product(nb.v, nb.v))) AS score
+      FROM cand
+      JOIN e qa ON qa.vec_id = cand.query_id
+      JOIN e nb ON nb.vec_id = cand.nbr_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, nbr_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, nbr_id, CAST(rank AS INT) AS rank, score
+    FROM ranked WHERE rank <= {_K}
+    """
+
+
+def _lsh_index_tables(
+    spark: SparkSession, sf_dir: str, base_only: bool
+) -> tuple[DataFrame, int]:
+    """Entry table of the persisted LSH index (+ its frozen active-bit
+    count), building and committing it first if this process hasn't
+    yet (content-fingerprint freshness, same contract as
+    ``_ivf_index_tables``).  ``base_only`` freezes planes AND n_act to
+    the base corpus and appends the held-out shard as a DELTA version:
+    reading CURRENT yields the appended snapshot, version 1 remains
+    the pre-append index."""
+    from omniengine_spark.operators import ann_index as AI
+    from omniengine_spark.sources.sinks import (
+        dataset_fingerprint,
+        stable_scratch_dir,
+    )
+    from omniengine_spark.sources.versioned import (
+        commit,
+        current_version,
+        read_version,
+        version_history,
+    )
+
+    label = "lsh-append" if base_only else "lsh-index"
+    fp = dataset_fingerprint(sf_dir, "embeddings.parquet")
+    root = stable_scratch_dir(f"{label}-{fp}")
+    epath = f"{root}/entries"
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    n = _emb_count(emb, sf_dir)
+    base = emb.filter(
+        F.col("vec_id") % _IVF_APPEND_SHARD_MOD
+        != _IVF_APPEND_SHARD_REM
+    )
+    n_seed = _emb_count(base, f"{sf_dir}|base") if base_only else n
+    n_act = AI.lsh_active_bits(n_seed, _OCCUPANCY)
+    tag = f"{label} bits={n_act} n={n} fp={fp}"
+
+    hist = version_history(epath)
+    if not (hist and hist[-1]["description"] == tag):
+        kw = dict(
+            n_tables=_N_TABLES,
+            n_act=n_act,
+            shard_bits=_LSH_SHARD_BITS,
+            dim=_DIM,
+        )
+
+        # one shuffle on the partition keys before the partitioned
+        # write: without it every write task holding rows for a dir
+        # emits a file there (measured 1293 files for 2000 rows at
+        # smoke — the small-files anti-pattern); hashed on (t, shard)
+        # each dir gets exactly one writer.  At warehouse scale the
+        # same call takes (n, cols) to target ~128 MB files per dir.
+        # The within-file sort orders row groups by bucket, so the
+        # serve path's pushed bucket IN-list skips row groups off
+        # tight footer stats (lsh_query_index prunes dirs AND row
+        # groups; unsorted files would leave every row-group range
+        # spanning the whole shard).
+        def ent(df: DataFrame) -> DataFrame:
+            return (
+                AI.lsh_entry_table(df, "vec_id", "embedding", **kw)
+                .repartition("t", "shard")
+                .sortWithinPartitions("t", "shard", "bucket")
+            )
+        if base_only:
+            shard = emb.filter(
+                F.col("vec_id") % _IVF_APPEND_SHARD_MOD
+                == _IVF_APPEND_SHARD_REM
+            )
+            commit(
+                ent(base),
+                epath,
+                f"{label} base",
+                partition_cols=["t", "shard"],
+            )
+            # assign-only append against the FROZEN planes + n_act:
+            # the shard lands as a delta version at |shard| cost
+            commit(
+                ent(shard),
+                epath,
+                tag,
+                partition_cols=["t", "shard"],
+                base_version=current_version(epath),
+            )
+        else:
+            commit(
+                ent(emb),
+                epath,
+                tag,
+                partition_cols=["t", "shard"],
+            )
+    # partition columns come back as directory-key ints; restore the
+    # logical types so joins/output match the build-side frames
+    entries = (
+        read_version(spark, epath)
+        .withColumn("t", F.col("t").cast("int"))
+        .withColumn("shard", F.col("shard").cast("long"))
+    )
+    return entries, n_act
+
+
+@query(
+    "sim_lsh_index_build",
+    # the committed index itself, summarized: entry count per
+    # (table, bucket).  The oracle rebuilds the same frozen-plane,
+    # frozen-mask home keys — matching proves the persisted table
+    # holds exactly the index the design states.
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), n AS (
+      {_lsh_n_cte()}
+    ), b AS (
+      SELECT vec_id,
+             {_TABLE_KEYS}
+      FROM e
+    ), flat AS (
+      {" UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, k{t} AS bucket FROM b"
+        for t in range(_N_TABLES)
+      )}
+    )
+    SELECT CAST(t AS INT) AS t, bucket, COUNT(*) AS n_vectors
+    FROM flat GROUP BY t, bucket
+    """,
+    artifact=True,
+)
+def sim_lsh_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family index build: materialize the multi-table LSH entry
+    table as a versioned warehouse table — (t, shard) partition dirs,
+    bucket-ordered within — and report per-bucket entry counts read
+    back FROM THE PERSISTED TABLE."""
+    entries, _ = _lsh_index_tables(spark, sf_dir, base_only=False)
+    return entries.groupBy("t", "bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+
+
+@query(
+    "sim_lsh_index_query",
+    oracle=_lsh_idx_query_oracle(),
+    artifact=True,
+)
+def sim_lsh_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query the PERSISTED LSH index (build-once, query-many): the
+    batch's home+probe buckets collapse to a static (t, shard)
+    partition predicate, the entry scan prunes to those directories,
+    and candidates rescore exactly — per-batch cost is
+    |batch|·T·(1+n_probes)·occupancy, independent of corpus size.
+    This is the serving posture the one-shot ``sim_lsh_ann_topk``
+    (deliberately) lacks."""
+    from omniengine_spark.operators import ann_index as AI
+
+    entries, n_act = _lsh_index_tables(spark, sf_dir, base_only=False)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(_N_QUERIES)
+    out = AI.lsh_query_index(
+        queries,
+        entries,
+        "vec_id",
+        "embedding",
+        n_tables=_N_TABLES,
+        n_act=n_act,
+        n_probes=_N_PROBES,
+        k=_K,
+        shard_bits=_LSH_SHARD_BITS,
+        dim=_DIM,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@query(
+    "sim_lsh_index_append",
+    # planes + n_act frozen at base-build time; the held-out shard
+    # lands assign-only as a delta version.  The oracle derives n_act
+    # from the BASE subset but keys/queries the full corpus — exactly
+    # the appended snapshot's content (append == rebuild-with-frozen-
+    # params because per-row key assignment is independent;
+    # tests/test_similarity.py pins that equality engine-side).
+    oracle=_lsh_idx_query_oracle(
+        n_where=f"WHERE vec_id % {_IVF_APPEND_SHARD_MOD}"
+        f" <> {_IVF_APPEND_SHARD_REM}"
+    ),
+    artifact=True,
+)
+def sim_lsh_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH index growth: a new shard is keyed under the
+    FROZEN planes and FROZEN active-bit count (never re-derived — a
+    re-derived mask would re-key every existing entry) and committed
+    as a delta version over the base entries; queries then serve from
+    the appended snapshot.  Per-shard cost is |shard|·T·n_act dots,
+    never N·anything."""
+    from omniengine_spark.operators import ann_index as AI
+
+    entries, n_act = _lsh_index_tables(spark, sf_dir, base_only=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(_N_QUERIES)
+    out = AI.lsh_query_index(
+        queries,
+        entries,
+        "vec_id",
+        "embedding",
+        n_tables=_N_TABLES,
+        n_act=n_act,
+        n_probes=_N_PROBES,
+        k=_K,
+        shard_bits=_LSH_SHARD_BITS,
+        dim=_DIM,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))

@@ -502,3 +502,67 @@ def test_s21b_jdbc_read_is_parallel(spark):
     ).collect()
     assert len(per_part) == 4
     assert sum(1 for c in per_part if c > 0) >= 3
+
+
+def test_lsh_index_query_prunes_partition_dirs(spark):
+    """The persisted LSH index must serve a query batch from its
+    probed (t, shard) directories only: lsh_query_index collapses the
+    batch's home+probe buckets to a static partition-column predicate
+    (k-bounded collect, <= T·(1+n_probes)·|batch| pairs), so the entry
+    scan carries a PartitionFilters disjunction instead of reading all
+    T·2^shard_bits dirs.  A single query probes at most
+    T·(1+n_probes) = 12 of the 64 directories."""
+    from pyspark.sql import functions as F
+
+    from omniengine_spark.operators import ann_index as AI
+    from omniengine_spark.plans.similarity import _lsh_index_tables
+    from omniengine_spark.sources import load_table
+
+    entries, n_act = _lsh_index_tables(spark, SF_SMOKE, base_only=False)
+    n_dirs = entries.select("t", "shard").distinct().count()
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    one = emb.orderBy("vec_id").limit(1)
+    out = AI.lsh_query_index(
+        one, entries, "vec_id", "embedding",
+        n_tables=4, n_act=n_act, n_probes=2, k=5,
+        shard_bits=4, dim=64,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    entry_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "entries" in ln
+    ]
+    assert entry_scans, plan[:2000]
+    # the static probe-set predicate reached the partition filters
+    assert any(
+        "PartitionFilters: [" in ln and "shard" in ln.split(
+            "PartitionFilters:"
+        )[1][:400]
+        for ln in entry_scans
+    ), entry_scans[0][:1000]
+    # ...and the bucket IN-list reached the parquet row-group level
+    # (the writer sorts each dir's file by bucket, so these stats
+    # actually skip)
+    assert any(
+        "PushedFilters: [In(bucket" in ln for ln in entry_scans
+    ), entry_scans[0][:1000]
+    # and it covers a strict subset of the index's directories
+    probed = (
+        AI.lsh_keyed(
+            one, "vec_id", "embedding",
+            n_tables=4, n_act=n_act, n_probes=2, dim=64,
+        )
+        .select(
+            "t",
+            F.shiftright("bucket", max(0, n_act - 4))
+            .cast("long")
+            .alias("shard"),
+        )
+        .distinct()
+        .count()
+    )
+    assert probed <= 12 < n_dirs
+    # one file per (t, shard) dir: the pre-commit repartition on the
+    # partition keys holds the small-files problem at bay (without it:
+    # one file per write task per dir, measured 1293 for 2000 rows)
+    assert len(entries.inputFiles()) == n_dirs

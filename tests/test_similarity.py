@@ -122,6 +122,12 @@ def test_registered_ann_plan_recall_floors(spark):
         # 0.58 at sf0.01 — identical to the one-shot IVF, as the
         # equal-probe construction implies)
         "sim_ivf_index_query": 0.4,
+        # persisted multi-probe LSH serving (observed 0.89 at smoke
+        # for both the built and the appended snapshot — asymmetric
+        # probing, so headroom vs the floor covers the lost
+        # reverse-probe candidates at other corpus shapes)
+        "sim_lsh_index_query": 0.5,
+        "sim_lsh_index_append": 0.5,
     }
     for name, floor in floors.items():
         approx = _topk_sets(QUERIES[name](spark, SF_SMOKE))
@@ -312,4 +318,72 @@ def test_semantic_incremental_equals_frozen_oneshot(spark):
     assert dropped
     assert any(v % 10 == 7 for v in dropped) or any(
         v % 10 == 7 for v in {x for x, _, _ in out1}
+    )
+
+
+def test_lsh_index_append_equals_rebuild(spark):
+    """The frozen-parameter invariant of the persistent LSH index:
+    keying the base corpus and a new shard separately (same frozen
+    planes, same frozen active-bit count) and unioning the entries
+    equals keying the whole corpus in one shot — per-row key
+    assignment is independent, so append is exact.  Also pins that
+    the REGISTERED persisted-index query plan returns exactly what
+    the direct (unpersisted) computation over the same entry frame
+    returns: the parquet/versioned round trip changes nothing."""
+    from pyspark.sql import functions as F
+
+    from omniengine_spark.operators import ann_index as AI
+    from omniengine_spark.plans import QUERIES
+    from omniengine_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    shard = emb.filter(F.col("vec_id") % 10 == 7)
+    n_act = AI.lsh_active_bits(base.count())
+    kw = dict(n_tables=4, n_act=n_act, shard_bits=4, dim=64)
+
+    def keys(df):
+        return {
+            (r["t"], r["shard"], r["bucket"], r["nbr_id"])
+            for r in AI.lsh_entry_table(
+                df, "vec_id", "embedding", **kw
+            ).collect()
+        }
+
+    appended = keys(base) | keys(shard)
+    rebuilt = keys(emb)
+    assert appended == rebuilt
+    assert len(rebuilt) == emb.count() * 4  # one home row per table
+
+    # persisted-index query plan == direct computation, row for row
+    # (build-plan n_act freezes on the FULL corpus for base_only=False)
+    n_act_full = AI.lsh_active_bits(emb.count())
+    direct = AI.lsh_query_index(
+        emb.orderBy("vec_id").limit(N_QUERIES),
+        AI.lsh_entry_table(
+            emb, "vec_id", "embedding",
+            n_tables=4, n_act=n_act_full, shard_bits=4, dim=64,
+        ),
+        "vec_id",
+        "embedding",
+        n_tables=4,
+        n_act=n_act_full,
+        n_probes=2,
+        k=K,
+        shard_bits=4,
+        dim=64,
+    )
+
+    def rows(df):
+        return {
+            (r["query_id"], r["nbr_id"], r["rank"], r["score"])
+            for r in df.collect()
+        }
+
+    direct_rows = {
+        (q, n, int(rk), s) for q, n, rk, s in rows(direct)
+    }
+    assert (
+        rows(QUERIES["sim_lsh_index_query"](spark, SF_SMOKE))
+        == direct_rows
     )
