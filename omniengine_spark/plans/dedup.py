@@ -962,3 +962,165 @@ def dedup_substring_spans(
             F.coalesce("nr", F.lit(0)).cast("long").alias("n_dup_runs"),
         )
     )
+
+
+@query(
+    "dedup_substring_cut",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, i,
+             array_to_string(t[i:i+{_SPAN_W - 1}], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(t) - {_SPAN_W - 1}))
+             AS u(i)
+      WHERE len(t) >= {_SPAN_W}
+    ), firstdoc AS (
+      SELECT gram, MIN(doc_id) AS keeper FROM spans GROUP BY gram
+    ), hits AS (
+      SELECT s.doc_id, s.i
+      FROM spans s JOIN firstdoc f USING (gram)
+      WHERE s.doc_id > f.keeper
+    ), brks AS (
+      SELECT doc_id, i,
+             CASE WHEN i > COALESCE(MAX(i + {_SPAN_W - 1}) OVER (
+                    PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ), isl AS (
+      SELECT doc_id, i,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM brks
+    ), runs AS (
+      SELECT doc_id, island, MIN(i) AS s, MAX(i + {_SPAN_W - 1}) AS e
+      FROM isl GROUP BY doc_id, island
+    ), pos AS (
+      SELECT doc_id, t[i] AS tok, i
+      FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+    ), kept AS (
+      SELECT p.doc_id, p.tok, p.i
+      FROM pos p LEFT JOIN runs r
+        ON p.doc_id = r.doc_id AND p.i BETWEEN r.s AND r.e
+      WHERE r.s IS NULL
+    ), rebuilt AS (
+      SELECT doc_id,
+             COUNT(*) AS kept_tokens,
+             string_agg(tok, ' ' ORDER BY i) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(regexp_split_to_array(trim(d.text), '\\s+'))
+             AS BIGINT) AS n_tokens,
+           CAST(COALESCE(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dedup_substring_cut(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """APPLY the ExactSubstr cut list (Lee et al. remove all-but-one
+    occurrence): a window is cut-marked in doc d iff its exact text
+    also occurs in some doc with a SMALLER id — the minimum-id
+    occurrence is the canonical keeper, so exactly one copy of every
+    duplicated run survives the corpus-wide pass, deterministically.
+    Cut-marked windows merge into runs (same gaps-and-islands kernel
+    as ``dedup_substring_spans``) and the covered tokens are removed
+    positionally; ``clean_text`` is the surviving tokens re-joined.
+    Whitespace is normalized by construction (split + single-space
+    join) on BOTH engines, so the output text is hash-comparable.
+
+    Scale shape: unchanged from the spans plan plus one per-doc
+    array rebuild — the runs ride as a collected (s, e) array per doc
+    (bounded: runs <= n_tokens / W), and the token filter is a
+    higher-order array expression, no explode of kept tokens."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = _SPAN_W
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).withColumn("n", F.size("t"))
+    spans = toks.filter(F.col("n") >= w).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - (w - 1)),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("t"), i, F.lit(w))
+                ),
+            )
+        ).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("i"), "gram")
+    firstdoc = spans.groupBy("gram").agg(
+        F.min("doc_id").alias("keeper")
+    )
+    hits = (
+        spans.join(firstdoc, "gram")
+        .filter(F.col("doc_id") > F.col("keeper"))
+        .select("doc_id", "i")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brks = hits.withColumn(
+        "brk",
+        (
+            F.col("i")
+            > F.coalesce(
+                F.max(F.col("i") + (w - 1)).over(w_prev), F.lit(-1)
+            )
+            + 1
+        ).cast("int"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = (
+        brks.withColumn("island", F.sum("brk").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("i").alias("s"),
+            F.max(F.col("i") + (w - 1)).alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("s", "e")).alias("cut_runs")
+        )
+    )
+    # positional filter as pure array expressions: pair each token
+    # with its 1-based position, drop positions covered by any run,
+    # re-join — no explode of the kept tokens
+    indexed = F.zip_with(
+        F.split(F.trim(F.col("text")), r"\s+"),
+        F.sequence(F.lit(1), F.size(F.split(F.trim(F.col("text")), r"\s+"))),
+        lambda tok, i: F.struct(tok.alias("tok"), i.alias("i")),
+    )
+    no_runs = F.array().cast("array<struct<s:int,e:int>>")
+    covered = lambda x: F.exists(  # noqa: E731
+        F.coalesce(F.col("cut_runs"), no_runs),
+        lambda r: (x["i"] >= r["s"]) & (x["i"] <= r["e"]),
+    )
+    kept = F.filter(indexed, lambda x: ~covered(x))
+    return (
+        docs.join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.size(kept).cast("long").alias("kept_tokens"),
+            F.concat_ws(
+                " ", F.transform(kept, lambda x: x["tok"])
+            ).alias("clean_text"),
+        )
+    )

@@ -42,6 +42,13 @@ K = 5
 T = 4
 PROBES = 2
 SHARD_BITS = 4
+# the one-shot symmetric plan is the DEMOTED quadratic tail (that is
+# why the index exists); past this rung re-measuring it costs most of
+# an hour per run (measured ONCE at the 20k rung: 1062 s vs an 8.9 s
+# cold persisted-index serve, same JVM — the 119x that justifies the
+# index), so the artifact records the skip explicitly instead of
+# re-paying it every soak
+ONESHOT_CAP = 5_000
 
 
 def topk_sets(df) -> dict:
@@ -92,7 +99,10 @@ def main() -> None:
 
         t0 = time.time()
         serve_rows = served().count()
-        serve_s = time.time() - t0
+        serve_cold_s = time.time() - t0
+        t0 = time.time()
+        served().count()
+        serve_warm_s = time.time() - t0
 
         # candidate volume: the scored join BEFORE distinct/rank —
         # the honest cost currency (each row = one exact rescore +
@@ -119,10 +129,13 @@ def main() -> None:
             entries.select("t", "shard").distinct().count()
         )
 
-        t0 = time.time()
-        oneshot = QUERIES["sim_lsh_ann_topk"](spark, rung)
-        oneshot_sets = topk_sets(oneshot)
-        oneshot_s = time.time() - t0
+        if n <= ONESHOT_CAP:
+            t0 = time.time()
+            oneshot = QUERIES["sim_lsh_ann_topk"](spark, rung)
+            oneshot_sets = topk_sets(oneshot)
+            oneshot_s = round(time.time() - t0, 2)
+        else:
+            oneshot_sets, oneshot_s = None, None
 
         exact = topk_sets(
             QUERIES["sim_bruteforce_cosine_topk"](spark, rung)
@@ -134,26 +147,42 @@ def main() -> None:
             "n_vectors": n,
             "n_act": n_act,
             "build_s": round(build_s, 2),
-            "serve_s": round(serve_s, 2),
+            "serve_cold_s": round(serve_cold_s, 2),
+            "serve_warm_s": round(serve_warm_s, 2),
             "serve_rows": serve_rows,
             "candidates": candidates,
             "candidates_per_query": round(candidates / N_QUERIES, 1),
             "kept_dirs": kept_dirs,
             "total_dirs": total_dirs,
-            "oneshot_s": round(oneshot_s, 2),
+            "oneshot_s": oneshot_s,
             "recall_served": round(recall(served_sets, exact), 3),
-            "recall_oneshot": round(recall(oneshot_sets, exact), 3),
+            "recall_oneshot": (
+                round(recall(oneshot_sets, exact), 3)
+                if oneshot_sets is not None else None
+            ),
         }
         out["rungs"].append(row)
         print(json.dumps(row), flush=True)
 
     out["note"] = (
         "candidates_per_query is the corpus-size-independence claim: "
-        "bounded by T*(1+probes)*occupancy (~"
-        f"{T * (1 + PROBES) * 64}) whatever n_vectors; the one-shot "
-        "plan's cost grows with N. Wall-clock at local rungs is "
-        "bring-up-dominated; candidates and kept_dirs are the "
-        "load-independent currencies."
+        "T*(1+probes)*occupancy (~768) under UNIFORM bucket "
+        "occupancy. Measured 389 -> 752 -> 858 -> 1338 across 500 -> "
+        "100k vectors (~N^0.23): the drift above the uniform bound is "
+        "heavy-bucket skew — hyperplanes through clustered data leave "
+        "dense buckets, and query homes sit in them (the same "
+        "property that demoted the one-shot plan; IVF remains the "
+        "named ANN default). Still ~75x fewer rescores than a brute "
+        "scan at 100k, and the one-shot symmetric plan measured 1062 "
+        "s at the 20k rung vs 8.9 s cold persisted-index serve in the "
+        "same JVM (~119x) — re-measuring that quadratic tail costs "
+        "most of an hour, so oneshot is skipped (null) past 5000 "
+        "vectors. Wall-clock here is dominated by plan COMPILATION "
+        "(the n_act*dim literal tree: ~6-9 s at n_act=9 for 20 query "
+        "rows), not data; candidates and kept_dirs are the load- "
+        "independent currencies. kept_dirs shows dir pruning bites "
+        "for SMALL batches (a 240-probe batch covers most of the 64 "
+        "dirs; the single-query plan-shape test pins <= 12)."
     )
     (_REPO / "tools" / "lsh_serve_soak.json").write_text(
         json.dumps(out, indent=1)
