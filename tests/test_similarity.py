@@ -225,6 +225,10 @@ def test_ann_recall_floors_at_scale(spark):
         "sim_pq_ann_topk": 0.55,
         "sim_ivfpq_ann_topk": 0.55,
         "sim_lsh_ann_topk": 0.08,
+        # persisted-index serving at 20k (tools/lsh_serve_soak.json:
+        # 0.34 — asymmetric probing under 9 adaptive bits; the
+        # documented decline, floored so a regression still fails)
+        "sim_lsh_index_query": 0.15,
     }
     for name, floor in floors.items():
         approx = _topk_sets(QUERIES[name](spark, str(sf1)))
