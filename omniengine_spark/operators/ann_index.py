@@ -292,20 +292,22 @@ def lsh_keyed(
     )
 
     def dots_arr(t: int) -> F.Column:
+        # one parsed string per table instead of n_act·dim F.lit()
+        # py4j calls — identical fold (zip_with → aggregate, same
+        # operand order, exactly-round-tripping double literals); see
+        # similarity.lsh_ann_topk's dots_arr for the measurement
         planes = deterministic_planes(seed + t, n_act, dim)
-        return F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        F.array(*[F.lit(c) for c in planes[p]]),
-                        lambda x, h: x.cast("double") * h,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for p in range(n_act)
-            ]
+
+        def fold(p: int) -> str:
+            arr = ",".join(f"{c!r}D" for c in planes[p])
+            return (
+                f"aggregate(zip_with(`{vec_col}`, array({arr}), "
+                "(x, h) -> CAST(x AS DOUBLE) * h), 0.0D, "
+                "(acc, x) -> acc + x)"
+            )
+
+        return F.expr(
+            "array(" + ",".join(fold(p) for p in range(n_act)) + ")"
         )
 
     dotted = vectors.select(
@@ -316,35 +318,29 @@ def lsh_keyed(
     )
 
     def home_bucket(t: int) -> F.Column:
-        b = F.lit(0).cast("long")
-        for p in range(n_act):
-            b = b.bitwiseOR(
-                F.when(
-                    F.element_at(F.col(f"dots{t}"), p + 1) >= 0,
-                    F.lit(1 << p).cast("long"),
-                ).otherwise(F.lit(0).cast("long"))
-            )
-        return b
+        # same OR-of-sign-bits integer expression, one parse per table
+        ors = " | ".join(
+            f"(CASE WHEN element_at(`dots{t}`, {p + 1}) >= 0 "
+            f"THEN CAST({1 << p} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            for p in range(n_act)
+        )
+        return F.expr(f"({ors})")
 
     for t in range(n_tables):
         dotted = dotted.withColumn(f"bkt{t}", home_bucket(t))
 
     def probe_buckets(t: int) -> F.Column:
-        margins = F.array(
-            *[
-                F.struct(
-                    F.abs(
-                        F.element_at(F.col(f"dots{t}"), p + 1)
-                    ).alias("d"),
-                    F.lit(p).alias("p"),
-                    F.lit(1 << p).cast("long").alias("m"),
-                )
-                for p in range(n_act)
-            ]
+        # identical structs / sort key / slice / xor as the former
+        # Column-DSL form, one parse per table
+        structs = ",".join(
+            f"struct(abs(element_at(`dots{t}`, {p + 1})) AS d, "
+            f"{p} AS p, CAST({1 << p} AS BIGINT) AS m)"
+            for p in range(n_act)
         )
-        return F.transform(
-            F.slice(F.array_sort(margins), 1, n_probes),
-            lambda x: F.col(f"bkt{t}").bitwiseXOR(x["m"]),
+        return F.expr(
+            f"transform(slice(array_sort(array({structs})), 1, "
+            f"{n_probes}), x -> `bkt{t}` ^ x.m)"
         )
 
     tb_arrays = [

@@ -607,20 +607,25 @@ def lsh_ann_topk(
     p_bits = max_planes if target_occupancy else n_planes
 
     def dots_arr(t: int) -> Column:
+        # ONE parsed SQL expression instead of ~p_bits·dim F.lit()
+        # py4j calls: the constructed tree is the same fold
+        # (zip_with → aggregate, same operand order, double literals
+        # that round-trip exactly — plane components are multiples of
+        # 2^-15), but expression CONSTRUCTION drops from ~4500 py4j
+        # round trips (measured 15-31 s of pure driver-side build for
+        # 4 tables × 16 planes × 64 dims) to n_tables expr() parses.
         planes = deterministic_planes(seed + t, p_bits, dim)
-        return F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        F.array(*[F.lit(c) for c in planes[p]]),
-                        lambda x, h: x.cast("double") * h,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for p in range(p_bits)
-            ]
+
+        def fold(p: int) -> str:
+            arr = ",".join(f"{c!r}D" for c in planes[p])
+            return (
+                f"aggregate(zip_with(`{vec_col}`, array({arr}), "
+                "(x, h) -> CAST(x AS DOUBLE) * h), 0.0D, "
+                "(acc, x) -> acc + x)"
+            )
+
+        return F.expr(
+            "array(" + ",".join(fold(p) for p in range(p_bits)) + ")"
         )
 
     # the p_bits plane dots land in an array column FIRST, so each
@@ -652,15 +657,18 @@ def lsh_ann_topk(
     )
 
     def home_bucket(t: int) -> Column:
-        b = F.lit(0).cast("long")
-        for p in range(p_bits):
-            b = b.bitwiseOR(
-                F.when(
-                    F.element_at(F.col(f"dots{t}"), p + 1) >= 0,
-                    F.lit(1 << p).cast("long"),
-                ).otherwise(F.lit(0).cast("long"))
-            )
-        return b.bitwiseAND(F.col("two_p") - 1)
+        # same OR-of-sign-bits integer expression as the former
+        # Column-DSL loop (p_bits whens + bitwiseORs per table), built
+        # as one parsed string — integer ops, so "same bits set" is
+        # "same value"; construction drops from ~p_bits·n_tables py4j
+        # round trips to n_tables parses.
+        ors = " | ".join(
+            f"(CASE WHEN element_at(`dots{t}`, {p + 1}) >= 0 "
+            f"THEN CAST({1 << p} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            for p in range(p_bits)
+        )
+        return F.expr(f"({ors}) & (`two_p` - 1)")
 
     for t in range(n_tables):
         dotted = dotted.withColumn(f"bkt{t}", home_bucket(t))
@@ -668,25 +676,18 @@ def lsh_ann_topk(
     def probe_buckets(t: int) -> Column:
         # (|margin|, plane, mask) structs for the ACTIVE planes only,
         # sorted ascending — ties impossible past the plane index, so
-        # both engines pick the identical flip set
-        margins = F.filter(
-            F.array(
-                *[
-                    F.struct(
-                        F.abs(
-                            F.element_at(F.col(f"dots{t}"), p + 1)
-                        ).alias("d"),
-                        F.lit(p).alias("p"),
-                        F.lit(1 << p).cast("long").alias("m"),
-                    )
-                    for p in range(p_bits)
-                ]
-            ),
-            lambda x: x["p"] < F.col("n_act"),
+        # both engines pick the identical flip set.  One parsed
+        # string per table (construction cost), identical structs,
+        # sort key, slice, and xor as the former Column-DSL form.
+        structs = ",".join(
+            f"struct(abs(element_at(`dots{t}`, {p + 1})) AS d, "
+            f"{p} AS p, CAST({1 << p} AS BIGINT) AS m)"
+            for p in range(p_bits)
         )
-        return F.transform(
-            F.slice(F.array_sort(margins), 1, n_probes),
-            lambda x: F.col(f"bkt{t}").bitwiseXOR(x["m"]),
+        return F.expr(
+            f"transform(slice(array_sort(filter(array({structs}), "
+            f"x -> x.p < `n_act`)), 1, {n_probes}), "
+            f"x -> `bkt{t}` ^ x.m)"
         )
 
     tb_arrays = [
@@ -1289,7 +1290,17 @@ def semantic_prune(
                 }
             )
 
-    rough = v.select("vid", "vec").mapInPandas(assign, asg_schema)
+    # persist: ``rough`` fans out to the certain/uncertain branches
+    # and — unpersisted — Catalyst re-inlines the whole scan →
+    # fan-out exchange → Arrow mapInPandas assignment subtree into
+    # EVERY downstream reference (measured at sf0.1: the assignment
+    # ran 6× inside one 305-node/130-Exchange plan, 4–8 s of action
+    # for 2000 vectors).  One cached copy is N skinny rows; the
+    # bench's clearCache() before each cold run keeps the timing
+    # honest (the cache is rebuilt inside the timed region).
+    rough = (
+        v.select("vid", "vec").mapInPandas(assign, asg_schema).persist()
+    )
     certain = rough.filter(F.col("certain")).select("vid", "cluster")
     # near-tie rows (measure-zero on continuous data): exact fold
     # argmax at BOTH levels, the decision procedure the oracle states
@@ -1346,7 +1357,18 @@ def semantic_prune(
             ).alias("cluster")
         )
     )
-    best = certain.unionByName(exact_best)
+    # Near-tie rows are measure-zero on continuous data, yet the
+    # exact-fold branch drags the seed scan + two broadcast joins +
+    # a crossJoin through EVERY run's physical plan.  One driver-side
+    # emptiness probe on the cached ``rough`` (same precedent as
+    # connected_components' empty-labels guard) keeps the common-case
+    # plan to the certain path only; the exact branch — identical
+    # output when unc is non-empty — still runs whenever it matters.
+    best = (
+        certain
+        if unc.isEmpty()
+        else certain.unionByName(exact_best)
+    )
     assigned = v.join(best, "vid").select("vid", "vec", "nrm", "cluster")
     if max_cluster:
         wsub = Window.partitionBy("cluster").orderBy(
@@ -1360,6 +1382,12 @@ def semantic_prune(
         )
     else:
         assigned = assigned.withColumn("sub", F.lit(0).cast("long"))
+    # persist: ``assigned`` feeds the pair scan, the verify join's
+    # BOTH vector sides (below), and the final verdict join — three
+    # re-executions of scan+join+window without it.  MEMORY_AND_DISK:
+    # the frame carries the vector payload, so it spills rather than
+    # OOMs on a hot executor.
+    assigned = assigned.persist()
 
     # In-cluster pair scan: one gemm per (cluster, sub), row-blocked
     # so a hot cluster's sims tile stays ≤ block·|c| doubles per
@@ -1433,25 +1461,31 @@ def semantic_prune(
             }
         )
 
+    # persist: ``cand`` (skinny id pairs) fans out to the sure-drop
+    # filter and the border-verify join; unpersisted, the whole
+    # applyInPandas pair scan runs twice.
     cand = assigned.select("vid", "vec", "cluster", "sub").groupBy(
         "cluster", "sub"
-    ).applyInPandas(cluster_pairs, pair_schema)
+    ).applyInPandas(cluster_pairs, pair_schema).persist()
     sure_drops = cand.filter(F.col("b_vid").isNull()).select(
         F.col("vid").alias("drop_vid")
     )
     # exact verification of the near-threshold band: the threshold
-    # decision is the fold's
+    # decision is the fold's.  Vector payloads come from the cached
+    # ``assigned`` (same vid/vec/nrm columns), not ``v`` — joining
+    # ``v`` here would re-execute the raw scan subtree twice more.
+    av = assigned.select("vid", "vec", "nrm")
     border_drops = (
         cand.filter(F.col("b_vid").isNotNull())
         .join(
-            v.select(
+            av.select(
                 F.col("vid").alias("b_vid"),
                 F.col("vec").alias("b_vec"),
                 F.col("nrm").alias("b_nrm"),
             ),
             "b_vid",
         )
-        .join(v, "vid")
+        .join(av, "vid")
         .filter(
             _dot(F.col("vec"), F.col("b_vec"))
             / (F.col("nrm") * F.col("b_nrm"))
