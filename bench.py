@@ -280,6 +280,12 @@ def main() -> None:
     # because this detail inlined in the stdout line overflowed the
     # driver's 2000-char tail window (same failure as BENCH_r01);
     # the stdout line is a compact, budgeted summary.
+    # Overridable so smoke drives at other SFs (e.g. the verify
+    # recipe's sf0.001 pass) don't clobber the committed sf0.1
+    # artifact; the driver's own runs use the default.
+    detail_rel = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL", "tools/bench_full.json"
+    )
     base = {
         "metric": "total_query_wall_clock",
         "value": total,
@@ -292,7 +298,7 @@ def main() -> None:
         "calib_sec": [calib_before, calib_after],
         "loadavg": loadavg,
         "probe_ref_sec": round(probe_ref, 4),
-        "detail_file": "tools/bench_full.json",
+        "detail_file": detail_rel,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     detail = {
@@ -306,7 +312,7 @@ def main() -> None:
         "reruns": reruns,
         "timings": dict(sorted(timings.items(), key=lambda kv: -kv[1])),
     }
-    detail_file = Path(_REPO) / "tools" / "bench_full.json"
+    detail_file = Path(_REPO) / detail_rel
     detail_file.write_text(json.dumps(detail, indent=1) + "\n")
 
     print(compact_line(base, timings))

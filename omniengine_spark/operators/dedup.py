@@ -468,8 +468,12 @@ def minhash_signatures(
         # on); the minwise property per function is unchanged.
         "doc_id", F.explode_outer("sh").alias("shingle")
     ).select("doc_id", F.xxhash64("shingle").alias("shash"))
+    # parsed strings, not F.min(F.xxhash64(F.lit(i), ...)) — the k
+    # Column-DSL constructions cost ~1.5 s of py4j round trips per
+    # plan build at k=128 (measured; parse form 0.37 s, values
+    # bit-equal — the int literal types match)
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shash"))).alias(f"_m{i}")
+        F.expr(f"min(xxhash64({i}, shash))").alias(f"_m{i}")
         for i in range(num_hashes)
     ]
     return (
@@ -502,11 +506,54 @@ def minhash_lsh_pairs(
     exactly, so the output equals the exact similarity join with
     overwhelming probability while only ever shuffling signatures.
     """
-    band_entries = minhash_band_entries(
-        df, id_col, text_col, n, num_hashes, band_rows
+    # ONE shingle+hash scan, cached: signatures (via the exploded hs
+    # multiset — the same xxhash64-of-shingle values minhash posting
+    # hashed, order-free under min/count) and BOTH sides of the exact
+    # verify join read the cached frame.  Unpersisted, the full
+    # tokenize → shingle → hash subtree executed 3× per pairs build
+    # (once for the signature posting, once per verify side).
+    docs = hashed_shingle_docs(df, id_col, text_col, n).persist()
+    posting = docs.select(
+        "doc_id", F.explode_outer("hs").alias("shash")
     )
+    # parsed form — see minhash_signatures' comment (py4j construction)
+    mins = [
+        F.expr(f"min(xxhash64({i}, shash))").alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = (
+        posting.groupBy("doc_id")
+        .agg(*mins, F.count(F.lit(1)).alias("n_sh"))
+        .select(
+            "doc_id",
+            "n_sh",
+            F.array(*[f"_m{i}" for i in range(num_hashes)]).alias(
+                "sig"
+            ),
+        )
+    )
+    num_bands = num_hashes // band_rows
+    band_entries = sigs.select(  # sig[i] is post-agg array indexing
+        "doc_id",
+        "n_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[bi * band_rows + r]
+                                for r in range(band_rows)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for bi in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "n_sh", "bb.band", "bb.bucket")
     cand = band_candidates(band_entries, band_entries, threshold)
-    docs = hashed_shingle_docs(df, id_col, text_col, n)
     return _verify_jaccard(cand, docs, threshold)
 
 
@@ -708,7 +755,10 @@ def connected_components(
             ).alias("label"),
         )
         if it >= jump_from:
-            stepped = stepped.localCheckpoint()
+            # lazy: materialized by the SAME job that computes the
+            # round's fingerprint below — an eager checkpoint here
+            # cost one extra job barrier per jump round
+            stepped = stepped.localCheckpoint(eager=False)
             via = stepped.select(
                 F.col("node").alias("label"),
                 F.col("label").alias("label2"),
@@ -720,7 +770,12 @@ def connected_components(
                     F.coalesce("label2", F.col("label")),
                 ).alias("label"),
             )
-        new_labels = stepped.localCheckpoint()
+        # lazy checkpoint + fingerprint in ONE job: eager=True spent
+        # a materialization job, then a second job re-read the
+        # checkpoint for the sum — per round.  The lineage cut is
+        # identical (the RDD is checkpointed at the first action —
+        # the agg below for numeric ids, the diff probe otherwise).
+        new_labels = stepped.localCheckpoint(eager=False)
         if numeric_ids:
             fp = new_labels.agg(
                 F.sum(F.col("label").cast("decimal(38,0)"))
@@ -785,25 +840,30 @@ def simhash(
         F.explode_outer(
             F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
         ).alias("tok"),
+    ).select(
+        # the (possibly caller-supplied) token hash lands in a named
+        # column once, so the per-bit vote expressions below can be
+        # PARSED strings over it — the former per-bit Column-DSL
+        # construction (~bits·6 py4j calls + a bits-step OR chain)
+        # cost ~1 s of pure driver time per plan build; the parsed
+        # tree is value-identical (integer ops throughout)
+        "doc_id", (hasher or F.xxhash64)(F.col("tok")).alias("hv")
     )
-    h = (hasher or F.xxhash64)(F.col("tok"))
     votes = [
-        F.sum(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+        F.expr(
+            f"sum(CAST((shiftright(hv, {j}) & 1) AS INT) * 2 - 1)"
         ).alias(f"_v{j}")
         for j in range(bits)
     ]
     d = posting.groupBy("doc_id").agg(*votes)
-    fp = F.lit(0).cast("long")
-    for j in range(bits):
+    ors = " | ".join(
+        f"(CASE WHEN _v{j} >= 0 THEN CAST("
         # signed-long high bit only exists in the 64-wide layout
-        bit = 1 << j if j < 63 else -(1 << 63)
-        fp = fp.bitwiseOR(
-            F.when(F.col(f"_v{j}") >= 0, F.lit(bit).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return d.select("doc_id", fp.alias("simhash64"))
+        f"{1 << j if j < 63 else -(1 << 63)} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    return d.select("doc_id", F.expr(f"({ors})").alias("simhash64"))
 
 
 def simhash_near_pairs(

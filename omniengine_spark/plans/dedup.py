@@ -895,7 +895,10 @@ def dedup_substring_spans(
     (cut, or drop docs past a dup_ratio threshold)."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the W-token window explode multiplies each doc into
+    # ~n_tokens gram rows BEFORE the first exchange — serial on the
+    # single-row-group testdata scan (no-op on a multi-split scan)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     w = _SPAN_W
     toks = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
@@ -1041,7 +1044,10 @@ def dedup_substring_cut(
     higher-order array expression, no explode of kept tokens."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the W-token window explode multiplies each doc into
+    # ~n_tokens gram rows BEFORE the first exchange — serial on the
+    # single-row-group testdata scan (no-op on a multi-split scan)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     w = _SPAN_W
     toks = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")

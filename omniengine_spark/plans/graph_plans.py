@@ -124,6 +124,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explain-only callers don't pay a materialization job
     from pyspark.storagelevel import StorageLevel
 
+    # (r11 A/B: pre-repartitioning edges by src before the persist —
+    # to amortize the per-iteration join shuffle — measured WORSE
+    # here, 4.6-4.9 s vs 4.9-5.3 s: AQE re-plans the join exchanges
+    # regardless of the cache's partitioning, so the extra up-front
+    # exchange is pure cost.  Kept as-is.)
     edges = edges.persist(StorageLevel.DISK_ONLY)
     deg = deg.persist(StorageLevel.DISK_ONLY)
 
