@@ -468,26 +468,48 @@ def minhash_signatures(
         # on); the minwise property per function is unchanged.
         "doc_id", F.explode_outer("sh").alias("shingle")
     ).select("doc_id", F.xxhash64("shingle").alias("shash"))
-    # parsed strings, not F.min(F.xxhash64(F.lit(i), ...)) — the k
-    # Column-DSL constructions cost ~1.5 s of py4j round trips per
-    # plan build at k=128 (measured; parse form 0.37 s, values
-    # bit-equal — the int literal types match)
-    mins = [
-        F.expr(f"min(xxhash64({i}, shash))").alias(f"_m{i}")
-        for i in range(num_hashes)
-    ]
+    # n_sh rides in the same agg for free (posting rows are the doc's
+    # distinct shingles): downstream banding uses it as the PPJoin
+    # length filter
     return (
         posting.groupBy("doc_id")
-        # n_sh rides in the same agg for free (posting rows are the
-        # doc's distinct shingles): downstream banding uses it as the
-        # PPJoin length filter
-        .agg(*mins, F.count(F.lit(1)).alias("n_sh"))
-        .select(
-            "doc_id",
-            "n_sh",
-            F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"),
-        )
+        .agg(*_sig_agg_exprs(num_hashes))
+        .select("doc_id", "n_sh", "sig")
     )
+
+
+def _sig_agg_exprs(num_hashes: int):
+    """The signature aggregate as TWO parsed expressions total.
+
+    Even parsed per-element form (k × ``F.expr("min(...)")``) costs
+    ~6 ms of py4j round trip per call — 0.75 s of pure driver time per
+    plan build at k=128 (measured).  One ``array(min(…), …)`` string
+    keeps the identical aggregate set (Spark extracts each ``min`` into
+    the agg and builds the array in the result projection) at ONE round
+    trip.  Values bit-equal: int literal seeds type the same way."""
+    mins = ", ".join(
+        f"min(xxhash64({i}, shash))" for i in range(num_hashes)
+    )
+    return (
+        F.expr(f"array({mins}) AS sig"),
+        F.expr("count(1) AS n_sh"),
+    )
+
+
+def _band_explode_expr(num_hashes: int, band_rows: int):
+    """Banded-bucket explode as ONE parsed expression (same py4j
+    rationale as ``_sig_agg_exprs``; the former per-band struct DSL
+    cost ~1.3 s per plan build at 32 bands)."""
+    structs = ", ".join(
+        "struct({} AS band, xxhash64({}) AS bucket)".format(
+            bi,
+            ", ".join(
+                f"sig[{bi * band_rows + r}]" for r in range(band_rows)
+            ),
+        )
+        for bi in range(num_hashes // band_rows)
+    )
+    return F.expr(f"explode(array({structs})) AS bb")
 
 
 def minhash_lsh_pairs(
@@ -516,42 +538,13 @@ def minhash_lsh_pairs(
     posting = docs.select(
         "doc_id", F.explode_outer("hs").alias("shash")
     )
-    # parsed form — see minhash_signatures' comment (py4j construction)
-    mins = [
-        F.expr(f"min(xxhash64({i}, shash))").alias(f"_m{i}")
-        for i in range(num_hashes)
-    ]
     sigs = (
         posting.groupBy("doc_id")
-        .agg(*mins, F.count(F.lit(1)).alias("n_sh"))
-        .select(
-            "doc_id",
-            "n_sh",
-            F.array(*[f"_m{i}" for i in range(num_hashes)]).alias(
-                "sig"
-            ),
-        )
+        .agg(*_sig_agg_exprs(num_hashes))
+        .select("doc_id", "n_sh", "sig")
     )
-    num_bands = num_hashes // band_rows
     band_entries = sigs.select(  # sig[i] is post-agg array indexing
-        "doc_id",
-        "n_sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[bi * band_rows + r]
-                                for r in range(band_rows)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for bi in range(num_bands)
-                ]
-            )
-        ).alias("bb"),
+        "doc_id", "n_sh", _band_explode_expr(num_hashes, band_rows)
     ).select("doc_id", "n_sh", "bb.band", "bb.bucket")
     cand = band_candidates(band_entries, band_entries, threshold)
     return _verify_jaccard(cand, docs, threshold)
@@ -572,26 +565,8 @@ def minhash_band_entries(
     entries stored last month (``plans.dedup.dedup_incremental_shard``
     rides on this)."""
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    num_bands = num_hashes // band_rows
     return sigs.select(  # sig[i] is post-agg array indexing
-        "doc_id",
-        "n_sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[bi * band_rows + r]
-                                for r in range(band_rows)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for bi in range(num_bands)
-                ]
-            )
-        ).alias("bb"),
+        "doc_id", "n_sh", _band_explode_expr(num_hashes, band_rows)
     ).select("doc_id", "n_sh", "bb.band", "bb.bucket")
 
 
@@ -755,21 +730,31 @@ def connected_components(
             ).alias("label"),
         )
         if it >= jump_from:
-            # lazy: materialized by the SAME job that computes the
-            # round's fingerprint below — an eager checkpoint here
-            # cost one extra job barrier per jump round
-            stepped = stepped.localCheckpoint(eager=False)
-            via = stepped.select(
-                F.col("node").alias("label"),
-                F.col("label").alias("label2"),
-            )
-            stepped = stepped.join(via, "label", "left").select(
-                "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce("label2", F.col("label")),
-                ).alias("label"),
-            )
+            # TWO pointer jumps per round: one hop+jump doubles the
+            # covered distance per round (log₂ rounds); a second jump
+            # in the same round quadruples it (log₄) — on the ~30-deep
+            # wallet chains that is 3 rounds instead of 5, and each
+            # saved round is a whole job barrier while the extra jump
+            # is one more join inside the same job (A/B: 5→3 rounds,
+            # ~1 s, output checksum identical — the fixpoint label is
+            # min-reachable either way).  Lazy checkpoints between
+            # jumps keep the self-join from doubling the lineage and
+            # are materialized by the SAME job that computes the
+            # round's fingerprint below (an eager checkpoint here cost
+            # one extra job barrier per jump round).
+            for _ in range(2):
+                stepped = stepped.localCheckpoint(eager=False)
+                via = stepped.select(
+                    F.col("node").alias("label"),
+                    F.col("label").alias("label2"),
+                )
+                stepped = stepped.join(via, "label", "left").select(
+                    "node",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce("label2", F.col("label")),
+                    ).alias("label"),
+                )
         # lazy checkpoint + fingerprint in ONE job: eager=True spent
         # a materialization job, then a second job re-read the
         # checkpoint for the sum — per round.  The lineage cut is
@@ -849,21 +834,23 @@ def simhash(
         # tree is value-identical (integer ops throughout)
         "doc_id", (hasher or F.xxhash64)(F.col("tok")).alias("hv")
     )
-    votes = [
-        F.expr(
-            f"sum(CAST((shiftright(hv, {j}) & 1) AS INT) * 2 - 1)"
-        ).alias(f"_v{j}")
-        for j in range(bits)
-    ]
-    d = posting.groupBy("doc_id").agg(*votes)
+    # the whole per-bit vote + sign fold is ONE parsed expression:
+    # even `bits` separate F.expr calls cost ~6 ms of py4j round trip
+    # each (~0.4 s/plan build at 64 bits).  Each CASE wraps its own
+    # sum aggregate — Spark extracts the `bits` sums into the agg and
+    # evaluates the OR chain in the result projection, the identical
+    # compute the former two-step (_v{j} columns then OR select) ran.
     ors = " | ".join(
-        f"(CASE WHEN _v{j} >= 0 THEN CAST("
+        f"(CASE WHEN sum(CAST((shiftright(hv, {j}) & 1) AS INT)"
+        " * 2 - 1) >= 0 THEN CAST("
         # signed-long high bit only exists in the 64-wide layout
         f"{1 << j if j < 63 else -(1 << 63)} AS BIGINT) "
         "ELSE CAST(0 AS BIGINT) END)"
         for j in range(bits)
     )
-    return d.select("doc_id", F.expr(f"({ors})").alias("simhash64"))
+    return posting.groupBy("doc_id").agg(
+        F.expr(f"({ors}) AS simhash64")
+    )
 
 
 def simhash_near_pairs(

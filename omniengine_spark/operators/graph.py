@@ -62,6 +62,11 @@ def k_hop_reachability(
         # further rounds would be empty-frame jobs
         if nxt.isEmpty():
             break
-        visited = visited.unionAll(nxt).localCheckpoint()
+        # no checkpoint on visited: it is a flat union of frames that
+        # are each ALREADY checkpointed (seeds + every nxt), so the
+        # lineage never deepens past one union node per hop and the
+        # next round's anti-join reads cached partitions — the former
+        # eager checkpoint here was one whole extra job per hop
+        visited = visited.unionAll(nxt)
         frontier = nxt
     return visited
