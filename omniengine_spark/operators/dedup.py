@@ -688,8 +688,12 @@ def connected_components(
         )
         .distinct()
         # materialize once: the pair-generation pipeline (LSH etc.)
-        # must not re-execute on every propagation round
-        .localCheckpoint()
+        # must not re-execute on every propagation round.  LAZY: the
+        # checkpoint is saved by round 1's fingerprint job (its first
+        # action); an eager checkpoint here plus an eager labels
+        # checkpoint plus the old isEmpty probe cost three whole job
+        # barriers before the first round even started.
+        .localCheckpoint(eager=False)
     )
     # both edge directions are present, so src alone covers every
     # endpoint of the graph
@@ -697,18 +701,21 @@ def connected_components(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     numeric_ids = isinstance(
         labels.schema["label"].dataType,
         (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
          T.DecimalType),
     )
-    # A clean corpus produces ZERO pairs — labels is empty, every
-    # propagation round is a no-op, and the sum fingerprint below is
-    # NULL each round (which must compare as converged, not run all
-    # max_iters rounds of empty jobs).
-    if labels.isEmpty():
+    # A clean corpus produces ZERO pairs — labels is empty and every
+    # propagation round is a no-op.  For numeric ids round 1's sum
+    # fingerprint detects that for free (NULL ⟺ zero label rows, see
+    # below — node ids are non-null by construction); only the
+    # non-numeric fallback still needs a driver-side emptiness probe,
+    # because its join-based diff cannot distinguish "no changes"
+    # from "no rows".
+    if not numeric_ids and labels.isEmpty():
         return nodes.select(
             F.col(id_col),
             F.col(id_col).alias("cluster_id"),
@@ -765,7 +772,12 @@ def connected_components(
             fp = new_labels.agg(
                 F.sum(F.col("label").cast("decimal(38,0)"))
             ).collect()[0][0]
-            converged = fp is not None and fp == prev_fp
+            if fp is None:
+                # zero label rows — the pair graph is empty; the
+                # final left join below labels every node with itself
+                labels = new_labels
+                break
+            converged = fp == prev_fp
             prev_fp = fp
         else:
             converged = (

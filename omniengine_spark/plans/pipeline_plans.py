@@ -25,6 +25,47 @@ def _tx_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Construction memo for the shared tx→serial→delta chain: four plans
+# (omni_balance_pipeline, omni_genesis_fold, x7b_consensus_hash,
+# omni_incremental_lifecycle) each rebuild the identical ~15-select
+# expand_deltas(stamp_serials_distributed(_tx_stream(...))) plan —
+# ~0.5 s of py4j round trips per build.  Same contract as the
+# ``load_table`` memo (sources/catalog.py): an UNEXECUTED logical
+# plan, no rows held, keyed on session id + the events file identity,
+# so nothing persists across sessions or input changes.
+_DELTAS_MEMO: dict[tuple, DataFrame] = {}
+_TXS_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _memo_key(spark: SparkSession, sf_dir: str) -> tuple | None:
+    from omniengine_spark.sources.catalog import _path_sig
+
+    sig = _path_sig(f"{sf_dir}/events.parquet")
+    if sig is None:
+        return None
+    return (spark.sparkContext.applicationId, sf_dir, sig)
+
+
+def _stamped_txs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = _memo_key(spark, sf_dir)
+    if key is not None and key in _TXS_MEMO:
+        return _TXS_MEMO[key]
+    df = stamp_serials_distributed(_tx_stream(spark, sf_dir))
+    if key is not None:
+        _TXS_MEMO[key] = df
+    return df
+
+
+def _stamped_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = _memo_key(spark, sf_dir)
+    if key is not None and key in _DELTAS_MEMO:
+        return _DELTAS_MEMO[key]
+    df = expand_deltas(_stamped_txs(spark, sf_dir))
+    if key is not None:
+        _DELTAS_MEMO[key] = df
+    return df
+
+
 def _tx_projection(ev: DataFrame) -> DataFrame:
     """signup → fixed issuance (50), purchase → simple send (0) —
     works over a batch OR streaming events frame (pure projection)."""
@@ -107,8 +148,7 @@ def _tx_projection(ev: DataFrame) -> DataFrame:
     """,
 )
 def omni_balance_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    txs = _tx_stream(spark, sf_dir)
-    deltas = expand_deltas(stamp_serials_distributed(txs))
+    deltas = _stamped_deltas(spark, sf_dir)
     out = build_balances(deltas)
     return out.select(
         "address",
@@ -167,8 +207,7 @@ def omni_genesis_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omniengine_spark.pipeline import genesis_deltas
     from omniengine_spark.sources.genesis import synthetic_genesis
 
-    txs = _tx_stream(spark, sf_dir)
-    deltas = expand_deltas(stamp_serials_distributed(txs))
+    deltas = _stamped_deltas(spark, sf_dir)
     gen = genesis_deltas(synthetic_genesis(spark, sf_dir))
     out = build_balances(gen.select(*deltas.columns).unionByName(deltas))
     return out.select(
@@ -245,8 +284,7 @@ def x7b_consensus_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators.reconcile.per_block_consensus``."""
     from omniengine_spark.operators.reconcile import per_block_consensus
 
-    txs = _tx_stream(spark, sf_dir)
-    deltas = expand_deltas(stamp_serials_distributed(txs)).select(
+    deltas = _stamped_deltas(spark, sf_dir).select(
         "address",
         "propertyid",
         "block",
@@ -362,8 +400,7 @@ def omni_incremental_lifecycle(
         write_partitioned,
     )
 
-    txs = _tx_stream(spark, sf_dir)
-    deltas = expand_deltas(stamp_serials_distributed(txs)).select(
+    deltas = _stamped_deltas(spark, sf_dir).select(
         "address",
         "propertyid",
         F.col("block").cast("long").alias("block"),

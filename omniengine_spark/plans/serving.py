@@ -21,7 +21,11 @@ from omniengine_spark.pipeline import (
     genesis_deltas,
     stamp_serials_distributed,
 )
-from omniengine_spark.plans.pipeline_plans import _tx_stream
+from omniengine_spark.plans.pipeline_plans import (
+    _stamped_deltas,
+    _stamped_txs,
+    _tx_stream,
+)
 from omniengine_spark.plans.registry import query
 from omniengine_spark.sources import load_table
 from omniengine_spark.sources.genesis import synthetic_genesis
@@ -113,8 +117,7 @@ def serve_address_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
     group key, so Catalyst pushes it below the aggregation to the
     delta scan — the cluster never folds state for addresses the
     query didn't ask about; the rate dim is 5 rows, broadcast."""
-    txs = _tx_stream(spark, sf_dir)
-    deltas = expand_deltas(stamp_serials_distributed(txs))
+    deltas = _stamped_deltas(spark, sf_dir)
     gen = genesis_deltas(synthetic_genesis(spark, sf_dir))
     folded = build_balances(
         gen.select(*deltas.columns).unionByName(deltas)
@@ -171,7 +174,7 @@ def serve_address_tx_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics via order+limit.  The address predicate lands on the
     delta rows before the join, and order-by-limit compiles to
     TakeOrderedAndProject — a serving page never sorts the history."""
-    txs = stamp_serials_distributed(_tx_stream(spark, sf_dir))
+    txs = _stamped_txs(spark, sf_dir)
     deltas = expand_deltas(txs)
     touched = (
         deltas.filter(F.col("address") == SERVE_ADDRESS)
@@ -247,8 +250,7 @@ def serve_wallet_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     IN-list on the fold's group key, pushed below the aggregation
     exactly like the single-address lookup — then the broadcast rate
     dim prices every holding."""
-    txs = _tx_stream(spark, sf_dir)
-    deltas = expand_deltas(stamp_serials_distributed(txs))
+    deltas = _stamped_deltas(spark, sf_dir)
     gen = genesis_deltas(synthetic_genesis(spark, sf_dir))
     folded = build_balances(
         gen.select(*deltas.columns).unionByName(deltas)
@@ -312,8 +314,7 @@ def serve_property_holders(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushes below the fold like the address lookups, and the page is
     TakeOrderedAndProject — per-partition top-25 then a 25-row merge,
     never a global sort of all holders."""
-    txs = _tx_stream(spark, sf_dir)
-    deltas = expand_deltas(stamp_serials_distributed(txs))
+    deltas = _stamped_deltas(spark, sf_dir)
     gen = genesis_deltas(synthetic_genesis(spark, sf_dir))
     folded = build_balances(
         gen.select(*deltas.columns).unionByName(deltas)

@@ -77,6 +77,44 @@ TABLES: dict[str, dict] = {
 }
 
 
+# Construction memo: UNRESOLVED-plan reuse, NOT result caching.  One
+# ``spark.read.parquet`` costs ~140 ms of driver time (a single JVM
+# round trip doing file listing + footer schema inference), and a full
+# bench sweep re-derives the same handful of immutable tables many
+# hundred times — pure plan-construction overhead, the same line the
+# pipeline's ``_DELTA_ARRAY_CACHE`` already walks.  The memoized value
+# is an UNEXECUTED DataFrame: no rows are held, every action on it
+# recomputes from the parquet input (the bench's clearCache semantics
+# are untouched).  Keys carry the session id AND a file-identity
+# signature (mtime_ns + size, shallow listing for directories), so a
+# new session or a rewritten file rebuilds instead of serving a stale
+# plan.
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+_RAW_SCHEMA_MEMO: dict[tuple, T.StructType] = {}
+
+
+def _path_sig(path: str) -> tuple | None:
+    """File-identity signature of a parquet file or dataset directory;
+    None (→ memo bypass) when the path can't be statted or a directory
+    is too wide to fingerprint cheaply."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    if not os.path.isdir(path):
+        return (st.st_mtime_ns, st.st_size)
+    try:
+        entries = sorted(os.scandir(path), key=lambda e: e.name)
+        if len(entries) > 256:
+            return None
+        return (st.st_mtime_ns,) + tuple(
+            (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+            for e in entries
+        )
+    except OSError:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table from the warehouse dir as a DataFrame.
 
@@ -90,12 +128,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # here so epoch/interval plans agree with the (UTC) DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     _ensure_package_shipped(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    sig = _path_sig(path)
+    key = (spark.sparkContext.applicationId, path, sig)
+    if sig is not None and key in _TABLE_MEMO:
+        return _TABLE_MEMO[key]
+    df = spark.read.parquet(path)
     for c in TABLES.get(name, {}).get("ts_cols", []):
         if isinstance(df.schema[c].dataType, T.LongType):
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
             )
+    if sig is not None:
+        _TABLE_MEMO[key] = df
     return df
 
 
@@ -111,7 +156,16 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
-    raw_schema = spark.read.parquet(path).schema
+    # schema probe memo: same construction-only reuse (and the same
+    # file-identity key) as the ``load_table`` memo above
+    sig = _path_sig(path)
+    skey = (spark.sparkContext.applicationId, path, sig)
+    if sig is not None and skey in _RAW_SCHEMA_MEMO:
+        raw_schema = _RAW_SCHEMA_MEMO[skey]
+    else:
+        raw_schema = spark.read.parquet(path).schema
+        if sig is not None:
+            _RAW_SCHEMA_MEMO[skey] = raw_schema
     reader = spark.readStream.schema(raw_schema)
     # SPARK_GRAFT_STREAM_MAX_FILES caps files per micro-batch — the
     # throughput-bench knob (tools/stream_bench.py): availableNow
