@@ -257,6 +257,18 @@ def main() -> None:
             }
 
     total = round(sum(timings.values()), 3)
+    # Per-line contention marker (round 12): the slowest lines are
+    # what round-over-round PERF comparisons trust first, and r11's
+    # review traced every apparent >10% regression to hypervisor-
+    # steal bursts invisible outside the detail file.  Flag any
+    # top-15 plan whose ACCEPTED runs all took their probe ≥1.3× the
+    # sweep's quietest probe, so the stdout line itself says "this
+    # number was measured on a busy box" (capped to keep the line
+    # within budget; full ratios stay in the detail file).
+    top15 = sorted(timings, key=lambda n: -timings[n])[:15]
+    suspect = sorted(
+        n for n in top15 if min(run_probes[n]) / probe_ref > 1.3
+    )[:10]
     calib_after = calibrate()
     loadavg = [round(v, 2) for v in os.getloadavg()]
     build_cold_total = round(
@@ -298,6 +310,7 @@ def main() -> None:
         "calib_sec": [calib_before, calib_after],
         "loadavg": loadavg,
         "probe_ref_sec": round(probe_ref, 4),
+        "suspect": suspect,
         "detail_file": detail_rel,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -312,7 +325,14 @@ def main() -> None:
         "reruns": reruns,
         "timings": dict(sorted(timings.items(), key=lambda kv: -kv[1])),
     }
-    detail_file = Path(_REPO) / detail_rel
+    detail_file = (Path(_REPO) / detail_rel).resolve()
+    # env override is a convenience, not an escape hatch: refuse to
+    # write outside the repo (a '..' or absolute override would
+    # otherwise scatter detail JSON silently)
+    if not str(detail_file).startswith(str(Path(_REPO).resolve()) + os.sep):
+        raise ValueError(
+            f"SPARK_GRAFT_BENCH_DETAIL must stay under the repo: {detail_rel}"
+        )
     detail_file.write_text(json.dumps(detail, indent=1) + "\n")
 
     print(compact_line(base, timings))

@@ -291,6 +291,10 @@ def lsh_keyed(
         deterministic_planes,
     )
 
+    # backtick-escape the caller-supplied column name before SQL-string
+    # interpolation (Spark quoted-identifier escaping: ` -> ``)
+    vec_q = vec_col.replace("`", "``")
+
     def dots_arr(t: int) -> F.Column:
         # one parsed string per table instead of n_act·dim F.lit()
         # py4j calls — identical fold (zip_with → aggregate, same
@@ -301,7 +305,7 @@ def lsh_keyed(
         def fold(p: int) -> str:
             arr = ",".join(f"{c!r}D" for c in planes[p])
             return (
-                f"aggregate(zip_with(`{vec_col}`, array({arr}), "
+                f"aggregate(zip_with(`{vec_q}`, array({arr}), "
                 "(x, h) -> CAST(x AS DOUBLE) * h), 0.0D, "
                 "(acc, x) -> acc + x)"
             )

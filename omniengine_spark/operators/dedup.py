@@ -136,13 +136,13 @@ def jaccard_similarity_join(
     on those prefixes cannot miss a qualifying pair.  Survivors are
     verified with the exact intersection size.
 
-    Build-time cost note: construction runs an EAGER localCheckpoint
-    of the prefix frame (N·prefix_len skinny rows) — the full shingle
-    scan executes when this function is CALLED, not at first action.
-    Explain-only callers (plan reports, shape tests) pay that scan
-    too; the lineage cut is deliberate (see the inline comment — lazy
-    checkpointing lets Catalyst re-inline the interpreted shingle HOF
-    into all four join branches, measured 7× slower end-to-end).
+    Construction note: the posting/prefix frames are cut out of the
+    plan with localCheckpoints at BUILD time (the API call plans the
+    subtree immediately — Catalyst can never re-inline the
+    interpreted shingle HOF into the join branches, the documented 7×
+    trap), but materialization is LAZY: the checkpoint jobs fold into
+    the caller's first action instead of running when this function
+    is called, so explain-only callers pay planning, not execution.
     """
     t_num, t_den = threshold.numerator, threshold.denominator
 
@@ -204,16 +204,17 @@ def jaccard_similarity_join(
     # is re-evaluated in two extra full passes before ``pre``'s own
     # checkpoint (the documented HOF re-evaluation trap, measured 7×
     # on this family).  The frame is N·|d| skinny (long, long) rows.
-    # Trade-offs accepted at this site: the checkpoint is EAGER (a
-    # Spark job runs when this function is CALLED, which explain-only
-    # callers also pay), and local checkpoint blocks are
+    # Trade-off accepted at this site: local checkpoint blocks are
     # non-replicated — an executor loss during the downstream joins
     # fails the job instead of recomputing lineage.  On a long-lived
     # 100 TB cluster prefer reliable ``checkpoint()`` to an HDFS dir;
     # locally the job-restart cost is trivial and the 7× win stands.
     inst = (
         docs.select("doc_id", F.explode_outer("hs").alias("h"))
-        .localCheckpoint()
+        # eager=False: the plan is still cut HERE (checkpoint planning
+        # happens at the call), but the materialization job folds into
+        # the first downstream action instead of running at build time
+        .localCheckpoint(eager=False)
     )
     dfreq = inst.groupBy("h").agg(F.count(F.lit(1)).alias("dfr"))
     ranked = (
@@ -243,7 +244,7 @@ def jaccard_similarity_join(
             F.posexplode_outer(F.slice("hs_ord", F.lit(1), prefix_len3o)),
         )
         .select("doc_id", "n_sh", "pos", F.col("col").alias("h"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     # Prefix arity.  q=2 (hash-PAIR join key) is the default and the
@@ -527,6 +528,13 @@ def minhash_lsh_pairs(
     probability (1−0.8²)³² ≈ 6·10⁻¹⁵ — candidates are then verified
     exactly, so the output equals the exact similarity join with
     overwhelming probability while only ever shuffling signatures.
+
+    CACHE CONTRACT: the hashed-shingle frame below is ``persist()``ed
+    and stays referenced by the returned lazy frame, so it cannot be
+    unpersisted here.  Callers release it after consuming the result
+    (``spark.catalog.clearCache()`` between invocations — the
+    bench/oracle harness already does); a long-lived serving session
+    that skips this accumulates one cached copy per invocation.
     """
     # ONE shingle+hash scan, cached: signatures (via the exploded hs
     # multiset — the same xxhash64-of-shingle values minhash posting

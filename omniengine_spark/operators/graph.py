@@ -57,10 +57,16 @@ def k_hop_reachability(
             .join(visited, "node", "left_anti")
             .select("node", F.lit(h).alias("hops"))
         )
-        nxt = nxt.localCheckpoint()
+        # LAZY checkpoint materialized by the emptiness probe's count
+        # below — ONE job per hop instead of two (the eager checkpoint
+        # job plus an isEmpty job).  count() is the probe because it
+        # computes every partition, so the checkpoint is fully saved
+        # inside the same job (isEmpty's limit(1) short-circuit would
+        # leave partitions to a trailing doCheckpoint recomputation).
+        nxt = nxt.localCheckpoint(eager=False)
         # frontier exhausted before max_hops (diameter reached):
         # further rounds would be empty-frame jobs
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
         # no checkpoint on visited: it is a flat union of frames that
         # are each ALREADY checkpointed (seeds + every nxt), so the

@@ -605,6 +605,9 @@ def lsh_ann_topk(
     # vs this shape's near-linear cost: the per-pair fold is ~µs while
     # a pair-row carrying two 64-double arrays is ~1 KB of exchange).
     p_bits = max_planes if target_occupancy else n_planes
+    # backtick-escape the caller-supplied column name before SQL-string
+    # interpolation (Spark quoted-identifier escaping: ` -> ``)
+    vec_q = vec_col.replace("`", "``")
 
     def dots_arr(t: int) -> Column:
         # ONE parsed SQL expression instead of ~p_bits·dim F.lit()
@@ -619,7 +622,7 @@ def lsh_ann_topk(
         def fold(p: int) -> str:
             arr = ",".join(f"{c!r}D" for c in planes[p])
             return (
-                f"aggregate(zip_with(`{vec_col}`, array({arr}), "
+                f"aggregate(zip_with(`{vec_q}`, array({arr}), "
                 "(x, h) -> CAST(x AS DOUBLE) * h), 0.0D, "
                 "(acc, x) -> acc + x)"
             )
@@ -778,8 +781,10 @@ def lsh_ann_topk(
         # duplicate the whole scan→bucket→join→score subtree into
         # both branches (AQE exchange reuse is not guaranteed across
         # union arms).  Bounded: one skinny (id, id, score) row per
-        # candidate pair — ∝ N·T·occupancy/2.
-        .localCheckpoint()
+        # candidate pair — ∝ N·T·occupancy/2.  Lazy: the block-level
+        # cache underneath the checkpoint serializes the two union
+        # arms' reads anyway, and eager cost a build-time job.
+        .localCheckpoint(eager=False)
     )
     both = scored.unionByName(
         scored.select(
@@ -1130,6 +1135,25 @@ def semantic_prune(
     round 7 measured that the earlier ∝N/k cap merely tracked the
     √N-SemDeDup design's own N^1.5 pair mass (e=+1.58 sf5→sf25);
     a constant cap bounds it at cap·N — see the inline comment.
+
+    CACHE CONTRACT: this operator ``persist()``s three interior
+    frames (the assignment output, the assigned vectors, the pair
+    candidates) that the RETURNED lazy frame keeps referencing — the
+    function cannot unpersist them itself.  The caller releases them
+    after consuming the result: ``spark.catalog.clearCache()``
+    between invocations (the bench/oracle harness already does), or
+    unpersist via the frames exposed in ``debug_frames``.  A
+    long-lived serving session that skips this accumulates one
+    cached copy per invocation.
+
+    EAGER-PROBE CONTRACT: construction runs one driver-side
+    emptiness probe (``unc.isEmpty()``) over the cached assignment to
+    skip the measure-zero near-tie branch, so building this plan
+    EXECUTES the scan→assignment subtree — explain-only callers pay
+    that job, and the certain/uncertain branch decision is frozen at
+    build time (re-build the plan if the underlying source mutates
+    between build and execution; the engine's build-then-run-
+    immediately callers never do).
     """
     if n_clusters is None:
         import math

@@ -827,7 +827,10 @@ def build_full_balances(
         F.max((F.col("kind") != "delta").cast("int")).over(
             Window.partitionBy("address", "propertyid")
         ),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    # lazy: materialized by the caller's first action (both branches
+    # share the cached blocks); eager ran a whole job at plan-BUILD
+    # time — 2.0 s of every d4/d7c construction, measured
     plain = tagged.filter(F.col("__frozen_key") == 0)
     plain_out = plain.groupBy("address", "propertyid").agg(
         F.sum("delta_base_units").cast("long").alias("available"),

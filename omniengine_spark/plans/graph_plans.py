@@ -217,7 +217,9 @@ def graph_taint_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cust").alias("src"), F.col("supp").alias("dst")
     ).unionAll(
         pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
-    ).localCheckpoint()
+    # lazy: hop 1's frontier job materializes the edge checkpoint —
+    # an eager checkpoint here is one whole extra job barrier
+    ).localCheckpoint(eager=False)
     seeds = spark.range(_SEED_CUST, _SEED_CUST + 1).select(
         F.col("id").alias("node")
     )

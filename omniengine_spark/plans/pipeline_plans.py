@@ -410,7 +410,10 @@ def omni_incremental_lifecycle(
     # min/max boundary agg below all filter THIS one computed stream;
     # unpersisted, the full serial-stamp + delta-expansion pipeline
     # re-ran once per write (measured 5 executions per bench run).
-    # The min/max collect right below materializes it once.
+    # The min/max collect right below materializes it once.  Cache
+    # contract: the returned frame's mempool arm still reads this
+    # cache, so it is released by the CALLER (clearCache between
+    # invocations — the bench/oracle harness already does).
     gen = genesis_deltas(synthetic_genesis(spark, sf_dir)).select(
         "address",
         "propertyid",

@@ -30,6 +30,7 @@ def _base(timings, **over):
         "calib_sec": [0.551, 0.552],
         "loadavg": [31.12, 28.5, 19.75],
         "probe_ref_sec": 0.0512,
+        "suspect": ["plan_199_" + "x" * 34, "plan_198_" + "x" * 34],
         "detail_file": "tools/bench_full.json",
         "sf": 0.1,
     }
@@ -78,3 +79,13 @@ def test_total_is_preserved_exactly():
     t = _mk_timings(192)
     d = json.loads(bench.compact_line(_base(t), t))
     assert d["value"] == round(sum(t.values()), 3)
+
+
+def test_suspect_flags_survive_in_line():
+    # the contention markers (top-15 plans whose accepted runs all ran
+    # under a busy probe) must reach the stdout line within budget
+    t = _mk_timings(200)
+    line = bench.compact_line(_base(t), t)
+    assert len(line) <= bench._LINE_BUDGET
+    d = json.loads(line)
+    assert d["suspect"] == ["plan_199_" + "x" * 34, "plan_198_" + "x" * 34]
