@@ -148,10 +148,14 @@ def write_partitioned(
     with a single giant partition value compacts/salts afterwards
     (``compact_partitions``).
     """
-    n = df.sparkSession.sparkContext.defaultParallelism
+    if partition_cols:
+        n = df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartition(n, *partition_cols)
+    # (no partition columns → leave the batch's own distribution: a
+    # keyless repartition would pay a sort and splinter a small
+    # rollup into one tiny file per task)
     (
-        df.repartition(n, *partition_cols)
-        .write.mode("overwrite")
+        df.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_cols)
         .parquet(path)
