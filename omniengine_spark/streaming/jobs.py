@@ -55,6 +55,20 @@ def stream_checkpoint_dir(label: str) -> str:
         import tempfile
 
         base = tempfile.gettempdir()
+    # a failed drain skips its rmtree — prune siblings whose owner pid
+    # is dead so crashed runs can't accumulate RAM-backed checkpoints
+    # (same dead-owner contract as sources.sinks.scratch_dir)
+    import re
+
+    from omniengine_spark.sources.sinks import _pid_alive
+
+    try:
+        for entry in os.scandir(base):
+            m = re.match(r"omni-ckpt-p(\d+)-", entry.name)
+            if m and not _pid_alive(int(m.group(1))):
+                shutil.rmtree(entry.path, ignore_errors=True)
+    except OSError:
+        pass
     return os.path.join(
         base, f"omni-ckpt-p{os.getpid()}-{label}-{uuid.uuid4().hex[:12]}"
     )
